@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink (full plan execution, no
+driver collect bottleneck, no disk write skew). The headline set covers the
+engine's main cost centers: exact KNN scan, batched top-k window, TPC-H-ish
+aggregation, broadcast star join, dedup suite (exact hash, MinHash LSH,
+blocked cosine), text analysis, ANN bucket probe, and the tumbling-window
+event rollup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_database_app_spark.registry import QUERIES  # noqa: E402
+from vector_database_app_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "rag_topk_summary",
+    "knn_brute_force",
+    "topk_per_group",
+    "agg_group",
+    "join_inner",
+    "join_asof",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_embedding",
+    "text_quality",
+    "token_count",
+    "ann_srp",
+    "window_tumbling",
+    "window_session",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers with one cheap action
+    QUERIES["scan_parquet"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

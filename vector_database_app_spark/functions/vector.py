@@ -1,0 +1,67 @@
+"""Vector math as Catalyst column expressions.
+
+The reference computes similarity driver-side with scikit-learn over a
+materialized (N, d) numpy matrix (`rag_search/vector_db.py:684-696` —
+`cosine_similarity` + full `argsort`). Here the dot product / cosine are
+higher-order-function expressions that run JVM-side inside the scan stage:
+no Python boundary, no full materialization, and Catalyst can still push
+metadata filters *below* the similarity projection.
+
+All helpers cast to double before accumulating (the stored vectors are
+float32) and fold strictly left-to-right in array order, which makes the
+result bit-reproducible and directly comparable to an equivalent
+strict-order SQL formulation in the DuckDB oracle.
+
+At 100 TB these expressions are the *exact re-rank* half of the story; the
+candidate-generation half (LSH / IVF) lives in ``operators.search``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return v.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Strict left-fold dot product: sum_i a[i]*b[i] in element order.
+
+    Reference equivalent: the matmul inside sklearn cosine_similarity
+    (`rag_search/vector_db.py:692`).
+    """
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """cosine = dot/(||a||*||b||). For vectors normalized at write time
+    (write invariant, mirroring the reference's normalize-in-every-embedder,
+    `rag_search/vector_db.py:460,488,506,525,543`) this equals `dot`, but we
+    compute the full form so the operator is correct for any input."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_rounded(a: Column | str, b: Column | str, scale: int = 6) -> Column:
+    """Cosine rounded to `scale` decimals — the determinism contract for
+    oracle-checked queries (FIXTURES.md determinism rules): ranking and
+    threshold predicates are evaluated on the *rounded* value so float
+    last-ulp differences across engines cannot flip results."""
+    return F.round(cosine(a, b), scale)
+
+
+def l2_normalize(v: Column | str) -> Column:
+    """Normalize to unit length; zero vectors pass through unchanged."""
+    n = l2_norm(v)
+    vv = _as_double(v)
+    return F.when(n > F.lit(0.0), F.transform(vv, lambda x: x / n)).otherwise(vv)

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample as Arrow-batched
+`mapInPandas` stages.
+
+Reference parity: the reference stores images as base64 strings in the same
+row schema as text (`rag_search/vector_db.py:286,480`) and derives caption
+columns from them via per-image model calls (F7/F8, `:547-596`). Here the
+payload is a true `binary` column and every derivation is a columnar batch
+UDF — the Spark-side contract (schema, batch shape, partitioning) is real
+and tested; the actual pixel/audio decode is stubbed because image/audio
+libraries are not in this container (clearly marked below).
+
+Scale notes: binary payloads ride the same parquet row groups as their
+metadata; `spark.sql.files.maxPartitionBytes` bounds task input so a task's
+Arrow batches fit executor memory; decode stages are embarrassingly parallel
+(no shuffle) and should run on the ingest pass, persisting derived features
+so queries never re-decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata derived for any binary payload without decoding it.
+BINARY_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("magic_hex", T.StringType()),
+    ]
+)
+
+#: Schema a real image decoder would emit (width/height/channels/features).
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stand-in payload: utf-8 bytes of the text column as a `binary` column
+    (the driver corpus has no real images). Real ingest replaces this with
+    `spark.read.format('binaryFile')` content (see sources.binary_ingest)."""
+    return df.select(
+        F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("payload")
+    )
+
+
+def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over opaque bytes — JVM-side only (no decode):
+    size, content hash, magic-number prefix."""
+    return df.select(
+        "doc_id",
+        F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("payload_sha256"),
+        F.hex(F.substring(F.col(payload_col), 1, 4)).alias("magic_hex"),
+    )
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    feature_dim: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image decode + feature extraction as an Arrow-batched mapInPandas
+    stage (the Spark shape of reference F3/F5/F7 image models,
+    `rag_search/vector_db.py:473-527,547-563`).
+
+    STUB: the real decoder (PIL/torchvision/ffmpeg) is not installed in this
+    container. With ``deterministic_fake=True`` the stage emits
+    deterministic pseudo-features derived from the payload bytes, so the
+    pipeline (batching, schema, partitioning) is fully exercised; with
+    ``deterministic_fake=False`` it raises NotImplementedError exactly where
+    the decoder plugs in.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torchvision — plug the "
+                    "decoder in here; this container ships no image libs"
+                )
+            out = {
+                "doc_id": pdf[id_col],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "features": [],
+            }
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                digest = hashlib.sha256(b).digest()
+                out["width"].append(64 + digest[0] % 192)
+                out["height"].append(64 + digest[1] % 192)
+                out["channels"].append(3)
+                out["features"].append(
+                    [float(digest[i] / 255.0) for i in range(feature_dim)]
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, payload_col: str = "payload", *, every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling *plumbing*: one output row per sampled frame
+    index, payload untouched (decode stub as above). Demonstrates the
+    explode-based row multiplication pattern a real frame sampler uses;
+    frame count here is a deterministic function of payload size."""
+    n_frames = (F.length(F.col(payload_col)) % 100 + 1).cast("int")
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,81 @@
+"""Relational operators the reference lacks entirely (SURVEY §2.3/§2.6:
+joins, aggregations, windows, set ops are all 'absent in reference') —
+exposed as thin, scale-annotated compositions of built-in DataFrame ops so
+Catalyst owns the physical strategy.
+
+These exist (a) to make the engine a complete analytics surface over the
+document/vector tables and their relational metadata, and (b) to be the
+oracle-checked demonstration that plans do the right thing at scale:
+broadcast the small side, partial-aggregate before shuffling, plan top-k as
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dims(
+    fact: DataFrame, dims: list[tuple[DataFrame, str]], *, broadcast_dims: bool = True
+) -> DataFrame:
+    """Star-schema join: fact ⋈ each (dim, key). Dimension tables are
+    broadcast (hint only — AQE would pick it anyway under the configured
+    autoBroadcastJoinThreshold); the fact table never shuffles."""
+    out = fact
+    for dim, key in dims:
+        out = out.join(F.broadcast(dim) if broadcast_dims else dim, key)
+    return out
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k → Catalyst plans TakeOrderedAndProject (heap
+    top-k per partition + merge of k·P rows) — never a global sort."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int, rank_col: str = "rk"
+) -> DataFrame:
+    """row_number window per group; shuffles once on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_id: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join (Spark has no native API): for each left row, the latest
+    right row with right_time <= left_time, per `on` key.
+
+    Implemented as equi-join on the key + range predicate + row_number
+    pick-latest (deterministic via `right_tiebreak`). The equi-key keeps it
+    a hash join; at 100 TB pre-bucket both sides by `on` so the join and the
+    window share one partitioning (single shuffle, reused across stages) and
+    AQE splits skewed keys."""
+    lt, rt = left.alias("l"), right.alias("r")
+    joined = lt.join(
+        rt,
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}")),
+        "left",
+    )
+    left_cols = [F.col(f"l.{c}") for c in left.columns]
+    order = [F.col(f"r.{right_time}").desc_nulls_last()]
+    if right_tiebreak:
+        order.append(F.col(f"r.{right_tiebreak}").desc_nulls_last())
+    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(*order)
+    picked = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select(*left_cols, *[F.col(f"r.{c}").alias(c) for c in right_cols])
+    )
+    return picked

@@ -1,0 +1,226 @@
+"""Similarity search operators.
+
+Reference core: `return_similar` (`rag_search/vector_db.py:684-696`) — exact
+brute-force cosine via sklearn over an in-memory (N, d) matrix, full argsort,
+take k. `run_text_search`/`run_image_search` (`:698-759`) wrap it with a
+metadata prefilter (`get_search_range`, `:673-682`).
+
+Spark-first re-expression:
+
+- single query  → broadcast 1-row query × corpus, cosine expression, then
+  `ORDER BY sim DESC LIMIT k` which Catalyst plans as TakeOrderedAndProject
+  (per-partition heap top-k + driver merge — strictly better than the
+  reference's full argsort, and it never materializes the corpus).
+- query batch   → `corpus ⋈ broadcast(queries)` + window row_number per
+  query. The corpus never shuffles; only per-query top-k rows move.
+- 100 TB path   → candidate generation first (IVF coarse quantizer or
+  sign-random-projection LSH buckets), exact re-rank only inside probed
+  buckets. Candidate generation is a broadcast hash join on bucket id —
+  no all-pairs crossJoin at scale.
+
+Embedding-space safety (SURVEY §7.3): operators take an optional
+``space``/``query_space`` tag and refuse to mix spaces — the reference
+enforces this only implicitly by keeping text/image tables separate
+(`rag_search/vector_db.py:716-722`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import PERMS
+from ..functions.vector import cosine_rounded, dot
+
+
+class EmbeddingSpaceMismatch(ValueError):
+    """Raised when a query vector and corpus are tagged with different
+    embedding spaces (e.g. CLIP-512 vs text-1536)."""
+
+
+def _check_spaces(corpus_space: str | None, query_space: str | None) -> None:
+    if corpus_space and query_space and corpus_space != query_space:
+        raise EmbeddingSpaceMismatch(
+            f"refusing to compare embedding spaces {corpus_space!r} vs {query_space!r}"
+        )
+
+
+def knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Exact top-k for ONE query row (reference `return_similar`,
+    `rag_search/vector_db.py:684-696`; default k=5 per `:619`).
+
+    `query` must be a 1-row DataFrame with `query_vec_col`. It is broadcast,
+    so the plan is scan → project(sim) → TakeOrderedAndProject: one pass over
+    the corpus, no shuffle of corpus rows, survives any corpus size.
+    Ties break on `id_col` over the *rounded* similarity → deterministic.
+    """
+    _check_spaces(corpus_space, query_space)
+    sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    return (
+        corpus.crossJoin(F.broadcast(query.select(query_vec_col)))
+        .withColumn("sim", sim)
+        .drop(query_vec_col)
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Top-k per query for a broadcastable batch of queries.
+
+    corpus ⋈ broadcast(queries) keeps the corpus partition-local; the window
+    top-k shuffles only by query_id. For query batches too large to
+    broadcast, chunk the batch or switch to `ivf_search`.
+    """
+    _check_spaces(corpus_space, query_space)
+    joined = corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).withColumn("sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop(query_vec_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale path: sign-random-projection LSH buckets + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def _srp_bucket(vec_col: Column, n_bits: int, dim: int) -> Column:
+    """Sign-random-projection bucket id: n_bits hyperplane sign bits packed
+    into a bigint. Hyperplanes are deterministic pseudo-random ±1 vectors
+    derived from the fixed PERMS constants — same bucket for the same vector
+    on every run/cluster, no fitted model object to ship.
+
+    Cosine-preserving LSH: P[bit_i(a) == bit_i(b)] = 1 - angle(a,b)/π.
+    """
+    bucket = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        a, b = PERMS[bit % len(PERMS)]
+        # ±1 pseudo-random hyperplane component for coordinate j
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col.cast("array<double>"),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x
+                * (
+                    F.when(
+                        (
+                            (F.lit(a).cast("long") * j + F.lit(b).cast("long")) % 2
+                        )
+                        == 0,
+                        1.0,
+                    ).otherwise(-1.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Materialize the ANN 'index': corpus + bucket column. At scale, write
+    this out partitioned/bucketed BY bucket so a probe reads only matching
+    files (partition pruning does candidate generation for free)."""
+    return corpus.withColumn("bucket", _srp_bucket(F.col(vec_col), n_bits, dim))
+
+
+def srp_search(
+    indexed_corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    dim: int = 64,
+    hamming_probe: int = 1,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """ANN: probe buckets within `hamming_probe` bit-flips of the query's
+    bucket, exact-cosine re-rank candidates, top-k per query.
+
+    The join is an equi-join on bucket id (broadcastable query side), so at
+    100 TB the corpus is scanned once with bucket pruning instead of a full
+    crossJoin; recall is tuned by (n_bits, hamming_probe).
+    """
+    q = queries.withColumn("qbucket", _srp_bucket(F.col(query_vec_col), n_bits, dim))
+    # expand query buckets: the bucket itself + all 1-bit flips (probe ring)
+    probes = [F.col("qbucket")]
+    if hamming_probe >= 1:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    cand = indexed_corpus.join(
+        F.broadcast(q.select(query_id_col, query_vec_col, "bucket")), "bucket"
+    )
+    scored = cand.withColumn(
+        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop(query_vec_col, "bucket")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "centroid_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse assignment: each vector → argmax-cosine centroid.
+    centroids are broadcast (they are tiny: √N cells for N vectors); the
+    corpus never shuffles. Write the result partitioned by centroid_id and
+    probes become partition-pruned scans."""
+    scored = corpus.crossJoin(
+        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    ).withColumn("csim", dot(F.col(vec_col), F.col(centroid_vec_col)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .drop("rk", "csim", centroid_vec_col)
+    )

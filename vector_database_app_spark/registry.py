@@ -1,0 +1,792 @@
+"""Query registry: the SURVEY §2 operator inventory as (Spark query, DuckDB
+oracle SQL) pairs consumed by ``__spark_entry__.py``.
+
+Contract (driver): each entry in QUERIES is `name -> f(spark, sf_dir) ->
+DataFrame`; ORACLE[name] is ANSI SQL DuckDB runs over the same parquet
+tables. Results are compared by row count + schema + order-insensitive
+value hash, so every computed column is aliased identically on both sides
+and every *computed* float is rounded (FIXTURES.md determinism rules);
+stored floats pass through raw (same bits both engines). Entries without
+oracle SQL are genuinely non-SQL-expressible (LSH/minhash internals, Arrow
+UDF stages) and get the driver's rows-only check.
+
+Reference parity notes are in each operator's docstring
+(vector_database_app_spark/operators/*); names follow SURVEY §2's
+`queries()` name column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions.hashing import sha256_hex
+from .functions.vector import cosine_rounded
+from .operators import dedup, multimodal, rag, relational, search, textops
+from .sources.catalog import load_table
+from .streaming import windows as SW
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    """The fixed test query vector: embeddings row vec_id=0 (both engines
+    read the same row, so the 'query' is identical by construction)."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+
+
+#: DuckDB strict-order cosine matching functions.vector.cosine (dot in
+#: element order on double-cast arrays, then the same norm product form).
+_SQL_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+#: DuckDB word-3-gram shingles matching functions.text.shingles (lowercase,
+#: split on single space keeping empties, fallback to whole text).
+_SQL_SHINGLES3 = (
+    "CASE WHEN len({ws}) >= 3 THEN "
+    "list_transform(range(1, len({ws}) - 1), "
+    "i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]) "
+    "ELSE [lower({t})] END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.1-2.2: S5, P1-P5)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark, sf_dir):
+    return _t(spark, sf_dir, "region")
+
+
+def q_filter_contains(spark, sf_dir):
+    # P1 directory branch: case-insensitive literal contains (vector_db.py:677)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("source")).contains("rc1"))
+        .select("doc_id", "source")
+    )
+
+
+def q_filter_eq(spark, sf_dir):
+    # P1 exact-file branch (vector_db.py:681-682)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_filter_neq(spark, sf_dir):
+    # P2 content-type predicate shape (vector_db.py:794,803)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "lang")
+    )
+
+
+def q_project_cols(spark, sf_dir):
+    # P3 — the reference's intended (dead) projection at vector_db.py:734
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+
+def q_with_literal(spark, sf_dir):
+    # P5 search_reference stamp (vector_db.py:710,727,750)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", F.lit("query-001").alias("search_reference"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector search (SURVEY §2.4: V1 exact top-k, batched form)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return search.knn(emb, _query_vec(spark, sf_dir), k=10).select(
+        "vec_id", "label", "sim"
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    scored = emb.crossJoin(F.broadcast(_query_vec(spark, sf_dir))).withColumn(
+        "sim", cosine_rounded("embedding", "query_embedding")
+    )
+    return relational.top_k_per_group(
+        scored.select("vec_id", "label", "sim"),
+        ["label"],
+        [F.desc("sim"), F.asc("vec_id")],
+        3,
+    )
+
+
+def q_rag_topk_summary(spark, sf_dir):
+    """Flagship run_search shape (SURVEY §3.1): filter-less top-5 → join hits
+    to documents → deterministic summary aggregate + source count."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    docs = _t(spark, sf_dir, "documents")
+    top5 = search.knn(emb, _query_vec(spark, sf_dir), k=5)
+    hits = top5.join(docs, top5.vec_id == docs.doc_id).select(
+        F.lit(0).cast("int").alias("query_id"), "doc_id", "text", "sim"
+    )
+    return rag.summarize_hits(hits)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — absent in reference, built-in here)
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_regionkey", "r_regionkey"
+    )
+    region = _t(spark, sf_dir, "region")
+    joined = relational.join_dims(
+        cust, [(nation, "n_nationkey"), (region, "r_regionkey")]
+    )
+    return joined.filter(F.col("r_name").isin("ASIA", "EUROPE")).select(
+        "c_custkey", "c_name", "n_name", "r_name"
+    )
+
+
+def q_join_left(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "o_orderkey")
+
+
+def q_join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase event, the user's latest click at or
+    before the purchase (classic attribution; no native Spark op — see
+    operators.relational.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = relational.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_id="event_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_cols=["click_id", "click_ts"],
+        right_tiebreak="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    # P4: incoming content hashes not present in the existing store
+    # (vector_db.py:431-434 as a set operation)
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.select("doc_id", sha256_hex("text").alias("content_hash"))
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select(
+        sha256_hex("text").alias("content_hash")
+    )
+    return dedup.anti_join_new(incoming, existing, "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / sorts / windows / set ops (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_order_limit(spark, sf_dir):
+    return relational.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        20,
+    )
+
+
+def q_agg_group(spark, sf_dir):
+    # TPC-H Q1 shape
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("distinct_supps"),
+        )
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+    )
+
+
+def q_union_all(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.filter(F.col("source") == "src1").unionByName(
+        docs.filter(F.col("source") == "src2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.5 F9-F15 equivalents + §2.6 families)
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark, sf_dir):
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring(t, 1, 20).alias("prefix20"),
+        F.length(t).cast("bigint").alias("len"),
+        F.concat_ws("-", "source", "lang").alias("src_lang"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source_")).alias("src_renamed"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.instr(t, "data").cast("bigint").alias("data_pos"),
+        F.trim(t).startswith("key").cast("int").alias("starts_key"),
+    )
+
+
+def q_date_funcs(spark, sf_dir):
+    ts = F.col("ts")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.year(ts).cast("int").alias("y"),
+        F.month(ts).cast("int").alias("m"),
+        F.dayofmonth(ts).cast("int").alias("d"),
+        F.hour(ts).cast("int").alias("h"),
+        F.date_trunc("day", ts).cast("date").cast("string").alias("day_str"),
+        F.unix_micros(ts).alias("ts_us"),
+    )
+
+
+def q_array_funcs(spark, sf_dir):
+    e = F.col("embedding")
+    ed = e.cast("array<double>")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(e).cast("int").alias("dim"),
+        F.round(
+            F.aggregate(F.zip_with(ed, ed, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.element_at(ed, 1), 6).alias("first_elem"),
+        F.round(F.aggregate(ed, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+    )
+
+
+def q_json_funcs(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (reference P4 + LLM-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    # rows-only: xxhash64-based signatures are engine-internal
+    return dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only
+    return dedup.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extensions over documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path (rows-only: LSH internals are engine-specific)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_srp(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    indexed = search.srp_index(emb)
+    return search.srp_search(indexed, queries, k=5).select(
+        "query_id", "vec_id", "label", "sim", "rk"
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    return search.ivf_assign(emb, centroids).select("vec_id", "label", "centroid_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.binary_metadata(payload)
+
+
+def q_image_features(spark, sf_dir):
+    # rows-only: Arrow mapInPandas stage with deterministic fake decode
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_image_features(payload)
+
+
+def q_frame_sample(spark, sf_dir):
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(payload)
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface — batch-equivalent forms (oracle-checked); the streaming
+# mode of the same functions is exercised in tests/test_streaming.py
+# ---------------------------------------------------------------------------
+
+
+def q_window_tumbling(spark, sf_dir):
+    return SW.tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+def q_window_sliding(spark, sf_dir):
+    return SW.sliding_counts(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+def q_window_session(spark, sf_dir):
+    return SW.session_counts(_t(spark, sf_dir, "events"), "5 minutes").select(
+        F.unix_micros("session_start").alias("session_us"), "user_id", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_parquet": q_scan_parquet,
+    "filter_contains": q_filter_contains,
+    "filter_eq": q_filter_eq,
+    "filter_neq": q_filter_neq,
+    "project_cols": q_project_cols,
+    "with_literal": q_with_literal,
+    "knn_brute_force": q_knn_brute_force,
+    "topk_per_group": q_topk_per_group,
+    "rag_topk_summary": q_rag_topk_summary,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_semi": q_join_semi,
+    "join_asof": q_join_asof,
+    "dedup_anti_join": q_dedup_anti_join,
+    "order_limit": q_order_limit,
+    "agg_group": q_agg_group,
+    "agg_distinct": q_agg_distinct,
+    "agg_rollup": q_agg_rollup,
+    "window_lag": q_window_lag,
+    "union_all": q_union_all,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "array_funcs": q_array_funcs,
+    "json_funcs": q_json_funcs,
+    "dedup_exact": q_dedup_exact,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_srp": q_ann_srp,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "image_features": q_image_features,
+    "frame_sample": q_frame_sample,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "window_session": q_window_session,
+}
+
+
+_COS_EB_Q = _SQL_COS.format(a="e.embedding", b="q.qe")
+_COS_AB = _SQL_COS.format(a="a.embedding", b="b.embedding")
+
+ORACLE: dict[str, str] = {
+    "scan_parquet": "SELECT r_regionkey, r_name FROM region",
+    "filter_contains": (
+        "SELECT doc_id, source FROM documents WHERE contains(lower(source), 'rc1')"
+    ),
+    "filter_eq": "SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src3'",
+    "filter_neq": "SELECT doc_id, lang FROM documents WHERE lang <> 'en'",
+    "project_cols": "SELECT doc_id, lang, n_chars FROM documents",
+    "with_literal": (
+        "SELECT doc_id, 'query-001' AS search_reference FROM documents "
+        "WHERE source = 'src3'"
+    ),
+    "knn_brute_force": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label, {_COS_EB_Q} AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    "topk_per_group": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, e.label, {_COS_EB_Q} AS sim
+          FROM embeddings e, q WHERE e.vec_id <> 0)
+        SELECT vec_id, label, sim,
+               CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS INT) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    "rag_topk_summary": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, {_COS_EB_Q} AS sim
+          FROM embeddings e, q WHERE e.vec_id <> 0),
+        top5 AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
+        SELECT CAST(0 AS INT) AS query_id,
+               string_agg(d.text, ' | ' ORDER BY t.sim DESC, d.doc_id) AS summary,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM top5 t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+    "join_inner": """
+        SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+    "join_left": """
+        SELECT c.c_custkey, o.o_orderkey
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join_asof": """
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.click_id, epoch_us(c.click_ts) AS click_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id AS click_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.click_ts <= p.ts
+        QUALIFY row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST) = 1
+    """,
+    "dedup_anti_join": """
+        SELECT d.doc_id, sha256(d.text) AS content_hash
+        FROM documents d
+        WHERE sha256(d.text) NOT IN
+              (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
+    """,
+    "order_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "agg_group": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "window_lag": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+    """,
+    "union_all": """
+        SELECT doc_id, source FROM documents WHERE source = 'src1'
+        UNION ALL
+        SELECT doc_id, source FROM documents WHERE source = 'src2'
+    """,
+    "string_funcs": """
+        SELECT doc_id,
+               upper(lang) AS lang_upper,
+               substr(text, 1, 20) AS prefix20,
+               CAST(length(text) AS BIGINT) AS len,
+               concat_ws('-', source, lang) AS src_lang,
+               replace(source, 'src', 'source_') AS src_renamed,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+               CAST(strpos(text, 'data') AS BIGINT) AS data_pos,
+               CAST(starts_with(trim(text), 'key') AS INT) AS starts_key
+        FROM documents
+    """,
+    "date_funcs": """
+        SELECT event_id,
+               CAST(year(ts) AS INT) AS y,
+               CAST(month(ts) AS INT) AS m,
+               CAST(day(ts) AS INT) AS d,
+               CAST(hour(ts) AS INT) AS h,
+               CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day_str,
+               epoch_us(ts) AS ts_us
+        FROM events
+    """,
+    "array_funcs": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+               round(list_reduce(embedding::DOUBLE[], (x, y) -> x + y), 6) AS vec_sum
+        FROM embeddings
+    """,
+    "json_funcs": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM events
+    """,
+    "dedup_exact": """
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "dedup_embedding": f"""
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE sim >= 0.35
+    """,
+    "text_quality": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               CAST(len(w) AS BIGINT) AS len_words,
+               round(length(replace(text, ' ', '')) / nullif(len(w), 0), 6) AS avg_word_len,
+               round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                     / nullif(length(text), 0), 6) AS punct_ratio,
+               round(len(list_filter(w, x -> list_contains(
+                     ['the','a','and','of','to','in','is'], x)))
+                     / nullif(len(w), 0), 6) AS stopword_ratio
+        FROM base
+    """,
+    "lang_id": """
+        WITH base AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN contains(t, ' the ') OR contains(t, ' and ') OR contains(t, ' of ') THEN 'en'
+                    WHEN contains(t, ' le ') OR contains(t, ' la ') OR contains(t, ' et ') THEN 'fr'
+                    WHEN contains(t, ' el ') OR contains(t, ' los ') OR contains(t, ' y ') THEN 'es'
+                    WHEN contains(t, ' der ') OR contains(t, ' und ') OR contains(t, ' die ') THEN 'de'
+                    WHEN contains(t, '的') OR contains(t, '是') OR contains(t, '了') THEN 'zh'
+                    ELSE 'und' END AS lang_pred
+        FROM base
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        WITH base AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents)
+        SELECT doc_id,
+               list_min(list_transform({_SQL_SHINGLES3.format(ws="ws", t="text")},
+                                       s -> md5(s))) AS fingerprint
+        FROM base
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha256,
+               hex(encode(substr(text, 1, 4))) AS magic_hex
+        FROM documents
+    """,
+    "frame_sample": """
+        SELECT doc_id, CAST(f AS INT) AS frame_idx FROM (
+          SELECT doc_id, unnest(range(0, length(text) % 100 + 1, 10)) AS f
+          FROM documents)
+    """,
+    "window_tumbling": """
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "window_sliding": """
+        WITH exploded AS (
+          SELECT event_type,
+                 unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS ws
+          FROM events)
+        SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM exploded GROUP BY 1, 2
+    """,
+    "window_session": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT epoch_us(min(ts)) AS session_us, user_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+}

@@ -1,0 +1,46 @@
+"""Parquet catalog over the driver's synthetic tables.
+
+Replaces the reference's pickle open/save pair (`rag_search/vector_db.py:
+160-161, 231-238`): schema-on-read columnar parquet instead of whole-table
+pickles, so at 100 TB a query touches only the row groups and columns it
+needs (column pruning + min/max row-group skipping are free once the scan is
+parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DRIVER_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Plain `spark.read.parquet` — no schema override,
+    so Catalyst sees the footer schema and can prune/push down.
+
+    The events table is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as raw nanos (legacy long mode)
+    and floor-converted to a micros timestamp — the same truncation DuckDB
+    applies when it narrows ns → µs, so both engines see identical values.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for `spark.sql` use."""
+    for name in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
