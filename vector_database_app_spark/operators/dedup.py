@@ -70,14 +70,31 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """id + array<bigint> minhash signature over word-3-gram shingles.
+    """id + array<bigint> minhash signature over word-n-gram shingles.
     All scan-side expressions (shingle → xxhash64 → k permutations → min):
-    zero shuffles, zero Python."""
-    sh = F.array_distinct(TX.shingles(text_col, shingle_n))
-    hashes = F.transform(sh, lambda s: token_bucket_hash(s))
+    zero shuffles, zero Python. No shingle de-dup: min() is invariant under
+    duplicates, so the distinct pass would be pure O(s²) waste."""
+    hashes = F.transform(TX.shingles(text_col, shingle_n), token_bucket_hash)
     return df.select(
         F.col(id_col), minhash_signature(hashes, n_hashes).alias("signature")
     )
+
+
+def _bucket_pairs(grouped: DataFrame, items_col: str = "ids") -> DataFrame:
+    """Expand each bucket's sorted item array into its within-bucket pairs
+    (i<j) with one flatten/transform expression — no self-join, so the
+    bucketed side is computed exactly once."""
+    ids = F.sort_array(F.col(items_col))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pair_structs).alias("p"))
 
 
 def lsh_candidate_pairs(
@@ -85,14 +102,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     *,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from minhash signatures.
 
     Split each signature into `bands` equal slices; docs agreeing on any
-    whole band become a candidate pair. Implemented as posexplode of band
-    hashes + self-equi-join on (band_idx, band_hash) — the crucial property
-    at scale: candidates are generated by a hash join, not an all-pairs
-    comparison."""
+    whole band become a candidate pair. Pair generation is groupBy on
+    (band_idx, band_hash) + within-bucket pair expansion — one shuffle keyed
+    by band hash, signatures computed once, never an all-pairs comparison.
+
+    `max_bucket_size` drops degenerate buckets (e.g. the all-empty-doc
+    signature) whose quadratic pair expansion would dominate at scale —
+    the standard guardrail for LSH dedup on 100 TB corpora; oversized
+    buckets should be handled by exact-hash grouping instead."""
     n = sig_df.select(F.size("signature")).first()[0]
     rows_per_band = n // bands
     band_hashes = F.array(
@@ -104,18 +126,16 @@ def lsh_candidate_pairs(
     banded = sig_df.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= F.lit(max_bucket_size))
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        _bucket_pairs(buckets)
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -161,9 +181,17 @@ def minhash_near_dups(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
-    verify → threshold. Output: (id_a, id_b, jaccard)."""
+    verify → threshold. Output: (id_a, id_b, jaccard).
+
+    The input is repartitioned before the expression-heavy signature stage:
+    on a cluster the parquet scan already yields many splits, but a single
+    small file would otherwise serialize the whole corpus through one task
+    (shingling is the dominant cost, so parallelism here is the win)."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, id_col)
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
@@ -216,15 +244,22 @@ def simhash_near_dups(
     *,
     max_hamming: int = 8,
     block_bits: int = 16,
+    max_bucket_size: int = 1000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash: block on 16-bit signature prefixes (pigeonhole:
     any pair within hamming<=3 of 64 bits shares at least one of 4 equal
     16-bit blocks; wider distances trade recall), verify exact hamming.
-    Blocked equi-join — no O(N²)."""
-    sigs = simhash(df, text_col, id_col)
+
+    Pair generation is groupBy on (block_idx, block_val) + within-bucket
+    expansion carrying (id, simhash) structs — one shuffle keyed by block,
+    signatures computed once, hamming verified inline, no self-join."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(df.repartition(n_parts, id_col), text_col, id_col)
     blocks = sigs.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias(
+            "item"
+        ),
         F.explode(
             F.array(
                 *[
@@ -238,19 +273,18 @@ def simhash_near_dups(
                 ]
             )
         ).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
-    l, r = blocks.alias("l"), blocks.alias("r")
+    ).select("item", "blk.block_idx", "blk.block_val")
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.collect_list("item").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(max_bucket_size)))
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.block_idx") == F.col("r.block_idx"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        _bucket_pairs(buckets)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            hamming64(F.col("p.a.sig"), F.col("p.b.sig")).alias("hamming"),
         )
         .distinct()
     )
@@ -276,9 +310,22 @@ def embedding_near_dups(
     `block_col` bounds the candidate set (here the driver data's `label`;
     in production an SRP-LSH bucket from ``operators.search.srp_index`` —
     same join shape). The threshold compares the ROUNDED similarity so the
-    predicate is reproducible in the oracle."""
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    base = df.select(*cols)
+    predicate is reproducible in the oracle.
+
+    Norms are precomputed per vector before the pair join (N sqrt's instead
+    of 2·P — at P≈N²/blocks pairs that is the dominant saving), and the
+    float32 arrays are cast to double once on the build side."""
+    from ..functions.vector import dot, l2_norm
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = (
+        df.repartition(n_parts, id_col)
+        .select(*cols)
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -288,9 +335,10 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_rounded(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), sim_scale).alias(
-                "sim"
-            ),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                sim_scale,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
