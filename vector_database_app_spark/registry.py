@@ -26,6 +26,7 @@ from .functions import text as TX
 from .functions.hashing import sha256_hex
 from .functions.vector import cosine_rounded
 from .operators import dedup, multimodal, rag, relational, search, textops
+from .sources import ingest
 from .sources.catalog import load_table
 from .streaming import windows as SW
 
@@ -418,6 +419,37 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Ingest pipeline (SURVEY §2.1 S1-S4/S6, §3.2)
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_fixed(spark, sf_dir):
+    """Fixed word-window chunker (expression path of sources.ingest;
+    32-word windows). Oracle: DuckDB generate_series + list_slice."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(ingest.chunk_words_expr("text", 32, 0)).alias(
+            "chunk_id", "chunk_text"
+        ),
+    )
+
+
+def q_ingest_chunks(spark, sf_dir):
+    """rows-only: full distributed ingest path (meta/hash → mapInPandas
+    parse+chunk → deterministic embed) over the documents corpus staged as
+    in-memory .txt files — the Spark form of vectorize_folder
+    (vector_db.py:163-178) without touching disk."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("mem://doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("modificationTime"),
+    )
+    return ingest.embed_chunks(ingest.parse_chunks(ingest.with_file_meta(files)))
+
+
+# ---------------------------------------------------------------------------
 # ANN scale path (rows-only: LSH internals are engine-specific)
 # ---------------------------------------------------------------------------
 
@@ -522,6 +554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "chunk_fixed": q_chunk_fixed,
+    "ingest_chunks": q_ingest_chunks,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -693,6 +727,16 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "chunk_fixed": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        u AS (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w), 1), 32)) AS s
+              FROM t)
+        SELECT doc_id,
+               CAST((s - 1) // 32 AS INTEGER) AS chunk_id,
+               array_to_string(w[s : s + 31], ' ') AS chunk_text
+        FROM u
     """,
     "dedup_embedding": f"""
         SELECT * FROM (

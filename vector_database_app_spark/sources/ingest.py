@@ -1,0 +1,383 @@
+"""Ingest pipeline: binaryFile scan → parse/chunk → dedup → embed → parquet.
+
+Re-expression of the reference's ingestion entry points (SURVEY §3.2):
+
+- ``vectorize_folder`` (`rag_search/vector_db.py:163-178`) — serial rglob +
+  per-file loop, exceptions printed and swallowed → here a distributed
+  ``binaryFile`` scan; per-file failures become quarantine ROWS (content_type
+  'error'), never prints, never lost.
+- ``vectorize_file`` dispatch (`:180-229`) — extension routing with a dedup
+  probe first (`:188-190`) → here a parser table keyed by extension inside
+  one Arrow-batched ``mapInPandas`` stage, with set-based anti-join dedup on
+  the file hash BEFORE the expensive parse+embed work, same ordering as the
+  reference.
+- ``embed_pdf`` / ``embed_pptx`` (`:247-342`, `:344-418`) — PyMuPDF /
+  python-pptx extraction. Both libraries are optional imports here (absent
+  in this container): the parsers carry the real dispatch/emit structure and
+  degrade to a quarantine row explaining the missing dependency. Plain-text
+  formats (.txt/.md) parse for real.
+- ``_save_vector_db`` pickles (`:231-238`) → schema-enforced parquet
+  partitioned by ``doc_type``.
+
+Scale notes: the scan is embarrassingly parallel (one task per file split;
+`spark.sql.files.maxPartitionBytes` bounds task input). Parsing and
+embedding are shuffle-free map stages. The only shuffle is the anti-join on
+``file_hash`` — uniform by construction, broadcastable when the incoming
+batch is small. Writes append; idempotency comes from the hash dedup, so a
+re-run of the same folder adds zero rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.embed import embedding_space_tag, hash_embed
+
+#: words per chunk / overlap for the fixed word-window chunker. 64-word
+#: chunks ≈ the reference's per-block granularity (PDF text blocks).
+CHUNK_WORDS = 64
+CHUNK_OVERLAP = 0
+
+#: Output of the parse stage: the CHUNKS schema minus embedding columns,
+#: plus a quarantine column. (`schemas.CHUNKS` adds embedding/space.)
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_name", T.StringType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("page_num", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_id", T.StringType()),
+        T.StructField("content_raw", T.StringType()),
+        T.StructField("content_bytes", T.BinaryType()),
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("file_hash", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+class ParserUnavailable(RuntimeError):
+    """A format's parser library is not installed on the executors."""
+
+
+def scan_binary_files(spark: SparkSession, folder: str) -> DataFrame:
+    """Recursive binary scan (reference `Path.rglob`, vector_db.py:164-165).
+    Columns: path, modificationTime, length, content."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(folder)
+    )
+
+
+def with_file_meta(files: DataFrame) -> DataFrame:
+    """Stamp doc_name (POSIX string — the reference kept pathlib.Path
+    objects, unreadable cross-OS), extension, sha256 file hash (F10,
+    vector_db.py:420-429) and mtime timestamp (F11, `:436-442`, free from
+    the binaryFile source)."""
+    return files.select(
+        F.col("path").alias("doc_name"),
+        F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+        F.sha2("content", 256).alias("file_hash"),
+        F.col("modificationTime").alias("timestamp"),
+        F.col("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-format parsers (run inside the mapInPandas stage, one file per row)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_words(
+    text: str, n_words: int = CHUNK_WORDS, overlap: int = CHUNK_OVERLAP
+) -> list[str]:
+    """Fixed word-window chunking — EXACT python mirror of
+    `chunk_words_expr` below (split on single spaces keeping empties, 1-based
+    windows of n stepping n-overlap) so the UDF path and the expression path
+    produce identical chunks."""
+    w = text.split(" ")
+    step = n_words - overlap
+    return [
+        " ".join(w[s : s + n_words]) for s in range(0, max(len(w) - overlap, 1), step)
+    ]
+
+
+def _parse_text(doc_name: str, data: bytes) -> Iterator[dict]:
+    """.txt/.md: utf-8 decode, word-window chunks, single page 0. The real
+    production analogue of the reference's text path (strip per chunk,
+    vector_db.py:269)."""
+    text = data.decode("utf-8", errors="replace")
+    for i, chunk in enumerate(_chunk_words(text)):
+        yield {
+            "page_num": 0,
+            "content_type": "text_chunk",
+            "content_id": str(i),
+            "content_raw": chunk.strip(),
+            "content_bytes": None,
+            "bbox": None,
+        }
+
+
+def _parse_pdf(doc_name: str, data: bytes) -> Iterator[dict]:
+    """PDF via PyMuPDF when installed (reference `embed_pdf`,
+    vector_db.py:247-342: per-page text blocks with bbox + images with
+    bbox). Raises ParserUnavailable in containers without the lib — the
+    pipeline converts that to a quarantine row."""
+    try:
+        import fitz  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - lib absent in test env
+        raise ParserUnavailable(
+            "pdf parser requires pymupdf (fitz); not installed"
+        ) from e
+    doc = fitz.open(stream=data, filetype="pdf")  # pragma: no cover
+    for page_num, page in enumerate(doc):  # pragma: no cover
+        for block in page.get_text("blocks"):
+            x0, y0, x1, y1, text, block_no = block[:6]
+            if text.strip():
+                yield {
+                    "page_num": page_num,
+                    "content_type": "text_chunk",
+                    "content_id": str(block_no),
+                    "content_raw": text.strip(),
+                    "content_bytes": None,
+                    "bbox": [float(x0), float(y0), float(x1), float(y1)],
+                }
+        for img in page.get_images(full=True):
+            xref = img[0]
+            pix = doc.extract_image(xref)
+            bbox = page.get_image_bbox(img)
+            yield {
+                "page_num": page_num,
+                "content_type": "image",
+                "content_id": str(xref),
+                "content_raw": None,
+                "content_bytes": pix["image"],
+                "bbox": [bbox.x0, bbox.y0, bbox.x1, bbox.y1],
+            }
+
+
+def _parse_pptx(doc_name: str, data: bytes) -> Iterator[dict]:
+    """PPTX via python-pptx when installed (reference `embed_pptx`,
+    vector_db.py:344-418: per-slide text shapes + picture shapes, bbox in
+    EMU → normalized to double here)."""
+    try:
+        import io
+
+        from pptx import Presentation  # type: ignore[import-not-found]
+        from pptx.enum.shapes import MSO_SHAPE_TYPE  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - lib absent in test env
+        raise ParserUnavailable(
+            "pptx parser requires python-pptx; not installed"
+        ) from e
+    prs = Presentation(io.BytesIO(data))  # pragma: no cover
+    for slide_num, slide in enumerate(prs.slides):  # pragma: no cover
+        for shape in slide.shapes:
+            bbox = [
+                float(shape.left or 0),
+                float(shape.top or 0),
+                float((shape.left or 0) + (shape.width or 0)),
+                float((shape.top or 0) + (shape.height or 0)),
+            ]
+            if shape.has_text_frame and shape.text.strip():
+                yield {
+                    "page_num": slide_num,
+                    "content_type": "text_chunk",
+                    "content_id": str(shape.shape_id),
+                    "content_raw": shape.text.strip(),
+                    "content_bytes": None,
+                    "bbox": bbox,
+                }
+            elif shape.shape_type == MSO_SHAPE_TYPE.PICTURE:
+                yield {
+                    "page_num": slide_num,
+                    "content_type": "image",
+                    "content_id": str(shape.shape_id),
+                    "content_raw": None,
+                    "content_bytes": shape.image.blob,
+                    "bbox": bbox,
+                }
+
+
+#: Extension → parser (reference dispatch at vector_db.py:195-223).
+PARSERS: dict[str, Callable[[str, bytes], Iterator[dict]]] = {
+    "txt": _parse_text,
+    "md": _parse_text,
+    "pdf": _parse_pdf,
+    "pptx": _parse_pptx,
+}
+
+
+def parse_chunks(files: DataFrame) -> DataFrame:
+    """Arrow-batched parse stage: one input row per file (from
+    `with_file_meta`), output rows per chunk in PARSED_SCHEMA. Unknown
+    extensions and parser failures emit one quarantine row each
+    (content_type='error', `error` says why) — the reference printed and
+    swallowed these (`:171-173`, `:222-223`; quirk §2.9.6)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                base = {
+                    "doc_name": row.doc_name,
+                    "doc_type": row.ext,
+                    "file_hash": row.file_hash,
+                    "timestamp": row.timestamp,
+                }
+                parser = PARSERS.get(row.ext)
+                try:
+                    if parser is None:
+                        raise ParserUnavailable(
+                            f"no parser for extension {row.ext!r}"
+                        )
+                    chunks = list(parser(row.doc_name, bytes(row.content)))
+                    if not chunks:
+                        raise ValueError("file produced no content")
+                    for c in chunks:
+                        out.append({**base, "error": None, **c})
+                except Exception as e:  # noqa: BLE001 - quarantine, don't fail the job
+                    out.append(
+                        {
+                            **base,
+                            "page_num": -1,
+                            "content_type": "error",
+                            "content_id": "",
+                            "content_raw": None,
+                            "content_bytes": None,
+                            "bbox": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PARSED_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(run, PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Expression-side chunker (oracle-checkable twin of _chunk_words)
+# ---------------------------------------------------------------------------
+
+
+def chunk_words_expr(
+    text: Column | str,
+    n_words: int = CHUNK_WORDS,
+    overlap: int = CHUNK_OVERLAP,
+) -> Column:
+    """array<string> of fixed word-window chunks, as pure expressions (for
+    chunking text already in a table — no Python round-trip). 1-based
+    `sequence` starts stepping (n-overlap); `slice` truncates the tail
+    window. Exact twin of `_chunk_words` and of the DuckDB
+    `generate_series + list_slice` formulation used by the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    step = n_words - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    return F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(w, s, n_words))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / embed / sink stages
+# ---------------------------------------------------------------------------
+
+
+def dedup_within_batch(files: DataFrame) -> DataFrame:
+    """Keep one file per content hash inside the incoming batch (first by
+    path — deterministic). The reference gets this implicitly because it
+    ingests serially and probes after each file (vector_db.py:188-190)."""
+    w = Window.partitionBy("file_hash").orderBy("doc_name")
+    return (
+        files.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .drop("_rk")
+    )
+
+
+def dedup_against_store(files: DataFrame, existing: DataFrame) -> DataFrame:
+    """Anti-join incoming files against the store's file hashes BEFORE
+    parse/embed (same ordering as the reference's probe-then-embed,
+    vector_db.py:188-190). Runs on file metadata, so the expensive stages
+    never see already-ingested bytes."""
+    return files.join(
+        existing.select("file_hash").distinct(), "file_hash", "left_anti"
+    )
+
+
+def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
+    """Attach the deterministic embedding to text rows (normalized at write
+    — the engine's cosine==dot invariant); image rows keep NULL embeddings
+    until an image-model UDF backend is plugged in. Output matches
+    `schemas.CHUNKS` + the quarantine column."""
+    is_text = F.col("content_type") == "text_chunk"
+    return chunks.select(
+        "doc_name",
+        "doc_type",
+        "page_num",
+        "content_type",
+        "content_id",
+        "content_raw",
+        "content_bytes",
+        F.when(is_text, hash_embed(F.col("content_raw"), dim))
+        .otherwise(F.lit(None))
+        .alias("embedding"),
+        F.when(is_text, F.lit(embedding_space_tag(dim)))
+        .otherwise(F.lit(None))
+        .alias("embedding_space"),
+        "file_hash",
+        "timestamp",
+        "bbox",
+        "error",
+    )
+
+
+def write_chunks(chunks: DataFrame, store_path: str, mode: str = "append") -> None:
+    """Parquet sink partitioned by doc_type (replaces the two pickles,
+    vector_db.py:231-238; text/image separation becomes partition pruning)."""
+    chunks.write.mode(mode).partitionBy("doc_type").parquet(store_path)
+
+
+def load_chunks(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Open the chunk store; None when absent (the reference degrades to an
+    EMPTY ZERO-COLUMN frame there, vector_db.py:160-161 — a schema-drift
+    trap we don't replicate)."""
+    if not os.path.isdir(store_path):
+        return None
+    return spark.read.parquet(store_path)
+
+
+def ingest_folder(
+    spark: SparkSession,
+    folder: str,
+    store_path: str | None = None,
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """End-to-end ingest (reference `vectorize_folder`, vector_db.py:163-178):
+    scan → meta/hash → batch dedup → anti-join vs store → parse → embed
+    [→ append to store]. Returns the NEW chunk rows. Idempotent: a second
+    run over the same folder appends nothing."""
+    files = dedup_within_batch(with_file_meta(scan_binary_files(spark, folder)))
+    existing = load_chunks(spark, store_path) if store_path else None
+    if existing is not None:
+        files = dedup_against_store(files, existing)
+    chunks = embed_chunks(parse_chunks(files), dim)
+    if store_path is not None:
+        write_chunks(chunks, store_path)
+        return spark.read.parquet(store_path).join(
+            chunks.select("file_hash").distinct(), "file_hash", "left_semi"
+        )
+    return chunks
