@@ -1,0 +1,121 @@
+"""Structured Streaming execution tests: the SAME windowing functions that
+back the batch (oracle-checked) queries, run through a real readStream with
+Trigger.AvailableNow, compared against their batch results.
+
+Design rule under test (streaming/windows.py): one function, two execution
+modes. Batch mode answers the DuckDB oracle; streaming mode must agree with
+batch wherever the watermark has finalized output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_database_app_spark.sources.catalog import load_table
+from vector_database_app_spark.streaming import windows as SW
+
+SF = "/root/testdata/sf0.001"
+
+
+def _drain(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def batch_events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events):
+    """Complete-mode streaming tumbling counts == batch tumbling counts."""
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.tumbling_counts(stream, "1 hour", watermark="10 minutes"),
+           "s_tumbling", "complete")
+    got = {
+        tuple(r) for r in spark.table("s_tumbling").collect()
+    }
+    want = {
+        tuple(r) for r in SW.tumbling_counts(batch_events, "1 hour").collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_stream_is_finalized_prefix_of_batch(spark, batch_events):
+    """Append-mode session windows emit only watermark-finalized sessions —
+    every emitted session must match the batch result exactly; sessions
+    ending after (max_ts - watermark) are legitimately withheld."""
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.session_counts(stream, "5 minutes", watermark="10 minutes"),
+           "s_session", "append")
+    got = {tuple(r) for r in spark.table("s_session").collect()}
+    want_rows = SW.session_counts(batch_events, "5 minutes").collect()
+    want = {tuple(r) for r in want_rows}
+    assert got <= want
+    # everything the watermark finalized must have been emitted
+    max_ts = batch_events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    finalized = {tuple(r) for r in want_rows if r.session_end < horizon}
+    assert finalized <= got
+    assert len(got) > 0
+
+
+def test_stateful_dedup_drops_replayed_file(spark, batch_events):
+    """The same parquet staged twice in one stream directory = every event
+    arrives twice; dropDuplicatesWithinWatermark must emit each event_id
+    once. (The reference's dedup is a driver-side in-memory probe,
+    vector_db.py:431-434 — this is its unbounded-stream form.)"""
+    path = os.path.join(SF, "events.parquet")
+    d = SW.stage_stream_dir(path, path)  # two links -> duplicated stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(SW.EVENTS_NANOS).parquet(d)
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _drain(SW.dedup_within_watermark(stream, "10 minutes"), "s_dedup", "append")
+    n_unique = batch_events.select("event_id").distinct().count()
+    assert spark.table("s_dedup").count() == n_unique
+
+
+def test_stateful_running_totals(spark, batch_events):
+    """applyInPandasWithState cumulative totals: the LAST emission per user
+    (totals are monotone across micro-batches) must equal the batch
+    groupBy aggregate."""
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.running_user_totals(stream), "s_totals", "update")
+    rows = spark.table("s_totals").collect()
+    got = {}
+    for r in rows:  # later emissions have larger n_events; keep the final one
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_runs(spark, batch_events):
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.sliding_counts(stream, "1 hour", "30 minutes",
+                             watermark="10 minutes"), "s_sliding", "complete")
+    got = {tuple(r) for r in spark.table("s_sliding").collect()}
+    want = {
+        tuple(r)
+        for r in SW.sliding_counts(batch_events, "1 hour", "30 minutes").collect()
+    }
+    assert got == want

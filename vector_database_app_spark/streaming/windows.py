@@ -13,17 +13,51 @@ keys expire with the watermark instead of growing without bound.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..schemas import EVENTS
+#: Streaming-read schema: the driver's events.parquet stores TIMESTAMP(NANOS),
+#: which Spark's reader only accepts as raw int64 (legacy nanosAsLong mode) —
+#: ts comes in as long and is floor-converted to a micros timestamp below,
+#: identical to the batch path in sources.catalog.load_table.
+EVENTS_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_stream_dir(*files: str) -> str:
+    """The file stream source requires a DIRECTORY (`basePath` error on a
+    bare file); the driver ships one parquet file. Stage symlinks into a
+    scratch dir — no data copy. Passing the same file twice (distinct link
+    names) yields a stream with duplicated rows, which the stateful-dedup
+    tests use deliberately."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), os.path.join(d, f"part-{i}.parquet"))
+    return d
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema must be explicit
-    for streaming reads). With Trigger.AvailableNow this processes the
-    existing files incrementally and stops — the test harness pattern."""
-    return spark.readStream.schema(EVENTS).parquet(f"{sf_dir}/events.parquet")
+    """File-source stream over the events parquet. With Trigger.AvailableNow
+    this processes the existing files incrementally and stops — the test
+    harness pattern; a production deployment points the same code at an
+    arriving-files directory or Kafka source."""
+    path = os.path.join(sf_dir, "events.parquet")
+    src = stage_stream_dir(path) if os.path.isfile(path) else path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_NANOS).parquet(src)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_counts(
@@ -91,6 +125,36 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     `rag_search/vector_db.py:431-434` — this is its unbounded-stream form)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-state operator (`applyInPandasWithState`): cumulative
+    per-user event count + value sum, one emission per user per micro-batch.
+
+    This is the escape hatch for stateful semantics no built-in window
+    expresses (SURVEY §2.8). State is one (count, sum) pair per user —
+    at 100 TB/day the state store holds |active users| tuples, partitioned
+    by the groupBy key; a timeout would evict idle users (kept NoTimeout
+    here so the batch-equivalence test is exact)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 
