@@ -310,6 +310,192 @@ def q_union_all(spark, sf_dir):
     )
 
 
+def q_join_full(spark, sf_dir):
+    """Full outer join — keeps customers without orders AND (hypothetical)
+    orphan orders; at scale a shuffled hash join on the uniform custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_cross(spark, sf_dir):
+    """Explicit small-dimension cross join (region × nation = 125 rows);
+    the corpus×queries crossJoin in search shares this plan shape."""
+    return (
+        _t(spark, sf_dir, "region")
+        .crossJoin(_t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+def q_join_range(spark, sf_dir):
+    """Equi + range predicate join (SURVEY §2.3 'range join'): lineitems
+    shipped within 30 days of their order's date. The equi key keeps it a
+    hash join; the range predicate is evaluated post-probe, so no O(N·M)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.timestamp_add("DAY", F.lit(30), orders.o_orderdate))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shipped_30d"))
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics): nations having both customers and
+    suppliers."""
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust_nations.intersect(supp_nations)
+
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT (distinct semantics): nations with no suppliers."""
+    nations = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return nations.exceptAll(supp_nations.distinct())
+
+
+def q_agg_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with grouping_id to disambiguate
+    the NULLs synthesized for subtotal rows from real NULLs."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+def q_pivot_wide(spark, sf_dir):
+    """Pivot: total chars per (lang, source) with sources as columns. The
+    pivot value list is FIXED (src0..src3) — at scale an unbounded pivot
+    would need a driver-side distinct scan first; always pin the columns."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3"])
+        .agg(F.sum("n_chars"))
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Cumulative spend per customer in order-date order — the running-total
+    window frame (rowsBetween unboundedPreceding..current)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    """rank + dense_rank + ntile in one pass over a single window spec
+    (one shuffle on the partition key serves all three)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+    )
+
+
+def q_window_lead(spark, sf_dir):
+    """lead + first_value over event time per user (gap-to-next-event is the
+    canonical sessionization precursor)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_ts_us"),
+        F.first_value("event_type").over(w).alias("first_type"),
+    )
+
+
+def q_agg_stats(spark, sf_dir):
+    """Multi-statistic aggregate: spread measures per return flag. stddev /
+    variance are the sample forms (match DuckDB); rounded for float-sum
+    order independence."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        )
+    )
+
+
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB use approx_percentile — t-digest sketches
+    merge without a global sort — accepting engine-specific error bounds
+    (not oracle-comparable, hence the exact form here)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
+
+
+def q_sql_pricing_summary(spark, sf_dir):
+    """The spark.sql entry surface: a TPC-H Q3-shaped query (join + agg +
+    top-k) written as SQL against registered views — same Catalyst plan as
+    the DataFrame form."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               cast(unix_micros(cast(o.o_orderdate AS timestamp)) AS bigint)
+                 AS orderdate_us
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface (SURVEY §2.5 F9-F15 equivalents + §2.6 families)
 # ---------------------------------------------------------------------------
@@ -546,6 +732,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": q_agg_rollup,
     "window_lag": q_window_lag,
     "union_all": q_union_all,
+    "join_full": q_join_full,
+    "join_cross": q_join_cross,
+    "join_range": q_join_range,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "agg_cube": q_agg_cube,
+    "pivot_wide": q_pivot_wide,
+    "window_running_sum": q_window_running_sum,
+    "window_rank": q_window_rank,
+    "window_lead": q_window_lead,
+    "agg_stats": q_agg_stats,
+    "agg_percentile": q_agg_percentile,
+    "sql_pricing_summary": q_sql_pricing_summary,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -685,6 +884,99 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, source FROM documents WHERE source = 'src1'
         UNION ALL
         SELECT doc_id, source FROM documents WHERE source = 'src2'
+    """,
+    "join_full": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "join_range": """
+        SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped_30d
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderkey
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT ALL
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "pivot_wide": """
+        SELECT lang,
+               sum(n_chars) FILTER (WHERE source = 'src0') AS src0,
+               sum(n_chars) FILTER (WHERE source = 'src1') AS src1,
+               sum(n_chars) FILTER (WHERE source = 'src2') AS src2,
+               sum(n_chars) FILTER (WHERE source = 'src3') AS src3
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY lang
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+        FROM orders
+    """,
+    "window_rank": """
+        SELECT c_custkey, c_nationkey,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+               CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "window_lead": """
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS next_ts_us,
+               first_value(event_type) OVER w AS first_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(stddev_samp(l_extendedprice), 4) AS std_price,
+               round(var_samp(l_extendedprice), 2) AS var_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_percentile": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "sql_pricing_summary": """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
     """,
     "string_funcs": """
         SELECT doc_id,
