@@ -27,8 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import minhash_signature, sha256_hex, token_bucket_hash
-from ..functions.vector import cosine_rounded
+from ..functions.hashing import MINHASH_PRIME, PERMS, sha256_hex, token_bucket_hash
 
 
 def exact_dedup(
@@ -62,6 +61,41 @@ def anti_join_new(
 # ---------------------------------------------------------------------------
 
 
+#: Knuth multiplicative constant for the rolling shingle mix.
+_MIX = 2_654_435_761
+
+
+def _mix(a, b):
+    return F.pmod(a * F.lit(_MIX) + b, F.lit(MINHASH_PRIME))
+
+
+def shingle_hashes(
+    text_col: str, n: int = 3
+) -> "F.Column":
+    """array<bigint> of HASHED word n-gram shingles: one xxhash64 per word,
+    adjacent word hashes combined with an affine rolling mix mod P — the
+    n-gram strings are never materialized (no concat, no re-hash of long
+    strings). Docs shorter than n words collapse to a single whole-doc
+    rolling hash (the numeric analog of the whole-text fallback shingle in
+    functions.text.shingles)."""
+    th = F.transform(TX.words(text_col), lambda x: token_bucket_hash(x))
+    acc = th
+    for j in range(1, n):
+        # zip_with pads to the LONGER input with nulls; the final slice
+        # trims those null tail entries back off
+        acc = F.zip_with(
+            acc,
+            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
+            _mix,
+        )
+    whole_doc = F.array(F.aggregate(th, F.lit(0).cast("long"), _mix))
+    if n == 1:
+        return th
+    return F.when(
+        F.size(th) >= n, F.slice(acc, 1, F.size(th) - (n - 1))
+    ).otherwise(whole_doc)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -70,13 +104,32 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """id + array<bigint> minhash signature over word-n-gram shingles.
-    All scan-side expressions (shingle → xxhash64 → k permutations → min):
-    zero shuffles, zero Python. No shingle de-dup: min() is invariant under
-    duplicates, so the distinct pass would be pure O(s²) waste."""
-    hashes = F.transform(TX.shingles(text_col, shingle_n), token_bucket_hash)
-    return df.select(
-        F.col(id_col), minhash_signature(hashes, n_hashes).alias("signature")
+    """id + array<bigint> minhash signature over hashed word-n-gram shingles.
+
+    Shape chosen for codegen, not elegance: explode the shingle hashes to
+    rows, then ONE hash aggregation computing all n_hashes minima — every
+    expression (split, xxhash64, affine perms, min) runs inside
+    WholeStageCodegen, unlike higher-order-function folds which execute
+    interpreted (measured 8× slower at sf0.1). Map-side partial aggregation
+    means the shuffle carries |docs| × n_hashes longs, nothing more, and it
+    reuses any existing partitioning on `id_col`. No shingle de-dup:
+    min() is invariant under duplicates."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(PERMS[:n_hashes])
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -103,6 +156,7 @@ def lsh_candidate_pairs(
     *,
     bands: int = 4,
     max_bucket_size: int = 1000,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from minhash signatures.
 
@@ -114,8 +168,11 @@ def lsh_candidate_pairs(
     `max_bucket_size` drops degenerate buckets (e.g. the all-empty-doc
     signature) whose quadratic pair expansion would dominate at scale —
     the standard guardrail for LSH dedup on 100 TB corpora; oversized
-    buckets should be handled by exact-hash grouping instead."""
-    n = sig_df.select(F.size("signature")).first()[0]
+    buckets should be handled by exact-hash grouping instead.
+
+    Pass `n_hashes` when known — the fallback probes one signature row,
+    which costs an extra job over the signature pipeline."""
+    n = n_hashes or sig_df.select(F.size("signature")).first()[0]
     rows_per_band = n // bands
     band_hashes = F.array(
         *[
@@ -150,8 +207,17 @@ def ngram_jaccard(
     scale: int = 6,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) candidate pairs —
-    the verify step after LSH (array_intersect/union are JVM-side)."""
-    sh = df.select(
+    the verify step after LSH (array_intersect/union are JVM-side).
+
+    The corpus is semi-join pruned to ids that actually appear in a pair
+    BEFORE shingling: candidates are ~linear in true near-dups, so this
+    avoids re-shingling the whole corpus twice for the a/b sides."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(pair_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
     )
@@ -195,7 +261,12 @@ def minhash_near_dups(
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, n_hashes=n_hashes)
+    # the verify step consumes `pairs` twice (semi-join prune + the join
+    # itself); checkpoint so the signature/bucket pipeline runs once —
+    # candidate pairs are tiny (~linear in true near-dups), so the
+    # materialization cost is negligible against recomputing signatures
+    pairs = pairs.localCheckpoint(eager=False)
     verified = ngram_jaccard(df, pairs, text_col, id_col, shingle_n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -208,28 +279,37 @@ def minhash_near_dups(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash: per word token, xxhash64 supplies the bit pattern;
-    each bit contributes ±1; sign of the per-bit sum gives the signature bit.
+    """64-bit SimHash: per distinct word token, xxhash64 supplies the bit
+    pattern; each bit contributes ±1; sign of the per-bit sum gives the
+    signature bit. bits<=64.
 
-    Expression-only formulation: explode-free — per row we fold the token
-    array once per bit *lazily* via transform+aggregate on a packed array,
-    which stays inside whole-stage codegen. bits<=64."""
-    tokens = F.array_distinct(F.array_remove(TX.words(text_col), ""))
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_contrib(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    Same codegen-first shape as minhash_signatures: explode distinct tokens
+    to rows, ONE hash aggregation computes all per-bit sums (the
+    interpreted per-bit aggregate() fold this replaces was the bottleneck),
+    then the signature is assembled from the 64 sums post-agg. Empty docs
+    (explode_outer's null row) sum to -1 per bit → signature 0, matching
+    the fold semantics."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(F.array_remove(TX.words(text_col), ""))
+        ).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
     sig = F.lit(0).cast("long")
     for b in range(bits):
-        # sum over tokens of (+1 if bit b set else -1)
-        contrib = F.aggregate(th, F.lit(0), bit_contrib(b))
         sig = sig + F.when(
-            contrib > 0, F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
+            F.col(f"_b{b}") > 0, F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
         ).otherwise(F.lit(0))
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return toks.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), sig.alias("simhash")
+    )
 
 
 def hamming64(a, b):
