@@ -1,0 +1,110 @@
+"""run_search composition tests: the reference's flagship lifecycle (SURVEY
+§3.1) over a hand-planted chunks table — text search, cross-modal search,
+image search, space safety, location filter, fusion, RRF."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vector_database_app_spark.functions.embed import CLIP_STUB_SPACE
+from vector_database_app_spark.operators import rag
+from vector_database_app_spark.operators.search import EmbeddingSpaceMismatch, knn_batch
+from vector_database_app_spark.sources import ingest
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    """Planted corpus: 3 text docs + 2 'images' whose payloads carry text."""
+    texts = [
+        ("data/a.txt", "0", "the quarterly revenue grew twelve percent"),
+        ("data/a.txt", "1", "cloud segment operating income detail"),
+        ("data/b.txt", "0", "unrelated text about gardening tulips"),
+    ]
+    images = [
+        ("data/deck.pptx", "7", b"bar chart of quarterly revenue growth"),
+        ("data/deck.pptx", "9", b"photo of a garden with tulips"),
+    ]
+    rows = [
+        {
+            "doc_name": d, "doc_type": d.rsplit(".", 1)[-1], "page_num": 0,
+            "content_type": "text_chunk", "content_id": c, "content_raw": t,
+            "content_bytes": None, "bbox": None, "file_hash": "h" + c,
+            "timestamp": None, "error": None,
+        }
+        for d, c, t in texts
+    ] + [
+        {
+            "doc_name": d, "doc_type": "pptx", "page_num": 1,
+            "content_type": "image", "content_id": c, "content_raw": None,
+            "content_bytes": b, "bbox": None, "file_hash": "i" + c,
+            "timestamp": None, "error": None,
+        }
+        for d, c, b in images
+    ]
+    df = spark.createDataFrame(rows, schema=ingest.PARSED_SCHEMA)
+    return ingest.embed_chunks(df).cache()
+
+
+def test_text_search_ranks_planted_match_first(chunks):
+    hits = rag.text_search(chunks, "quarterly revenue grew", top_n=2).collect()
+    assert hits[0].content_raw == "the quarterly revenue grew twelve percent"
+    assert all(h.content_type != "image" for h in hits)
+
+
+def test_cross_modal_text_query_finds_matching_image(chunks):
+    hits = rag.cross_modal_search(chunks, "quarterly revenue growth chart", top_n=1).collect()
+    assert len(hits) == 1
+    assert hits[0].content_type == "image"
+    assert hits[0].content_id == "7"  # the revenue chart, not the garden photo
+
+
+def test_image_search_per_query_topk(chunks, spark):
+    q = spark.createDataFrame(
+        [(0, b"garden tulips photo"), (1, b"revenue bar chart")],
+        "query_id int, payload binary",
+    )
+    hits = rag.image_search(chunks, q, top_n=1).collect()
+    best = {h.query_id: h.content_id for h in hits}
+    assert best == {0: "9", 1: "7"}
+
+
+def test_space_mismatch_refused(chunks, spark):
+    """hash-64 corpus vs clipstub query must raise, not return garbage."""
+    with pytest.raises(EmbeddingSpaceMismatch):
+        knn_batch(
+            chunks.filter(F.col("content_type") == "text_chunk"),
+            spark.range(1).select(
+                F.lit(0).alias("query_id"),
+                F.lit(None).cast("array<float>").alias("query_embedding"),
+            ),
+            corpus_space="hash-64",
+            query_space=CLIP_STUB_SPACE,
+        )
+
+
+def test_search_location_filter(chunks):
+    hits = rag.text_search(
+        chunks, "tulips gardening", top_n=5, search_location="data/a.txt"
+    ).collect()
+    assert {h.doc_name for h in hits} == {"data/a.txt"}
+
+
+def test_run_search_fuses_modalities(chunks):
+    fused = rag.run_search(chunks, query_text="quarterly revenue", top_n=2)
+    rows = fused.collect()
+    kinds = {r.content_type for r in rows}
+    assert kinds == {"text_chunk", "image"}
+    assert all(r.search_reference == "quarterly revenue" for r in rows)
+    with pytest.raises(ValueError):
+        rag.run_search(chunks)
+
+
+def test_rrf_fusion_known_ranks(spark):
+    a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id long, sim double")
+    b = spark.createDataFrame([(2, 0.7), (3, 0.6)], "doc_id long, sim double")
+    got = {r.doc_id: (r.rrf, r.n_lists) for r in rag.rrf_fusion(a, b).collect()}
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 2)  # rank 2 in a, rank 1 in b
+    assert got[1] == (round(1 / 61, 6), 1)
+    assert got[3] == (round(1 / 62, 6), 1)

@@ -18,6 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.embed import (
+    CLIP_STUB_SPACE,
+    clip_stub_image_embed,
+    clip_stub_text_embed,
+    embedding_space_tag,
+    hash_embed,
+)
+from .search import knn_batch
+
 
 def search_range_filter(
     df: DataFrame, search_location: str | None, path_col: str = "doc_name"
@@ -33,6 +42,193 @@ def search_range_filter(
     if search_location.endswith("/"):
         return df.filter(F.lower(c).contains(search_location.lower()))
     return df.filter(c == F.lit(search_location))
+
+
+# ---------------------------------------------------------------------------
+# Full run_search composition (reference §3.1 lifecycle,
+# rag_search/vector_db.py:615-671)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_uid() -> F.Column:
+    """Deterministic per-chunk tie-break key (content_id alone is only
+    unique within a document)."""
+    return F.concat_ws("#", "doc_name", "content_id")
+
+
+def _one_row_query(chunks: DataFrame, embed_expr, space: str) -> DataFrame:
+    spark = chunks.sparkSession
+    return spark.range(1).select(
+        F.lit(space).alias("query_space"), embed_expr.alias("query_embedding")
+    )
+
+
+def text_search(
+    chunks: DataFrame,
+    query_text: str,
+    *,
+    top_n: int = 5,
+    search_location: str | None = None,
+    text_dim: int = 64,
+) -> DataFrame:
+    """Reference `run_text_search` (vector_db.py:698-713): embed the query
+    text, P1-filter, exact top-k over TEXT rows (content_type != 'image',
+    the reference's P2 split). Space safety: only rows tagged with the text
+    space are scanned — the filter composes with partition pruning when the
+    store is partitioned by content/modality."""
+    space = embedding_space_tag(text_dim)
+    corpus = (
+        search_range_filter(chunks, search_location)
+        .filter(F.col("content_type") != "image")
+        .filter(F.col("embedding_space") == space)
+        .withColumn("chunk_uid", _chunk_uid())
+    )
+    q = _one_row_query(chunks, hash_embed(F.lit(query_text), text_dim), space)
+    return knn_batch(
+        corpus,
+        q.select(F.lit(0).alias("query_id"), "query_embedding"),
+        k=top_n,
+        vec_col="embedding",
+        id_col="chunk_uid",
+        corpus_space=space,
+        query_space=space,
+    )
+
+
+def cross_modal_search(
+    chunks: DataFrame,
+    query_text: str,
+    *,
+    top_n: int = 5,
+    search_location: str | None = None,
+) -> DataFrame:
+    """Reference V3 (vector_db.py:716-730): the query text goes through the
+    CLIP TEXT tower and is compared against IMAGE rows — both sides live in
+    the clipstub space, so the space check passes; comparing the hash-64
+    text query against image vectors raises EmbeddingSpaceMismatch
+    instead of silently returning garbage (SURVEY §7.3)."""
+    corpus = (
+        search_range_filter(chunks, search_location)
+        .filter(F.col("content_type") == "image")
+        .filter(F.col("embedding_space") == CLIP_STUB_SPACE)
+        .withColumn("chunk_uid", _chunk_uid())
+    )
+    q = _one_row_query(chunks, clip_stub_text_embed(F.lit(query_text)), CLIP_STUB_SPACE)
+    return knn_batch(
+        corpus,
+        q.select(F.lit(0).alias("query_id"), "query_embedding"),
+        k=top_n,
+        vec_col="embedding",
+        id_col="chunk_uid",
+        corpus_space=CLIP_STUB_SPACE,
+        query_space=CLIP_STUB_SPACE,
+    )
+
+
+def image_search(
+    chunks: DataFrame,
+    query_images: DataFrame,
+    *,
+    top_n: int = 5,
+    search_location: str | None = None,
+    payload_col: str = "payload",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Reference `run_image_search` (vector_db.py:738-759): one top-k per
+    query image, all images in ONE batched plan (the reference loops and
+    concats per image — here the batch rides a single broadcast join)."""
+    corpus = (
+        search_range_filter(chunks, search_location)
+        .filter(F.col("content_type") == "image")
+        .filter(F.col("embedding_space") == CLIP_STUB_SPACE)
+        .withColumn("chunk_uid", _chunk_uid())
+    )
+    q = query_images.select(
+        F.col(query_id_col).alias("query_id"),
+        clip_stub_image_embed(F.col(payload_col)).alias("query_embedding"),
+    )
+    return knn_batch(
+        corpus,
+        q,
+        k=top_n,
+        vec_col="embedding",
+        id_col="chunk_uid",
+        corpus_space=CLIP_STUB_SPACE,
+        query_space=CLIP_STUB_SPACE,
+    )
+
+
+def run_search(
+    chunks: DataFrame,
+    *,
+    query_text: str | None = None,
+    query_images: DataFrame | None = None,
+    top_n: int = 5,
+    search_location: str | None = None,
+) -> DataFrame:
+    """The flagship lifecycle (reference `run_search`, vector_db.py:615-671):
+    mode dispatch → text search → cross-modal search → image search →
+    fusion → search_reference stamp (P5). Returns the fused hit rows;
+    `summarize_hits` / `source_list` consume them downstream.
+
+    Quirks normalized (SURVEY §2.9): no silent empty-result on error, the
+    P3 projection is real, and image-vs-text search (reference V5 TODO)
+    falls out of the same space machinery for free."""
+    if query_text is None and query_images is None:
+        raise ValueError("run_search needs query_text and/or query_images")
+    parts: list[DataFrame] = []
+    if query_text is not None:
+        t = text_search(
+            chunks, query_text, top_n=top_n, search_location=search_location
+        ).withColumn("search_reference", F.lit(query_text))
+        x = cross_modal_search(
+            chunks, query_text, top_n=top_n, search_location=search_location
+        ).withColumn("search_reference", F.lit(query_text))
+        parts += [t, x]
+    if query_images is not None:
+        parts.append(
+            image_search(
+                chunks, query_images, top_n=top_n, search_location=search_location
+            ).withColumn("search_reference", F.lit("image-query"))
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p, allowMissingColumns=True)
+    return fused
+
+
+def rrf_fusion(
+    hits_a: DataFrame,
+    hits_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sim_col: str = "sim",
+    k: int = 60,
+    scale: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the principled replacement for the
+    reference's plain concat (V6, vector_db.py:666): rrf = Σ 1/(k + rank)
+    over both lists. Rank-based, so scores from incomparable embedding
+    spaces fuse meaningfully. The window is global but runs over top-k hit
+    lists (k rows), never over a corpus."""
+    from pyspark.sql import Window
+
+    def ranked(df, tag):
+        w = Window.orderBy(F.desc(sim_col), F.asc(id_col))
+        return df.select(
+            F.col(id_col), F.row_number().over(w).alias("rnk"), F.lit(tag).alias("src")
+        )
+
+    both = ranked(hits_a, "a").unionByName(ranked(hits_b, "b"))
+    return (
+        both.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(k) + F.col("rnk"))), scale
+            ).alias("rrf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
 
 
 def fuse_results(text_hits: DataFrame, image_hits: DataFrame) -> DataFrame:

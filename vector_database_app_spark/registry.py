@@ -621,6 +621,52 @@ def q_chunk_fixed(spark, sf_dir):
     )
 
 
+def q_run_search_multimodal(spark, sf_dir):
+    """rows-only: the full reference run_search lifecycle (§3.1) — text
+    search in the hash-64 space + cross-modal search in the clipstub space
+    over a chunks table built from documents (every 25th doc also staged as
+    an 'image' whose payload carries the text bytes)."""
+    chunks = q_ingest_chunks(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    images = ingest.embed_chunks(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            F.concat(F.lit("mem://img_"), "doc_id", F.lit(".png")).alias("doc_name"),
+            F.lit("png").alias("doc_type"),
+            F.lit(0).alias("page_num"),
+            F.lit("image").alias("content_type"),
+            F.col("doc_id").cast("string").alias("content_id"),
+            F.lit(None).cast("string").alias("content_raw"),
+            F.encode("text", "utf-8").alias("content_bytes"),
+            F.lit(None).cast("array<double>").alias("bbox"),
+            F.sha2(F.encode("text", "utf-8"), 256).alias("file_hash"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    all_chunks = chunks.unionByName(images)
+    hits = rag.run_search(
+        all_chunks, query_text="spark join merge sort table", top_n=5
+    )
+    return hits.select(
+        "query_id", "doc_name", "content_type", "chunk_uid", "sim", "rk"
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two top-10 KNN lists (extension beyond the
+    reference's plain concat fusion, V6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 2)
+
+    def top10(vec_id):
+        q = emb.filter(F.col("vec_id") == vec_id).select(
+            F.col("embedding").alias("query_embedding")
+        )
+        return search.knn(corpus, q, k=10, sim_scale=6)
+
+    return rag.rrf_fusion(top10(0), top10(1), id_col="vec_id")
+
+
 def q_ingest_chunks(spark, sf_dir):
     """rows-only: full distributed ingest path (meta/hash → mapInPandas
     parse+chunk → deterministic embed) over the documents corpus staged as
@@ -755,6 +801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "chunk_fixed": q_chunk_fixed,
     "ingest_chunks": q_ingest_chunks,
+    "run_search_multimodal": q_run_search_multimodal,
+    "rrf_fusion": q_rrf_fusion,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -1019,6 +1067,28 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "rrf_fusion": f"""
+        WITH t0 AS (
+            SELECT e.vec_id, {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+            FROM embeddings e, (SELECT embedding AS qe FROM embeddings
+                                WHERE vec_id = 0) q
+            WHERE e.vec_id >= 2 ORDER BY sim DESC, e.vec_id LIMIT 10
+        ), t1 AS (
+            SELECT e.vec_id, {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+            FROM embeddings e, (SELECT embedding AS qe FROM embeddings
+                                WHERE vec_id = 1) q
+            WHERE e.vec_id >= 2 ORDER BY sim DESC, e.vec_id LIMIT 10
+        ), u AS (
+            SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+            FROM t0
+            UNION ALL
+            SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+            FROM t1
+        )
+        SELECT vec_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY vec_id
     """,
     "chunk_fixed": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -38,7 +38,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.embed import embedding_space_tag, hash_embed
+from ..functions.embed import (
+    CLIP_STUB_SPACE,
+    clip_stub_image_embed,
+    embedding_space_tag,
+    hash_embed,
+)
 
 #: words per chunk / overlap for the fixed word-window chunker. 64-word
 #: chunks ≈ the reference's per-block granularity (PDF text blocks).
@@ -318,11 +323,15 @@ def dedup_against_store(files: DataFrame, existing: DataFrame) -> DataFrame:
 
 
 def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
-    """Attach the deterministic embedding to text rows (normalized at write
-    — the engine's cosine==dot invariant); image rows keep NULL embeddings
-    until an image-model UDF backend is plugged in. Output matches
-    `schemas.CHUNKS` + the quarantine column."""
+    """Attach embeddings at write time (normalized — the engine's
+    cosine==dot invariant): text rows via the deterministic text embedder
+    (space `hash-<dim>`), image rows via the CLIP-stub image tower (space
+    `clipstub-32`, shared with the stub text tower so cross-modal search
+    works, mirroring the reference's paired CLIP encoders,
+    vector_db.py:716-722). Quarantine rows keep NULL embeddings. Output
+    matches `schemas.CHUNKS` + the quarantine column."""
     is_text = F.col("content_type") == "text_chunk"
+    is_image = F.col("content_type") == "image"
     return chunks.select(
         "doc_name",
         "doc_type",
@@ -332,9 +341,11 @@ def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
         "content_raw",
         "content_bytes",
         F.when(is_text, hash_embed(F.col("content_raw"), dim))
+        .when(is_image, clip_stub_image_embed(F.col("content_bytes")))
         .otherwise(F.lit(None))
         .alias("embedding"),
         F.when(is_text, F.lit(embedding_space_tag(dim)))
+        .when(is_image, F.lit(CLIP_STUB_SPACE))
         .otherwise(F.lit(None))
         .alias("embedding_space"),
         "file_hash",
