@@ -222,3 +222,52 @@ def ivf_assign(
         .filter("rk = 1")
         .drop("rk", "csim", centroid_vec_col)
     )
+
+
+def ivf_search(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "centroid_id",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """IVF probe: rank centroids per query (rounded cosine, centroid-id
+    tie-break), take the `n_probe` nearest, equi-join their cells, exact
+    top-k re-rank inside the probed cells only.
+
+    At 100 TB the assigned corpus is stored partitioned by `centroid_id`,
+    so the equi-join on the (broadcast) probe list becomes a
+    partition-pruned scan of n_probe/√N of the data — the crossJoin here
+    touches only the tiny centroid table, never the corpus."""
+    q_cent = queries.crossJoin(
+        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    ).withColumn(
+        "qcsim",
+        cosine_rounded(F.col(query_vec_col), F.col(centroid_vec_col), sim_scale),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcsim"), F.asc(centroid_id_col)
+    )
+    probes = (
+        q_cent.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= n_probe)
+        .select(query_id_col, query_vec_col, centroid_id_col)
+    )
+    cand = assigned_corpus.join(F.broadcast(probes), centroid_id_col)
+    scored = cand.withColumn(
+        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop(query_vec_col)
+    )

@@ -698,10 +698,12 @@ def q_ann_srp(spark, sf_dir):
     )
 
 
-def q_ann_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+def _ivf_centroids(emb):
+    """Deterministic stand-in centroids: first vector of each label (a
+    k-means iteration would refine these; the probe/re-rank plan shape is
+    identical either way and this keeps the oracle exact)."""
     w = Window.partitionBy("label").orderBy("vec_id")
-    centroids = (
+    return (
         emb.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select(
@@ -709,7 +711,28 @@ def q_ann_ivf(spark, sf_dir):
             F.col("embedding").alias("centroid"),
         )
     )
-    return search.ivf_assign(emb, centroids).select("vec_id", "label", "centroid_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return search.ivf_assign(emb, _ivf_centroids(emb)).select(
+        "vec_id", "label", "centroid_id"
+    )
+
+
+def q_ann_ivf_search(spark, sf_dir):
+    """Full IVF path: assign → probe 2 nearest cells per query → exact
+    re-rank within probed cells. Exact SQL twin in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    assigned = search.ivf_assign(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return search.ivf_search(assigned, centroids, queries, k=5, n_probe=2).select(
+        "query_id", "vec_id", "label", "centroid_id", "sim", "rk"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -809,6 +832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_search": q_ann_ivf_search,
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
@@ -1067,6 +1091,61 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "ann_ivf": f"""
+        WITH cent AS (
+            SELECT label AS centroid_id, embedding AS centroid FROM (
+                SELECT label, embedding,
+                       row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                       AS rn
+                FROM embeddings) WHERE rn = 1
+        )
+        SELECT vec_id, label, centroid_id FROM (
+            SELECT e.vec_id, e.label, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.embedding::DOUBLE[],
+                                                 c.centroid::DOUBLE[]) DESC,
+                                c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+    """,
+    "ann_ivf_search": f"""
+        WITH cent AS (
+            SELECT label AS centroid_id, embedding AS centroid FROM (
+                SELECT label, embedding,
+                       row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                       AS rn
+                FROM embeddings) WHERE rn = 1
+        ), assigned AS (
+            SELECT vec_id, embedding, label, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.embedding::DOUBLE[],
+                                                     c.centroid::DOUBLE[]) DESC,
+                                    c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 3
+        ), probes AS (
+            SELECT query_id, qe, centroid_id FROM (
+                SELECT q.query_id, q.qe, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")}
+                                    DESC, c.centroid_id) AS prk
+                FROM q CROSS JOIN cent c) WHERE prk <= 2
+        ), cand AS (
+            SELECT p.query_id, a.vec_id, a.label, a.centroid_id,
+                   {_SQL_COS.format(a="a.embedding", b="p.qe")} AS sim
+            FROM assigned a JOIN probes p USING (centroid_id)
+        )
+        SELECT query_id, vec_id, label, centroid_id, sim,
+               CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+              FROM cand) WHERE rk <= 5
     """,
     "rrf_fusion": f"""
         WITH t0 AS (
