@@ -39,8 +39,11 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "ann_srp",
+    "ann_ivf_search",
     "window_tumbling",
     "window_session",
+    "ingest_chunks",
+    "run_search_multimodal",
 ]
 
 

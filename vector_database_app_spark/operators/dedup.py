@@ -376,6 +376,36 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dups_srp(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    dim: int = 64,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Embedding near-dups blocked on SRP-LSH buckets — the production path
+    when no natural blocking column exists: bucket via
+    ``search.srp_index`` (cosine-preserving sign bits), then the same
+    blocked self-join as `embedding_near_dups`. Recall comes from the LSH
+    property (nearby vectors share all n_bits signs with probability
+    (1-θ/π)^n_bits); at 100 TB, multiple independent bucket tables union'd
+    recover the tail, exactly like minhash bands."""
+    from .search import srp_index
+
+    indexed = srp_index(df, vec_col=vec_col, n_bits=n_bits, dim=dim)
+    return embedding_near_dups(
+        indexed,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="bucket",
+        threshold=threshold,
+        sim_scale=sim_scale,
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,
@@ -388,8 +418,8 @@ def embedding_near_dups(
     """Pairs with cosine >= threshold, blocked self-join.
 
     `block_col` bounds the candidate set (here the driver data's `label`;
-    in production an SRP-LSH bucket from ``operators.search.srp_index`` —
-    same join shape). The threshold compares the ROUNDED similarity so the
+    in production an SRP-LSH bucket via `embedding_near_dups_srp` — same
+    join shape). The threshold compares the ROUNDED similarity so the
     predicate is reproducible in the oracle.
 
     Norms are precomputed per vector before the pair join (N sqrt's instead

@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 from ..functions.embed import (
     CLIP_STUB_SPACE,
     clip_stub_image_embed,
-    clip_stub_text_embed,
+    clip_stub_query_text,
+    embed_query_text,
     embedding_space_tag,
-    hash_embed,
 )
 from .search import knn_batch
 
@@ -83,7 +83,7 @@ def text_search(
         .filter(F.col("embedding_space") == space)
         .withColumn("chunk_uid", _chunk_uid())
     )
-    q = _one_row_query(chunks, hash_embed(F.lit(query_text), text_dim), space)
+    q = _one_row_query(chunks, embed_query_text(query_text, text_dim), space)
     return knn_batch(
         corpus,
         q.select(F.lit(0).alias("query_id"), "query_embedding"),
@@ -113,7 +113,7 @@ def cross_modal_search(
         .filter(F.col("embedding_space") == CLIP_STUB_SPACE)
         .withColumn("chunk_uid", _chunk_uid())
     )
-    q = _one_row_query(chunks, clip_stub_text_embed(F.lit(query_text)), CLIP_STUB_SPACE)
+    q = _one_row_query(chunks, clip_stub_query_text(query_text), CLIP_STUB_SPACE)
     return knn_batch(
         corpus,
         q.select(F.lit(0).alias("query_id"), "query_embedding"),

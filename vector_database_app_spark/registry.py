@@ -567,6 +567,14 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_srp(spark, sf_dir):
+    # rows-only: SRP bucket ids are engine-internal (xxhash-free but the
+    # bucket packing has no DuckDB twin worth maintaining)
+    return dedup.embedding_near_dups_srp(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     # rows-only: xxhash64-based signatures are engine-internal
     return dedup.minhash_near_dups(
@@ -643,7 +651,10 @@ def q_run_search_multimodal(spark, sf_dir):
             F.lit(None).cast("string").alias("error"),
         )
     )
-    all_chunks = chunks.unionByName(images)
+    # run_search scans the chunk table once per modality branch; checkpoint
+    # so the UDF-heavy ingest pipeline executes once, as a real deployment
+    # would read an already-written store
+    all_chunks = chunks.unionByName(images).localCheckpoint(eager=False)
     hits = rag.run_search(
         all_chunks, query_text="spark join merge sort table", top_n=5
     )
@@ -678,6 +689,10 @@ def q_ingest_chunks(spark, sf_dir):
         F.encode("text", "utf-8").alias("content"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("modificationTime"),
     )
+    # the single-file documents table scans as ONE partition; without this
+    # the whole parse+embed pipeline would run in one task (a real
+    # binaryFile scan gets splits for free — staged frames don't)
+    files = files.repartition(spark.sparkContext.defaultParallelism)
     return ingest.embed_chunks(ingest.parse_chunks(ingest.with_file_meta(files)))
 
 
@@ -820,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_funcs": q_json_funcs,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_srp": q_dedup_embedding_srp,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "chunk_fixed": q_chunk_fixed,

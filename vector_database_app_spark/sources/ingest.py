@@ -42,7 +42,7 @@ from ..functions.embed import (
     CLIP_STUB_SPACE,
     clip_stub_image_embed,
     embedding_space_tag,
-    hash_embed,
+    hash_embed_udf,
 )
 
 #: words per chunk / overlap for the fixed word-window chunker. 64-word
@@ -340,7 +340,7 @@ def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
         "content_id",
         "content_raw",
         "content_bytes",
-        F.when(is_text, hash_embed(F.col("content_raw"), dim))
+        F.when(is_text, hash_embed_udf(F.col("content_raw"), dim))
         .when(is_image, clip_stub_image_embed(F.col("content_bytes")))
         .otherwise(F.lit(None))
         .alias("embedding"),
