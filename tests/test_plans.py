@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — at 100 TB the plan IS the performance.
+
+Each test pins a plan property verified in the PERF.md audit: predicates
+reach the parquet scan, small sides broadcast, top-k is
+TakeOrderedAndProject (never a global sort), aggregation is partial+final,
+and the signature stages stay inside codegen operators. If a refactor
+silently turns one of these into a worse plan, these fail before the bench
+does."""
+
+from __future__ import annotations
+
+from vector_database_app_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    assert_take_ordered,
+    explain_str,
+)
+from vector_database_app_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_plan(spark):
+    df = QUERIES["knn_brute_force"](spark, SF)
+    assert_pushed_filters(df, "vec_id")
+    assert_broadcast_join(df)        # the 1-row query side
+    assert_take_ordered(df)          # top-k, not a global sort
+    plan = explain_str(df)
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = QUERIES["join_inner"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert_pushed_filters(df, "r_name")
+
+
+def test_agg_partial_final(spark):
+    df = QUERIES["agg_group"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2, plan   # partial + final
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_order_limit_is_take_ordered(spark):
+    assert_take_ordered(QUERIES["order_limit"](spark, SF))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    assert_pushed_filters(QUERIES["filter_eq"](spark, SF), "source")
+
+
+def test_minhash_signatures_stay_codegen(spark):
+    from vector_database_app_spark.operators import dedup
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sigs = dedup.minhash_signatures(load_table(spark, SF, "documents"))
+    plan = explain_str(sigs)
+    # explode + two-phase hash aggregation, no interpreted fallback operators
+    assert "Generate" in plan and plan.count("HashAggregate") >= 2, plan
+
+
+def test_ivf_probe_is_broadcast_equijoin(spark):
+    df = QUERIES["ann_ivf_search"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_column_pruning(spark):
+    # a 3-column projection must not read the text column
+    df = QUERIES["project_cols"](spark, SF)
+    plan = explain_str(df)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan, plan

@@ -120,6 +120,53 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def caption_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image → caption text derivation (reference F7 BLIP / F8 GPT-4o,
+    `rag_search/vector_db.py:547-596`, incl. the 3-retry loop at
+    `:312-340` — retries belong INSIDE the UDF here, with Spark task retry
+    as the outer layer).
+
+    STUB: no vision model in this container. The fake caption is a
+    deterministic function of the payload (size + content digest), so the
+    derived-column dataflow — the same shape as real captioning, one
+    batch-inference pass adding a text column that then flows into chunking
+    /embedding like any text — is fully exercised and reproducible."""
+
+    def caption(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real captioning requires a vision model (BLIP/GPT-4o) — "
+                    "plug the batch-inference call in here"
+                )
+            out = {"doc_id": pdf[id_col], "caption": []}
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                d = hashlib.sha256(b).hexdigest()
+                out["caption"].append(
+                    f"this image shows content {d[:8]} of {len(b)} bytes"
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(caption, CAPTION_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, payload_col: str = "payload", *, every_n: int = 10
 ) -> DataFrame:

@@ -42,6 +42,32 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    left_salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, salt) hashed from `left_salt_src` (a
+    high-cardinality column, default the join key's row via xxhash64 of all
+    projected columns is NOT used — pick an id column); the (smaller) right
+    side is exploded `salt`× so every (key, salt) bucket finds its match.
+    Result is EXACTLY the plain join's rows — only the shuffle layout
+    changes, which is why the oracle for `join_salted` is the plain SQL
+    join. AQE's skew-join split handles moderate skew automatically; manual
+    salting is for the pathological single-key case AQE can't split (one
+    key larger than an executor)."""
+    src = left_salt_src or on
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, [on, "_salt"]).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -224,6 +224,68 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means as DataFrame ops — the IVF index-BUILD step
+    (ivf_assign/ivf_search consume its output). Deterministic: init = the
+    k lowest-id vectors; assignment ties break on centroid_id.
+
+    Scale shape per iteration: broadcast k centroids → argmax-cosine
+    assign (corpus never shuffles) → per-cell elementwise mean via
+    posexplode + hash aggregation keyed (cell, pos) — shuffle volume is
+    k·dim doubles after map-side partial agg. Only the k centroids ever
+    reach the driver (k·dim floats), keeping lineage flat across
+    iterations instead of stacking `iters` nested plans."""
+    spark = corpus.sparkSession
+    init = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("centroid"))
+        .collect()
+    )
+    cents: dict[int, list[float]] = {
+        i: list(r.centroid) for i, r in enumerate(init)
+    }
+
+    def cent_df():
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(cents.items())],
+            "centroid_id int, centroid array<double>",
+        )
+
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, cent_df(), vec_col=vec_col, id_col=id_col
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # empty cells keep their previous centroid
+        for r in means:
+            cents[r.centroid_id] = list(r.centroid)
+    return cent_df()
+
+
 def ivf_search(
     assigned_corpus: DataFrame,
     centroids: DataFrame,

@@ -53,3 +53,50 @@ def fingerprints(
     return df.select(
         F.col(id_col), TX.fingerprint(text_col, shingle_n).alias("fingerprint")
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 20,
+    max_punct: float = 0.1,
+    min_stopword: float = 0.0,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """The composed training-data admission pipeline: C4-style quality
+    thresholds → optional language allowlist → exact-content dedup keeping
+    the lowest id. One scan + one shuffle (the dedup window on the content
+    hash); survivors carry their signals for downstream stratification.
+
+    This is the end-to-end shape a 100 TB corpus build runs per shard:
+    every predicate is a column expression, so Catalyst pushes what it can
+    into the scan, and the only state is the dedup hash partitioning."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import sha256_hex
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        TX.n_words(text_col).cast("bigint").alias("len_words"),
+        TX.punct_ratio(text_col).alias("punct_ratio"),
+        TX.stopword_ratio(text_col).alias("stopword_ratio"),
+        TX.lang_id(text_col).alias("lang_pred"),
+        sha256_hex(text_col).alias("content_hash"),
+    )
+    keep = (
+        (F.col("len_words") >= min_words)
+        & (F.col("punct_ratio") <= max_punct)
+        & (F.col("stopword_ratio") >= min_stopword)
+    )
+    if langs:
+        keep = keep & F.col("lang_pred").isin(*langs)
+    survivors = scored.filter(keep)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select(id_col, "len_words", "punct_ratio", "stopword_ratio", "lang_pred")
+    )

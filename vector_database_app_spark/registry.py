@@ -612,6 +612,42 @@ def q_doc_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composed training-data admission pipeline: quality thresholds +
+    language allowlist + exact-content dedup in one pass."""
+    return textops.corpus_filter(
+        _t(spark, sf_dir, "documents"),
+        min_words=20,
+        max_punct=0.1,
+        langs=["en", "fr", "es"],
+    )
+
+
+def q_join_salted(spark, sf_dir):
+    """Salted equi-join (manual skew mitigation) — result rows identical to
+    the plain join, which is exactly what the oracle asserts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    out = relational.salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey",
+        salt=8, left_salt_src="o_orderkey",
+    )
+    return out.select("c_custkey", "o_orderkey", "c_mktsegment")
+
+
+def q_image_caption(spark, sf_dir):
+    # rows-only: caption derivation via mapInPandas (deterministic stub in
+    # the reference F7/F8 slot)
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.caption_images(payload)
+
+
+def q_ann_kmeans_train(spark, sf_dir):
+    # rows-only: iterative (Lloyd's) — not SQL-expressible
+    emb = _t(spark, sf_dir, "embeddings")
+    return search.kmeans_train(emb, k=10, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # Ingest pipeline (SURVEY §2.1 S1-S4/S6, §3.2)
 # ---------------------------------------------------------------------------
@@ -846,6 +882,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_filter": q_corpus_filter,
+    "join_salted": q_join_salted,
+    "image_caption": q_image_caption,
+    "ann_kmeans_train": q_ann_kmeans_train,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_search": q_ann_ivf_search,
@@ -1107,6 +1147,42 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "corpus_filter": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '') AS w,
+                 text, sha256(text) AS content_hash,
+                 ' ' || lower(text) || ' ' AS t
+          FROM documents),
+        scored AS (
+          SELECT doc_id, content_hash,
+                 CAST(len(w) AS BIGINT) AS len_words,
+                 round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       / nullif(length(text), 0), 6) AS punct_ratio,
+                 round(len(list_filter(w, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], x)))
+                       / nullif(len(w), 0), 6) AS stopword_ratio,
+                 CASE WHEN contains(t,' the ') OR contains(t,' and ') OR contains(t,' of ') THEN 'en'
+                      WHEN contains(t,' le ') OR contains(t,' la ') OR contains(t,' et ') THEN 'fr'
+                      WHEN contains(t,' el ') OR contains(t,' los ') OR contains(t,' y ') THEN 'es'
+                      WHEN contains(t,' der ') OR contains(t,' und ') OR contains(t,' die ') THEN 'de'
+                      WHEN contains(t,'的') OR contains(t,'是') OR contains(t,'了') THEN 'zh'
+                      ELSE 'und' END AS lang_pred
+          FROM base),
+        survivors AS (
+          SELECT *, row_number() OVER (PARTITION BY content_hash
+                                       ORDER BY doc_id) AS rk
+          FROM scored
+          WHERE len_words >= 20 AND punct_ratio <= 0.1
+            AND stopword_ratio >= 0.0
+            AND lang_pred IN ('en','fr','es'))
+        SELECT doc_id, len_words, punct_ratio, stopword_ratio, lang_pred
+        FROM survivors WHERE rk = 1
+    """,
+    "join_salted": """
+        SELECT o.o_custkey AS c_custkey, o.o_orderkey, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
     "ann_ivf": f"""
         WITH cent AS (
