@@ -109,6 +109,35 @@ def test_stateful_running_totals(spark, batch_events):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark, batch_events):
+    """Watermarked stream-stream attribution join == its batch form (with
+    AvailableNow all matches land in the processed window)."""
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.purchase_click_attribution(stream), "s_attr", "append")
+    got = {tuple(r) for r in spark.table("s_attr").collect()}
+    want = {
+        tuple(r) for r in SW.purchase_click_attribution(batch_events).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path):
+    """File sink + checkpoint: re-running the same query over the same
+    source neither reprocesses nor duplicates (commit log)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):  # second run finds the checkpoint complete
+        stream = SW.stream_events(spark, SF)
+        SW.run_stream_to_parquet(
+            SW.tumbling_counts(stream, "1 hour", watermark="10 minutes"),
+            out,
+            ckpt,
+        )
+    sink = spark.read.parquet(out)
+    assert sink.count() == sink.dropDuplicates().count()  # no batch replayed
+    assert sink.count() > 0
+
+
 def test_sliding_stream_runs(spark, batch_events):
     stream = SW.stream_events(spark, SF)
     _drain(SW.sliding_counts(stream, "1 hour", "30 minutes",

@@ -813,6 +813,13 @@ def q_frame_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_stream_attribution(spark, sf_dir):
+    """Batch form of the stream-stream attribution join (purchases ⋈ same
+    user's clicks within 30 minutes) — identical code path runs as a
+    watermarked streaming join (tests/test_streaming.py)."""
+    return SW.purchase_click_attribution(_t(spark, sf_dir, "events"))
+
+
 def q_window_tumbling(spark, sf_dir):
     return SW.tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
 
@@ -892,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
+    "stream_attribution": q_stream_attribution,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
@@ -1147,6 +1155,17 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "stream_attribution": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+               c.event_id AS click_id,
+               CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
     "corpus_filter": """
         WITH base AS (

@@ -128,6 +128,72 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def purchase_click_attribution(
+    events: DataFrame, *, attribution_window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks within the preceding `attribution_window` (ad-attribution shape).
+
+    Both sides carry watermarks so the join state is BOUNDED: a click can
+    be dropped from state once no future purchase may reach back to it
+    (watermark + time-bound condition), which is what makes this run
+    forever on an unbounded stream. Works identically in batch mode —
+    the oracle-comparable form."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", "10 minutes")
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once file sink: parquet + checkpoint. The file sink commits
+    each micro-batch atomically through the commit log, so a restart after
+    failure neither drops nor duplicates a batch — the production shape of
+    `_save_vector_db` (the reference rewrites whole pickles per save,
+    vector_db.py:231-238)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Arbitrary-state operator (`applyInPandasWithState`): cumulative
     per-user event count + value sum, one emission per user per micro-batch.
