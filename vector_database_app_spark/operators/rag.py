@@ -197,6 +197,76 @@ def run_search(
     return fused
 
 
+def assemble_prompts(
+    hits: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_text_col: str = "search_reference",
+) -> DataFrame:
+    """R1 context assembly (reference `generate_gpt_response`,
+    vector_db.py:838-901): per query, collect retrieved rows into one
+    multimodal message — text rows as plain context lines, image rows as
+    base64 data-URLs — ordered by similarity then uid (deterministic).
+    Output: (query_id, prompt) — one row per query, ready for batched LLM
+    inference."""
+    part = F.when(
+        F.col("content_type") == "image",
+        F.concat(
+            F.lit("data:image/png;base64,"), F.base64(F.col("content_bytes"))
+        ),
+    ).otherwise(F.col("content_raw"))
+    keyed = hits.select(
+        F.col(query_id_col),
+        F.col(query_text_col).alias("qtext"),
+        F.struct(
+            (-F.col("sim")).alias("neg_sim"),
+            F.col("chunk_uid").alias("uid"),
+            part.alias("part"),
+        ).alias("kv"),
+    )
+    return keyed.groupBy(query_id_col).agg(
+        F.concat(
+            F.lit("Answer using the context below.\nQuery: "),
+            F.first("qtext"),
+            F.lit("\nContext:\n"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("kv")), lambda s: s["part"]),
+                "\n",
+            ),
+        ).alias("prompt")
+    )
+
+
+def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
+    """R2 batched LLM inference slot (reference GPT-4o / local Mistral,
+    vector_db.py:768-901, max_new_tokens=100 at :830): an Arrow-batched
+    mapInPandas stage over assembled prompts. STUB: deterministic
+    'summary' = first 100 whitespace tokens of the context (the cap
+    mirrors the reference's token limit); a real deployment swaps the body
+    for a chat-completions batch call, same schema."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType()),
+            T.StructField("response", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "query_id": pdf["query_id"],
+                "response": [
+                    " ".join(p.split()[:100]) for p in pdf["prompt"]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return prompts.mapInPandas(run, schema)
+
+
 def rrf_fusion(
     hits_a: DataFrame,
     hits_b: DataFrame,

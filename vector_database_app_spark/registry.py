@@ -665,11 +665,11 @@ def q_chunk_fixed(spark, sf_dir):
     )
 
 
-def q_run_search_multimodal(spark, sf_dir):
-    """rows-only: the full reference run_search lifecycle (§3.1) — text
-    search in the hash-64 space + cross-modal search in the clipstub space
-    over a chunks table built from documents (every 25th doc also staged as
-    an 'image' whose payload carries the text bytes)."""
+def _multimodal_chunks(spark, sf_dir):
+    """Chunks table for the run_search queries: ingested text chunks plus
+    every 25th doc staged as an 'image' whose payload carries the text
+    bytes. Checkpointed because run_search scans it once per modality
+    branch — a real deployment reads an already-written store."""
     chunks = q_ingest_chunks(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     images = ingest.embed_chunks(
@@ -687,15 +687,61 @@ def q_run_search_multimodal(spark, sf_dir):
             F.lit(None).cast("string").alias("error"),
         )
     )
-    # run_search scans the chunk table once per modality branch; checkpoint
-    # so the UDF-heavy ingest pipeline executes once, as a real deployment
-    # would read an already-written store
-    all_chunks = chunks.unionByName(images).localCheckpoint(eager=False)
+    return chunks.unionByName(images).localCheckpoint(eager=False)
+
+
+def q_run_search_multimodal(spark, sf_dir):
+    """rows-only: the full reference run_search lifecycle (§3.1) — text
+    search in the hash-64 space + cross-modal search in the clipstub space
+    over the staged multimodal chunks table."""
     hits = rag.run_search(
-        all_chunks, query_text="spark join merge sort table", top_n=5
+        _multimodal_chunks(spark, sf_dir),
+        query_text="spark join merge sort table",
+        top_n=5,
     )
     return hits.select(
         "query_id", "doc_name", "content_type", "chunk_uid", "sim", "rk"
+    )
+
+
+def q_rag_answer(spark, sf_dir):
+    """rows-only: the complete RAG tail — run_search hits → R1 prompt
+    assembly (text + base64 image parts, similarity-ordered) → R2 batched
+    LLM stub → one response per query."""
+    full = rag.run_search(
+        _multimodal_chunks(spark, sf_dir),
+        query_text="spark join merge sort table",
+        top_n=5,
+    )
+    prompts = rag.assemble_prompts(full)
+    return rag.answer_prompts_stub(prompts)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Standalone exact n-gram Jaccard on fixed pairs (doc_id, doc_id+250)
+    — the verify primitive of the minhash pipeline, oracle-checked on its
+    own."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", F.col("id_a") + F.lit(250))
+        .filter(F.col("id_b") < n)
+    )
+    return dedup.ngram_jaccard(docs, pairs, shingle_n=3)
+
+
+def q_agg_approx(spark, sf_dir):
+    """rows-only: sketch aggregates (HLL distinct, t-digest percentile) —
+    the 100 TB forms of agg_distinct/agg_percentile; error bounds are
+    engine-specific so there is no cross-engine oracle by design."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        )
     )
 
 
@@ -884,6 +930,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_fixed": q_chunk_fixed,
     "ingest_chunks": q_ingest_chunks,
     "run_search_multimodal": q_run_search_multimodal,
+    "rag_answer": q_rag_answer,
+    "ngram_jaccard": q_ngram_jaccard,
+    "agg_approx": q_agg_approx,
     "rrf_fusion": q_rrf_fusion,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1155,6 +1204,24 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ), pairs AS (
+            SELECT doc_id AS id_a, doc_id + 250 AS id_b FROM documents
+            WHERE doc_id + 250 < (SELECT count(*) FROM documents)
+        )
+        SELECT p.id_a, p.id_b,
+               round(len(list_intersect(sa.s, sb.s))
+                     / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
     """,
     "stream_attribution": """
         SELECT p.event_id AS purchase_id, p.user_id,
