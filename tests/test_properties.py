@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the pure-python primitives that
+back UDFs — no SparkSession needed, so these run in milliseconds and cover
+input shapes the example-based tests never will."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_database_app_spark.functions.embed import (
+    _payload_to_text,
+    py_embed_texts,
+)
+from vector_database_app_spark.sources.ingest import _chunk_words
+
+words = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(words, st.integers(min_value=1, max_value=64))
+def test_chunking_is_a_partition_of_the_text(ws, n):
+    """Non-overlapping word-window chunks, joined back with single spaces,
+    reconstruct the original text exactly — nothing lost, nothing added."""
+    text = " ".join(ws)
+    chunks = _chunk_words(text, n_words=n, overlap=0)
+    assert " ".join(chunks) == text
+    # every chunk except possibly the last has exactly n words
+    if len(chunks) > 1:
+        for c in chunks[:-1]:
+            assert len(c.split(" ")) == n
+
+
+@given(words)
+@settings(max_examples=50)
+def test_embedding_is_unit_norm_and_order_invariant(ws):
+    """Vectors are unit-norm (or zero for empty text), deterministic, and
+    invariant under token permutation (bag-of-words semantics)."""
+    text = " ".join(ws)
+    v1 = py_embed_texts([text])[0]
+    n = float(np.linalg.norm(v1))
+    has_tokens = any(w for w in text.lower().split(" ") if w)
+    if has_tokens:
+        assert math.isclose(n, 1.0, rel_tol=1e-5)
+    else:
+        assert n == 0.0
+    # determinism
+    assert np.array_equal(v1, py_embed_texts([text])[0])
+    # permutation invariance (sum over token multiset)
+    shuffled = " ".join(reversed(ws))
+    v2 = py_embed_texts([shuffled])[0]
+    assert np.allclose(v1, v2, atol=1e-6)
+
+
+@given(words, words)
+@settings(max_examples=50)
+def test_disjoint_vocabulary_embeds_nearly_orthogonal(a, b):
+    """Texts sharing no tokens should not be strongly similar — the
+    property similarity search and embedding dedup rely on."""
+    a = [w.lower() for w in a if w]
+    b = [w.lower() for w in b if w]
+    sa, sb = set(a), set(b)
+    if not sa or not sb or sa & sb:
+        return
+    va, vb = py_embed_texts([" ".join(a), " ".join(b)])
+    cos = float(np.dot(va, vb))
+    assert abs(cos) < 0.9  # distinct vocab never reads as a near-duplicate
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=100)
+def test_payload_decode_total_and_deterministic(b):
+    """The stub image decode never raises and is deterministic for any
+    byte string (valid utf-8 or not)."""
+    s1, s2 = _payload_to_text(b), _payload_to_text(b)
+    assert isinstance(s1, str) and s1 == s2
