@@ -552,6 +552,56 @@ def q_json_funcs(spark, sf_dir):
     )
 
 
+def q_math_funcs(spark, sf_dir):
+    p = F.col("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(p, 1).alias("price_r1"),
+        F.floor(p).cast("bigint").alias("price_floor"),
+        F.ceil(p).cast("bigint").alias("price_ceil"),
+        F.round(F.abs(p - 100000), 2).alias("abs_diff"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.pow(p, F.lit(0.25)), 6).alias("price_pow"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.sign(p - F.lit(100000.0)).cast("int").alias("over_100k"),
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """JSON props → typed map, then map ops (the reference never parses its
+    own JSON captions — quirk normalized)."""
+    m = F.from_json("props", "map<string,int>")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.map_keys(m)[0].alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+def q_regex_funcs(spark, sf_dir):
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract(t, r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(t, r"[aeiou]", "_").alias("devoweled"),
+        F.regexp_count(t, F.lit("[0-9]")).cast("bigint").alias("n_digits"),
+        t.rlike("table|join").cast("int").alias("mentions_sql"),
+    )
+
+
+def q_cond_funcs(spark, sf_dir):
+    b = F.col("c_acctbal")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(b < 0, "debt").when(b < 5000, "low").otherwise("high").alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("segment"),
+        F.greatest(b, F.lit(0.0)).alias("bal_pos"),
+        F.least(b, F.lit(1000.0)).alias("bal_capped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (reference P4 + LLM-pipeline extensions)
 # ---------------------------------------------------------------------------
@@ -922,6 +972,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
     "json_funcs": q_json_funcs,
+    "math_funcs": q_math_funcs,
+    "map_funcs": q_map_funcs,
+    "regex_funcs": q_regex_funcs,
+    "cond_funcs": q_cond_funcs,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_srp": q_dedup_embedding_srp,
@@ -1152,6 +1206,46 @@ ORACLE: dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         FROM orders GROUP BY o_orderpriority
+    """,
+    "math_funcs": """
+        SELECT o_orderkey,
+               round(o_totalprice, 1) AS price_r1,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               round(abs(o_totalprice - 100000), 2) AS abs_diff,
+               round(sqrt(o_totalprice), 6) AS price_sqrt,
+               round(ln(o_totalprice), 6) AS price_ln,
+               round(pow(o_totalprice, 0.25), 6) AS price_pow,
+               CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+               CAST(sign(o_totalprice - 100000.0) AS INTEGER) AS over_100k
+        FROM orders
+    """,
+    "map_funcs": """
+        SELECT event_id,
+               json_keys(props)[1] AS first_key,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+               CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        FROM events
+    """,
+    "regex_funcs": """
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                 AS n_digits,
+               CAST(regexp_matches(text, 'table|join') AS INTEGER)
+                 AS mentions_sql
+        FROM documents
+    """,
+    "cond_funcs": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS tier,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
+               greatest(c_acctbal, 0.0) AS bal_pos,
+               least(c_acctbal, 1000.0) AS bal_capped
+        FROM customer
     """,
     "sql_pricing_summary": """
         SELECT o.o_orderkey,
