@@ -795,6 +795,42 @@ def q_agg_approx(spark, sf_dir):
     )
 
 
+def q_knn_filtered(spark, sf_dir):
+    """The reference's scoped search (P1 → V1, vector_db.py:706-709):
+    metadata prefilter BEFORE the similarity scan — Catalyst pushes the
+    filter below the cosine projection, so only matching rows are scored
+    (partition pruning on a source-partitioned store)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    scoped = emb.join(
+        docs.filter(F.col("source") == "src3").select("doc_id"),
+        emb.vec_id == F.col("doc_id"),
+        "left_semi",
+    ).filter(F.col("vec_id") != 0)
+    return search.knn(scoped, _query_vec(spark, sf_dir), k=5).select(
+        "vec_id", "label", "sim"
+    )
+
+
+def q_events_pipeline(spark, sf_dir):
+    """Composed events pipeline — the batch twin of dedup → filter →
+    tumbling window, i.e. what the streaming path does continuously."""
+    ev = _t(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    clicks = ev.filter(F.col("event_type").isin("click", "view"))
+    return (
+        clicks.groupBy(
+            F.date_trunc("hour", "ts").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("win").alias("win_us"), "event_type", "n", "total_value"
+        )
+    )
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two top-10 KNN lists (extension beyond the
     reference's plain concat fusion, V6)."""
@@ -987,6 +1023,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_answer": q_rag_answer,
     "ngram_jaccard": q_ngram_jaccard,
     "agg_approx": q_agg_approx,
+    "knn_filtered": q_knn_filtered,
+    "events_pipeline": q_events_pipeline,
     "rrf_fusion": q_rrf_fusion,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1298,6 +1336,34 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "knn_filtered": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scoped AS (
+            SELECT e.* FROM embeddings e
+            WHERE e.vec_id <> 0
+              AND EXISTS (SELECT 1 FROM documents d
+                          WHERE d.doc_id = e.vec_id AND d.source = 'src3')
+        )
+        SELECT s.vec_id, s.label,
+               {_SQL_COS.format(a="s.embedding", b="q.qe")} AS sim
+        FROM scoped s, q
+        ORDER BY sim DESC, s.vec_id LIMIT 5
+    """,
+    "events_pipeline": """
+        WITH dedup AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_id
+                                             ORDER BY ts) AS _rk
+                FROM events) WHERE _rk = 1
+        )
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM dedup
+        WHERE event_type IN ('click', 'view')
+        GROUP BY date_trunc('hour', ts), event_type
     """,
     "ngram_jaccard": f"""
         WITH sh AS (
