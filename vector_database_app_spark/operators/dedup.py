@@ -172,7 +172,22 @@ def lsh_candidate_pairs(
 
     Pass `n_hashes` when known — the fallback probes one signature row,
     which costs an extra job over the signature pipeline."""
-    n = n_hashes or sig_df.select(F.size("signature")).first()[0]
+    if n_hashes is None:
+        probe = sig_df.select(F.size("signature")).first()
+        if probe is None:  # empty corpus: no signatures, no pairs
+            return sig_df.sparkSession.createDataFrame(
+                [], f"id_a {dict(sig_df.dtypes)[id_col]}, "
+                    f"id_b {dict(sig_df.dtypes)[id_col]}"
+            )
+        n = probe[0]
+    else:
+        n = n_hashes
+    if n % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the signature length {n} — a "
+            "remainder would silently drop the signature tail from every "
+            "band and quietly lower recall"
+        )
     rows_per_band = n // bands
     band_hashes = F.array(
         *[
@@ -287,8 +302,10 @@ def simhash(
     to rows, ONE hash aggregation computes all per-bit sums (the
     interpreted per-bit aggregate() fold this replaces was the bottleneck),
     then the signature is assembled from the 64 sums post-agg. Empty docs
-    (explode_outer's null row) sum to -1 per bit → signature 0, matching
-    the fold semantics."""
+    (explode_outer's null row) contribute 0 per bit → signature 0.
+    The null guard matters: xxhash64(NULL) is NOT null — it returns the
+    seed (42) — so without it every empty doc would get signature 42 and
+    near-match any real doc within hamming distance of 42's bit pattern."""
     toks = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -298,7 +315,9 @@ def simhash(
     h = F.xxhash64("tok")
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.col("tok").isNull(), 0)
+            .when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         ).alias(f"_b{b}")
         for b in range(bits)
     ]

@@ -173,23 +173,48 @@ def run_search(
 
     Quirks normalized (SURVEY §2.9): no silent empty-result on error, the
     P3 projection is real, and image-vs-text search (reference V5 TODO)
-    falls out of the same space machinery for free."""
+    falls out of the same space machinery for free.
+
+    query_id namespace: the text query (and its cross-modal branch — one
+    logical query, like the reference's single run_search response) owns
+    the RESERVED id -1; `query_images` ids must be >= 0 so an image query
+    can never collide with the text query in downstream per-query
+    grouping (assemble_prompts). Each row also carries `search_mode` ∈
+    {text, cross_modal, image}."""
     if query_text is None and query_images is None:
         raise ValueError("run_search needs query_text and/or query_images")
+    TEXT_QUERY_ID = -1
     parts: list[DataFrame] = []
     if query_text is not None:
-        t = text_search(
-            chunks, query_text, top_n=top_n, search_location=search_location
-        ).withColumn("search_reference", F.lit(query_text))
-        x = cross_modal_search(
-            chunks, query_text, top_n=top_n, search_location=search_location
-        ).withColumn("search_reference", F.lit(query_text))
+        t = (
+            text_search(
+                chunks, query_text, top_n=top_n, search_location=search_location
+            )
+            .withColumn("query_id", F.lit(TEXT_QUERY_ID))
+            .withColumn("search_reference", F.lit(query_text))
+            .withColumn("search_mode", F.lit("text"))
+        )
+        x = (
+            cross_modal_search(
+                chunks, query_text, top_n=top_n, search_location=search_location
+            )
+            .withColumn("query_id", F.lit(TEXT_QUERY_ID))
+            .withColumn("search_reference", F.lit(query_text))
+            .withColumn("search_mode", F.lit("cross_modal"))
+        )
         parts += [t, x]
     if query_images is not None:
+        if query_images.filter(F.col("query_id") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "query_images query_id must be >= 0 (negative ids are "
+                "reserved for the text query)"
+            )
         parts.append(
             image_search(
                 chunks, query_images, top_n=top_n, search_location=search_location
-            ).withColumn("search_reference", F.lit("image-query"))
+            )
+            .withColumn("search_reference", F.lit("image-query"))
+            .withColumn("search_mode", F.lit("image"))
         )
     fused = parts[0]
     for p in parts[1:]:

@@ -50,18 +50,31 @@ def salted_join(
     salt: int = 8,
     left_salt_src: str | None = None,
 ) -> DataFrame:
-    """Skew-mitigating equi-join: the (large, skewed) left side gets a
-    deterministic salt in [0, salt) hashed from `left_salt_src` (a
-    high-cardinality column, default the join key's row via xxhash64 of all
-    projected columns is NOT used — pick an id column); the (smaller) right
-    side is exploded `salt`× so every (key, salt) bucket finds its match.
-    Result is EXACTLY the plain join's rows — only the shuffle layout
-    changes, which is why the oracle for `join_salted` is the plain SQL
-    join. AQE's skew-join split handles moderate skew automatically; manual
-    salting is for the pathological single-key case AQE can't split (one
-    key larger than an executor)."""
-    src = left_salt_src or on
-    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(salt)))
+    """Skew-mitigating equi-join: the (large, skewed) left side gets a salt
+    in [0, salt); the (smaller) right side is exploded `salt`× so every
+    (key, salt) bucket finds its match. Result is EXACTLY the plain join's
+    rows — only the shuffle layout changes, which is why the oracle for
+    `join_salted` is the plain SQL join. AQE's skew-join split handles
+    moderate skew automatically; manual salting is for the pathological
+    single-key case AQE can't split (one key larger than an executor).
+
+    Pass `left_salt_src` (a high-cardinality column, e.g. the row id) for a
+    deterministic salt. It must NOT be the join key — a hot key would hash
+    to ONE salt bucket and the salting would silently do nothing; that
+    degenerate choice raises. Default: a per-row salt from
+    monotonically_increasing_id (salt values vary across retries, which is
+    safe — the join result is salt-independent by construction)."""
+    if left_salt_src == on:
+        raise ValueError(
+            "left_salt_src must differ from the join key: salting by the "
+            "key puts every row of a hot key in one salt bucket"
+        )
+    salt_src = (
+        F.xxhash64(F.col(left_salt_src))
+        if left_salt_src
+        else F.monotonically_increasing_id()
+    )
+    l = left.withColumn("_salt", F.pmod(salt_src, F.lit(salt)))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -29,8 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import PERMS
-from ..functions.vector import cosine_rounded, dot
+from ..functions.vector import cosine_rounded
 
 
 class EmbeddingSpaceMismatch(ValueError):
@@ -115,25 +114,37 @@ def knn_batch(
 def _srp_bucket(vec_col: Column, n_bits: int, dim: int) -> Column:
     """Sign-random-projection bucket id: n_bits hyperplane sign bits packed
     into a bigint. Hyperplanes are deterministic pseudo-random ±1 vectors
-    derived from the fixed PERMS constants — same bucket for the same vector
+    derived from fixed md5-based constants — same bucket for the same vector
     on every run/cluster, no fitted model object to ship.
 
     Cosine-preserving LSH: P[bit_i(a) == bit_i(b)] = 1 - angle(a,b)/π.
 
-    The ±1 signs are resolved at PLAN TIME into a literal array, so the
-    per-row work is one zip_with multiply + left-fold add per bit — no
-    per-element modulo/branch. (A fully-flattened element_at chain was
-    measured FASTER warm but 3× slower in context: srp_search references
-    the query bucket 9× through the probe-ring explode, and projection
-    collapse duplicates the expression into each reference — compact trees
-    keep codegen compile time bounded.)
+    The ±1 signs are resolved at PLAN TIME into a literal array via an md5
+    of (bit, j) — NOT an affine-mod-2 formula, whose value depends only on
+    the parities of its coefficients and therefore yields at most 2
+    distinct hyperplanes no matter how many bits (a bug this replaced:
+    8-bit buckets collapsed to 4 distinct values on the fixture corpus).
+    Per-row work is one zip_with multiply + left-fold add per bit. (A
+    fully-flattened element_at chain was measured FASTER warm but 3×
+    slower in context: srp_search references the query bucket 9× through
+    the probe-ring explode, and projection collapse duplicates the
+    expression into each reference — compact trees keep codegen compile
+    time bounded.)
     """
+    import hashlib
+
     v = vec_col.cast("array<double>")
     bucket = F.lit(0).cast("long")
     for bit in range(n_bits):
-        a, b = PERMS[bit % len(PERMS)]
         signs = F.array(
-            *[F.lit(1.0 if (a * j + b) % 2 == 0 else -1.0) for j in range(dim)]
+            *[
+                F.lit(
+                    1.0
+                    if hashlib.md5(f"srp|{bit}|{j}".encode()).digest()[0] & 1
+                    else -1.0
+                )
+                for j in range(dim)
+            ]
         )
         proj = F.aggregate(
             F.zip_with(v, signs, lambda x, s: x * s),
@@ -178,13 +189,21 @@ def srp_search(
     100 TB the corpus is scanned once with bucket pruning instead of a full
     crossJoin; recall is tuned by (n_bits, hamming_probe).
     """
+    from itertools import combinations
+
+    if hamming_probe > 3:
+        raise ValueError(
+            f"hamming_probe={hamming_probe} would probe "
+            "sum(C(n_bits,r)) buckets — cap is 3; raise n_bits or use ivf_search"
+        )
     q = queries.withColumn("qbucket", _srp_bucket(F.col(query_vec_col), n_bits, dim))
-    # expand query buckets: the bucket itself + all 1-bit flips (probe ring)
-    probes = [F.col("qbucket")]
-    if hamming_probe >= 1:
-        probes += [
-            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)
-        ]
+    # probe ring: the bucket itself + every mask with <= hamming_probe bits
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, hamming_probe + 1)
+        for combo in combinations(range(n_bits), r)
+    ]
+    probes = [F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     cand = indexed_corpus.join(
         F.broadcast(q.select(query_id_col, query_vec_col, "bucket")), "bucket"
@@ -209,13 +228,19 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF coarse assignment: each vector → argmax-cosine centroid.
-    centroids are broadcast (they are tiny: √N cells for N vectors); the
-    corpus never shuffles. Write the result partitioned by centroid_id and
-    probes become partition-pruned scans."""
+    """IVF coarse assignment: each vector → argmax-cosine centroid — the
+    SAME rounded-cosine ranking ivf_search uses for probes, so a vector's
+    cell is always among the cells its nearest queries probe (ranking by
+    raw dot here would bias toward large-norm centroids and break that
+    agreement for unnormalized k-means means). Centroids are broadcast
+    (tiny: √N cells for N vectors); the corpus never shuffles. Write the
+    result partitioned by centroid_id and probes become partition-pruned
+    scans."""
     scored = corpus.crossJoin(
         F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
-    ).withColumn("csim", dot(F.col(vec_col), F.col(centroid_vec_col)))
+    ).withColumn(
+        "csim", cosine_rounded(F.col(vec_col), F.col(centroid_vec_col))
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc(centroid_id_col))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -232,9 +257,13 @@ def kmeans_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Lloyd's k-means as DataFrame ops — the IVF index-BUILD step
-    (ivf_assign/ivf_search consume its output). Deterministic: init = the
-    k lowest-id vectors; assignment ties break on centroid_id.
+    """SPHERICAL k-means as DataFrame ops — the IVF index-BUILD step
+    (ivf_assign/ivf_search consume its output): cosine assignment +
+    per-cell mean + renormalize to unit length each iteration (the
+    renormalization is what makes cosine-assignment Lloyd's monotone;
+    unnormalized means under dot-product assignment can oscillate).
+    Deterministic: init = the k lowest-id vectors; ties break on
+    centroid_id.
 
     Scale shape per iteration: broadcast k centroids → argmax-cosine
     assign (corpus never shuffles) → per-cell elementwise mean via
@@ -280,9 +309,13 @@ def kmeans_train(
             )
             .collect()
         )
-        # empty cells keep their previous centroid
+        # empty cells keep their previous centroid; survivors renormalize
+        import math
+
         for r in means:
-            cents[r.centroid_id] = list(r.centroid)
+            v = list(r.centroid)
+            n = math.sqrt(sum(x * x for x in v))
+            cents[r.centroid_id] = [x / n for x in v] if n > 0 else v
     return cent_df()
 
 

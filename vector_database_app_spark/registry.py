@@ -1442,9 +1442,8 @@ ORACLE: dict[str, str] = {
             SELECT e.vec_id, e.label, c.centroid_id,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.embedding::DOUBLE[],
-                                                 c.centroid::DOUBLE[]) DESC,
-                                c.centroid_id) AS rk
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+                                DESC, c.centroid_id) AS rk
             FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
     """,
     "ann_ivf_search": f"""
@@ -1459,9 +1458,8 @@ ORACLE: dict[str, str] = {
                 SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
                        row_number() OVER (
                            PARTITION BY e.vec_id
-                           ORDER BY list_dot_product(e.embedding::DOUBLE[],
-                                                     c.centroid::DOUBLE[]) DESC,
-                                    c.centroid_id) AS rk
+                           ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+                                    DESC, c.centroid_id) AS rk
                 FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
         ), q AS (
             SELECT vec_id AS query_id, embedding AS qe FROM embeddings
@@ -1568,15 +1566,19 @@ ORACLE: dict[str, str] = {
         FROM base
     """,
     "multimodal_meta": """
+        -- byte semantics throughout: the Spark side measures the BINARY
+        -- payload, so the oracle must use octet_length/hex-slice, not
+        -- character length/substr (diverges on any multibyte text)
         SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS payload_sha256,
-               hex(encode(substr(text, 1, 4))) AS magic_hex
+               substr(hex(encode(text)), 1, 8) AS magic_hex
         FROM documents
     """,
     "frame_sample": """
         SELECT doc_id, CAST(f AS INT) AS frame_idx FROM (
-          SELECT doc_id, unnest(range(0, length(text) % 100 + 1, 10)) AS f
+          SELECT doc_id,
+                 unnest(range(0, octet_length(encode(text)) % 100 + 1, 10)) AS f
           FROM documents)
     """,
     "window_tumbling": """
@@ -1600,8 +1602,11 @@ ORACLE: dict[str, str] = {
     "window_session": """
         WITH flagged AS (
           SELECT user_id, ts,
+                 -- strict <: Spark's session_window starts a NEW session
+                 -- for an event landing exactly at the previous session's
+                 -- end (start + gap is exclusive)
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_s
+                      < INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_s
           FROM events),
         sess AS (
           SELECT user_id, ts,

@@ -385,10 +385,15 @@ def ingest_folder(
     existing = load_chunks(spark, store_path) if store_path else None
     if existing is not None:
         files = dedup_against_store(files, existing)
-    chunks = embed_chunks(parse_chunks(files), dim)
     if store_path is not None:
+        # pin THIS batch's hash list before writing: the readback semi-join
+        # below must not re-run the scan/parse pipeline (and a file changing
+        # on disk between two scans would otherwise make the returned rows
+        # disagree with what was written)
+        batch_hashes = files.select("file_hash").localCheckpoint(eager=True)
+        chunks = embed_chunks(parse_chunks(files), dim)
         write_chunks(chunks, store_path)
         return spark.read.parquet(store_path).join(
-            chunks.select("file_hash").distinct(), "file_hash", "left_semi"
+            batch_hashes, "file_hash", "left_semi"
         )
-    return chunks
+    return embed_chunks(parse_chunks(files), dim)
