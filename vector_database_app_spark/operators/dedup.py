@@ -286,6 +286,43 @@ def minhash_near_dups(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Exact Levenshtein verify over candidate (id_a, id_b) pairs — an
+    alternative to `ngram_jaccard` when character-level edits matter
+    (OCR noise, boilerplate variants). Same shape: semi-join prune first,
+    O(len²) DP only on candidate pairs, NEVER all-pairs. `max_distance`
+    optionally filters; the raw distance is always returned."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    t = df.join(pair_ids, id_col, "left_semi").select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    )
+    a = t.select(F.col(id_col).alias("id_a"), F.col("_t").alias("t_a"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("_t").alias("t_b"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").cast("bigint").alias("edit_distance"),
+        )
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("edit_distance") <= max_distance)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -831,6 +831,19 @@ def q_events_pipeline(spark, sf_dir):
     )
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """Levenshtein verify on fixed candidate pairs (character-level fuzzy
+    dedup; the DP runs only on candidates, never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", F.col("id_a") + F.lit(100))
+        .filter(F.col("id_b") < n)
+    )
+    return dedup.edit_distance_verify(docs, pairs)
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two top-10 KNN lists (extension beyond the
     reference's plain concat fusion, V6)."""
@@ -1023,6 +1036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_answer": q_rag_answer,
     "ngram_jaccard": q_ngram_jaccard,
     "agg_approx": q_agg_approx,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
     "events_pipeline": q_events_pipeline,
     "rrf_fusion": q_rrf_fusion,
@@ -1336,6 +1350,17 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "dedup_edit_distance": """
+        WITH pairs AS (
+            SELECT doc_id AS id_a, doc_id + 100 AS id_b FROM documents
+            WHERE doc_id + 100 < (SELECT count(*) FROM documents)
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.id_a
+        JOIN documents b ON b.doc_id = p.id_b
     """,
     "knn_filtered": f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
