@@ -56,6 +56,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers with one cheap action
     QUERIES["scan_parquet"](spark, SF_DIR).count()
+    # warm the python UDF worker pool (one no-op batch per core) so the
+    # first Arrow-UDF query measures the query, not daemon fork/Arrow init.
+    # (A full query warm-up pass was tried and reverted — see PERF.md —
+    # but pool startup is session infra, not query cost.)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's hint inference can't resolve here
+    _noop = F.pandas_udf(lambda s: s, "int")
+
+    (
+        spark.range(64)
+        .repartition(64)
+        .select(_noop(F.col("id").cast("int")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
