@@ -931,6 +931,48 @@ def q_ann_ivf_search(spark, sf_dir):
     )
 
 
+def q_ann_planner_exact(spark, sf_dir):
+    """ANNStrategyRule brute branch: an IVF index is registered but the
+    corpus stat is below the rewrite threshold, so the rule keeps the exact
+    scan (plans/ann_planner.py). Oracle = exact per-query top-k."""
+    from .plans import ann_planner as AP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    planned = AP.plan_topk_similarity(
+        emb, queries, k=5, index=AP.IvfIndex(centroids=_ivf_centroids(emb))
+    )
+    assert planned.strategy == "brute_force", planned.reason
+    return planned.df.select("query_id", "vec_id", "label", "sim", "rk")
+
+
+def q_ann_planner_indexed(spark, sf_dir):
+    """ANNStrategyRule index branch: threshold forced to 0 so the rule
+    rewrites to the IVF probe path — result must equal ann_ivf_search's
+    exact SQL twin (same centroids, n_probe=2)."""
+    from .plans import ann_planner as AP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    planned = AP.plan_topk_similarity(
+        emb,
+        queries,
+        k=5,
+        index=AP.IvfIndex(centroids=_ivf_centroids(emb)),
+        brute_force_max_bytes=0,
+    )
+    assert planned.strategy == "ivf", planned.reason
+    return planned.df.select(
+        "query_id", "vec_id", "label", "centroid_id", "sim", "rk"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1051,6 +1093,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_search": q_ann_ivf_search,
+    "ann_planner_exact": q_ann_planner_exact,
+    "ann_planner_indexed": q_ann_planner_indexed,
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
@@ -1508,6 +1552,20 @@ ORACLE: dict[str, str] = {
                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
               FROM cand) WHERE rk <= 5
     """,
+    "ann_planner_exact": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, label, sim, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+              FROM scored) WHERE rk <= 5
+    """,
     "rrf_fusion": f"""
         WITH t0 AS (
             SELECT e.vec_id, {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
@@ -1643,3 +1701,7 @@ ORACLE: dict[str, str] = {
         FROM sess GROUP BY user_id, sid
     """,
 }
+
+# The planner's IVF branch must be bit-identical to the direct IVF query —
+# same centroids, same n_probe — so it shares that oracle verbatim.
+ORACLE["ann_planner_indexed"] = ORACLE["ann_ivf_search"]
