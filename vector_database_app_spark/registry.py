@@ -931,6 +931,22 @@ def q_ann_ivf_search(spark, sf_dir):
     )
 
 
+def q_pyds_synthetic_docs(spark, sf_dir):
+    """Custom Spark 4 Python data source (sources/pyds.py): deterministic
+    arithmetic document generator — scan parallelism without storage.
+    Generation is closed-form integer hashing, so the oracle reproduces
+    every row from DuckDB range()."""
+    from .sources import pyds
+
+    pyds.register_python_sources(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+
+
 def q_ann_planner_exact(spark, sf_dir):
     """ANNStrategyRule brute branch: an IVF index is registered but the
     corpus stat is below the rewrite threshold, so the rule keeps the exact
@@ -1095,6 +1111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": q_ann_ivf_search,
     "ann_planner_exact": q_ann_planner_exact,
     "ann_planner_indexed": q_ann_planner_indexed,
+    "pyds_synthetic_docs": q_pyds_synthetic_docs,
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
@@ -1551,6 +1568,29 @@ ORACLE: dict[str, str] = {
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
               FROM cand) WHERE rk <= 5
+    """,
+    "pyds_synthetic_docs": """
+        WITH base AS (
+            SELECT doc_id,
+                   3 + (((doc_id + 1) * 2654435761) % 4294967296) % 8
+                       AS n_words
+            FROM range(0, 500) t(doc_id)
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(range(0, n_words), i ->
+                   list_value('data','spark','vector','index','query',
+                              'batch','stream','token','model','shard')[
+                     CAST(1 + (((doc_id + 2 + i) * 2654435761)
+                               % 4294967296) % 10 AS INTEGER)]),
+                 ' ') AS text,
+               list_value('en','fr','es','de')[
+                 CAST(1 + ((doc_id * 2654435761) % 4294967296) % 4
+                      AS INTEGER)] AS lang,
+               ((((doc_id + 3) * 2654435761) % 4294967296) % 1000) / 1000.0
+                   AS quality,
+               n_words
+        FROM base
     """,
     "ann_planner_exact": f"""
         WITH q AS (
