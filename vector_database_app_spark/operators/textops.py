@@ -100,3 +100,50 @@ def corpus_filter(
         .filter("_rk = 1")
         .select(id_col, "len_words", "punct_ratio", "stopword_ratio", "lang_pred")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (SURVEY §7.2 phase 5 text analysis;
+    the reference has no ranking stats at all — its retrieval is purely
+    embedding-cosine, so TF-IDF is part of the training-pipeline extension
+    surface).
+
+    Scale shape: explode → two hash aggregations (tf keyed (doc, term),
+    df keyed term — both map-side partial) → tf ⋈ df on term. The doc
+    count joins in as a broadcast single-row aggregate, never a collected
+    scalar, so the whole plan is one lazy DAG. At 100 TB the term join
+    shuffles |vocab| ≪ |corpus| rows; AQE broadcasts the df side when the
+    vocabulary fits. idf = ln(N/df) on doubles — a single multiplication
+    per (doc, term), rounded for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), scale),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rk")
+    )

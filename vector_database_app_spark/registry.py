@@ -662,6 +662,10 @@ def q_doc_fingerprint(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_tfidf(spark, sf_dir):
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_corpus_filter(spark, sf_dir):
     """Composed training-data admission pipeline: quality thresholds +
     language allowlist + exact-content dedup in one pass."""
@@ -1102,6 +1106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_tfidf": q_text_tfidf,
     "corpus_filter": q_corpus_filter,
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
@@ -1568,6 +1573,29 @@ ORACLE: dict[str, str] = {
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
               FROM cand) WHERE rk <= 5
+    """,
+    "text_tfidf": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, tfidf, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT t.doc_id, t.term, t.tf,
+                   round(t.tf * ln(n.n_docs / d.df), 6) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY round(t.tf * ln(n.n_docs / d.df), 6) DESC,
+                                t.term) AS rk
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        ) WHERE rk <= 3
     """,
     "pyds_synthetic_docs": """
         WITH base AS (
