@@ -44,6 +44,8 @@ HEADLINE = [
     "window_session",
     "ingest_chunks",
     "run_search_multimodal",
+    "text_tfidf",
+    "ann_planner_indexed",
 ]
 
 

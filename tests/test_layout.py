@@ -60,3 +60,41 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # row counts match the unpartitioned filter
     assert "PartitionFilters" in plan and "lang" in plan, plan
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_ivf_probe_over_partitioned_store_is_dpp_pruned(spark, tmp_path):
+    """The 100 TB ANN read path: cell-assigned corpus stored partitioned by
+    centroid_id, probe list broadcast — Spark turns the probe equi-join into
+    dynamic partition pruning, so the scan reads n_probe cells, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    from vector_database_app_spark.operators import search
+
+    emb = load_table(spark, SF, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cents = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assigned = search.ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    stored = layout.write_partitioned(
+        assigned, str(tmp_path / "ivf_store"), partition_cols=["centroid_id"]
+    )
+    res = search.ivf_search(stored, cents, queries, k=5, n_probe=2)
+    plan = explain_str(res)
+    assert "dynamicpruningexpression" in plan, plan
+    # pruning must not change results: same rows as the in-memory path
+    direct = search.ivf_search(assigned, cents, queries, k=5, n_probe=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.vec_id, r.rk) for r in df.collect()
+    )
+    assert key(res) == key(direct)
