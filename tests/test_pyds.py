@@ -84,3 +84,46 @@ def test_replay_stream_available_now_is_exactly_once(spark):
     ).collect()[0]
     assert got.c == expected  # no loss
     assert got.d == expected  # no duplication
+
+
+def test_replay_source_composes_with_windowed_agg(spark):
+    """events_replay → event-time tumbling counts (streaming) equals the
+    same aggregation over the parquet table (batch): the custom source
+    slots into the normal Structured Streaming surface."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.sources.catalog import load_table
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", EVENTS)
+        .load()
+        .select(
+            F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_type"
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = (
+        agg.select(F.col("win.start").cast("string").alias("ws"), "event_type", "n")
+        .writeStream.format("memory")
+        .queryName("pyds_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("pyds_win").collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("win.start").cast("string").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -496,6 +496,40 @@ def q_sql_pricing_summary(spark, sf_dir):
     )
 
 
+#: TPC-H Q5 shape, shared verbatim by both engines: exact decimal
+#: summation (per-row product rounded to 4 dp, then DECIMAL sum) makes the
+#: nation-level revenue independent of partition/accumulation order, then
+#: a final double cast keeps both schemas DOUBLE.
+_SQL_Q5 = """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+"""
+
+
+def q_sql_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 analog (6-table join → agg): the optimizer-credibility
+    query — Catalyst must broadcast the four dimension tables, push the
+    date range into the orders scan and r_name into region, and keep one
+    shuffle (the final nation agg). The reference has no multi-join
+    surface at all (SURVEY §2.3)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q5)
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface (SURVEY §2.5 F9-F15 equivalents + §2.6 families)
 # ---------------------------------------------------------------------------
@@ -1079,6 +1113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stats": q_agg_stats,
     "agg_percentile": q_agg_percentile,
     "sql_pricing_summary": q_sql_pricing_summary,
+    "sql_regional_revenue": q_sql_regional_revenue,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -1574,6 +1609,7 @@ ORACLE: dict[str, str] = {
                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
               FROM cand) WHERE rk <= 5
     """,
+    "sql_regional_revenue": _SQL_Q5,
     "text_tfidf": """
         WITH toks AS (
             SELECT doc_id,
