@@ -83,3 +83,20 @@ def test_payload_decode_total_and_deterministic(b):
     byte string (valid utf-8 or not)."""
     s1, s2 = _payload_to_text(b), _payload_to_text(b)
     assert isinstance(s1, str) and s1 == s2
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (with redundant edge), isolated pair
+    (20, 21): labels converge to the min id of each component."""
+    from vector_database_app_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }

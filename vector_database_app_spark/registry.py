@@ -819,6 +819,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(docs, pairs, shingle_n=3)
 
 
+def q_dedup_similarity_join(spark, sf_dir):
+    """Exact all-pairs near-dup discovery via inverted-index join (no LSH
+    recall loss) — dedup.similarity_join."""
+    return dedup.similarity_join(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair table → connected components: (id, min-reachable-id
+    cluster) for every clustered doc — the representative-picking step of
+    a corpus dedup pipeline."""
+    edges = dedup.similarity_join(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.connected_components(edges)
+
+
 def q_agg_approx(spark, sf_dir):
     """rows-only: sketch aggregates (HLL distinct, t-digest percentile) —
     the 100 TB forms of agg_distinct/agg_percentile; error bounds are
@@ -1132,6 +1146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "run_search_multimodal": q_run_search_multimodal,
     "rag_answer": q_rag_answer,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_similarity_join": q_dedup_similarity_join,
+    "dedup_clusters": q_dedup_clusters,
     "agg_approx": q_agg_approx,
     "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
@@ -1610,6 +1626,48 @@ ORACLE: dict[str, str] = {
               FROM cand) WHERE rk <= 5
     """,
     "sql_regional_revenue": _SQL_Q5,
+    "dedup_similarity_join": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ), edges AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(len(list_intersect(a.s, b.s))
+                             / len(list_distinct(list_concat(a.s, b.s))), 6)
+                           AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ), reach AS (
+            SELECT DISTINCT src AS a, src AS b FROM sym
+            UNION
+            SELECT r.a, s.dst AS b FROM reach r JOIN sym s ON s.src = r.b
+        )
+        SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+    """,
     "text_tfidf": """
         WITH toks AS (
             SELECT doc_id,
