@@ -819,6 +819,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(docs, pairs, shingle_n=3)
 
 
+def q_split_train_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by Knuth
+    multiplicative hash of the doc id — reproducible across engines, runs
+    and cluster sizes (no RNG, no sampleBy seed drift), and trivially
+    parallel: the split is a pure column expression, so it composes with
+    any scan and never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def q_dedup_similarity_join(spark, sf_dir):
     """Exact all-pairs near-dup discovery via inverted-index join (no LSH
     recall loss) — dedup.similarity_join."""
@@ -1148,6 +1165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_similarity_join": q_dedup_similarity_join,
     "dedup_clusters": q_dedup_clusters,
+    "split_train_test": q_split_train_test,
     "agg_approx": q_agg_approx,
     "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
@@ -1626,6 +1644,15 @@ ORACLE: dict[str, str] = {
               FROM cand) WHERE rk <= 5
     """,
     "sql_regional_revenue": _SQL_Q5,
+    "split_train_test": """
+        SELECT doc_id,
+               CASE WHEN b < 8 THEN 'train'
+                    WHEN b = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ((doc_id * 2654435761) % 4294967296) % 10 AS b
+              FROM documents)
+    """,
     "dedup_similarity_join": f"""
         WITH sh AS (
             SELECT doc_id,
