@@ -127,3 +127,57 @@ def test_replay_source_composes_with_windowed_agg(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_jsonl_commit_sink_end_to_end_exactly_once(spark, tmp_path):
+    """events_replay → jsonl_commit: a pure Python-DataSource pipeline.
+    All rows land exactly once in committed files; temp files are gone."""
+    import json
+    import os
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("events_replay")
+        .option("path", EVENTS)
+        .load()
+        .writeStream.format("jsonl_commit")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = []
+    for name in os.listdir(out):
+        if name.startswith("batch-"):
+            with open(os.path.join(out, name)) as f:
+                rows += [json.loads(line) for line in f]
+    expected = pq.read_table(EVENTS).num_rows
+    assert len(rows) == expected
+    assert len({r["event_id"] for r in rows}) == expected
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]
+    assert os.listdir(os.path.join(out, "_commits"))
+
+
+def test_jsonl_commit_replayed_batch_is_dropped(tmp_path):
+    """commit() with an already-present batch marker discards the rewritten
+    temp files — the exactly-once guarantee under batch replay."""
+    import os
+
+    out = str(tmp_path / "sink2")
+    w = pyds._JsonlCommitWriter({"path": out})
+    os.makedirs(out)
+
+    def fake_file(content: str) -> pyds._FileCommit:
+        p = os.path.join(out, f"_tmp-{content}.jsonl")
+        with open(p, "w") as f:
+            f.write('{"x": 1}\n')
+        return pyds._FileCommit(p, 1)
+
+    w.commit([fake_file("a")], batchId=7)
+    committed = [n for n in os.listdir(out) if n.startswith("batch-")]
+    assert len(committed) == 1
+    # replay of batch 7: marker exists -> temp dropped, nothing new renamed
+    w.commit([fake_file("b")], batchId=7)
+    assert [n for n in os.listdir(out) if n.startswith("batch-")] == committed
+    assert not [n for n in os.listdir(out) if n.startswith("_tmp-")]

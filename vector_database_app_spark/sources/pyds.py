@@ -20,6 +20,12 @@ surface where no built-in format exists:
   replays exactly the uncommitted range, so downstream exactly-once sinks
   (streaming/windows.py) compose with it.
 
+- ``jsonl_commit`` (streaming sink): exactly-once JSONL output via a
+  two-phase commit (executor temp files → driver rename + batch marker;
+  replayed batches are detected by marker and dropped). Paired with
+  ``events_replay`` this is a complete Python-DataSource streaming
+  pipeline with end-to-end exactly-once semantics.
+
 Register per session: ``spark.dataSource.register(SyntheticDocsDataSource)``
 then ``spark.read.format("synthetic_docs").option("rows", n).load()``.
 """
@@ -32,7 +38,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # Knuth's multiplicative hash constant (2^32 / phi) — fixed-point scramble
@@ -198,3 +206,86 @@ class EventsReplayDataSource(DataSource):
 def register_python_sources(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(EventsReplayDataSource)
+    spark.dataSource.register(JsonlCommitDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink: exactly-once JSONL with a two-phase commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlCommitWriter(DataSourceStreamWriter):
+    """Executors write each partition to a uniquely-named temp file and
+    report it; the driver's commit() atomically renames the batch's files
+    into place and drops a `_commits/<batchId>` marker. A replayed batch
+    (marker already present — failure happened after commit, before the
+    checkpoint advanced) discards its temp files instead of renaming:
+    exactly-once output without a transactional store, the same recipe as
+    streaming/windows.run_stream_to_parquet but expressed through the
+    Python DataSource write contract."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def _marker(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.path, "_commits", str(batch_id))
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        marker = self._marker(batchId)
+        if os.path.exists(marker):  # replayed batch: already committed
+            self.abort(messages, batchId)
+            return
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None:
+                    os.remove(m.path)
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{i:04d}.jsonl"
+            )
+            os.replace(m.path, final)
+            total += m.rows
+        with open(marker, "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlCommitDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlCommitWriter(self.options)
