@@ -100,3 +100,22 @@ def test_connected_components_hand_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_prefix_filter_similarity_join_is_exact(spark):
+    """PPJoin prefix filtering must not change the result set — same pairs,
+    same jaccard — while indexing strictly fewer (doc, shingle) keys."""
+    from vector_database_app_spark.operators.dedup import similarity_join
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in similarity_join(docs, threshold=0.5).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in similarity_join(docs, threshold=0.5, prefix_filter=True).collect()
+    }
+    assert filtered == full
+    assert len(full) > 0

@@ -518,6 +518,7 @@ def similarity_join(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     scale: int = 6,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join: every (id_a < id_b) pair with
     shingle-Jaccard >= threshold — no LSH recall loss (contrast
@@ -528,17 +529,37 @@ def similarity_join(
     shingle, which is implied by any positive Jaccard, so candidate
     generation loses nothing; `distinct` collapses multi-shingle matches
     before the exact verify (ngram_jaccard, semi-join pruned). Hot
-    shingles fan out quadratically — the classic refinement is PPJoin
-    prefix filtering (keep only each doc's globally-rarest
-    |s|-ceil(t·|s|)+1 shingles as index keys, still exact); at the
-    corpus sizes where that matters, layer it on top of this same plan."""
+    shingles fan out quadratically — `prefix_filter=True` applies the
+    PPJoin/AllPairs prefix filter: index each doc by only its
+    |s| - ceil(t·|s|) + 1 globally-rarest shingles (rarest-first total
+    order). Any pair with J >= t has overlap >= ceil(t·max(|a|,|b|)), and
+    two sets whose overlap is that large must collide inside those
+    prefixes (Bayardo et al., WWW'07) — so candidates shrink by orders of
+    magnitude on hot shingles while the result stays EXACT (asserted
+    equal in tests/test_properties.py). Costs one extra aggregation
+    (global shingle frequencies) + a per-doc rank."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
     )
     ex = sh.select(id_col, F.explode("sh").alias("shingle"))
-    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    if prefix_filter:
+        freq = ex.groupBy("shingle").agg(F.count("*").alias("gdf"))
+        w = Window.partitionBy(id_col).orderBy(F.asc("gdf"), F.asc("shingle"))
+        keys = (
+            ex.join(freq, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+            .filter(
+                F.col("rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select(id_col, "shingle")
+        )
+    else:
+        keys = ex
+    a = keys.select(F.col(id_col).alias("id_a"), "shingle")
+    b = keys.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
