@@ -836,12 +836,21 @@ def q_split_train_test(spark, sf_dir):
     )
 
 
+def _docs_parallel(spark, sf_dir):
+    """documents is a single staged parquet file (one scan partition) —
+    spread the shingle-heavy work across cores, as q_ingest_chunks does.
+    A real multi-file corpus splits at the scan and doesn't need this."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_dedup_similarity_join(spark, sf_dir):
     """Exact all-pairs near-dup discovery via inverted-index join with
     PPJoin prefix filtering (no LSH recall loss; 12x fewer candidates at
     sf0.01, provably identical results) — dedup.similarity_join."""
     return dedup.similarity_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, prefix_filter=True
+        _docs_parallel(spark, sf_dir), threshold=0.5, prefix_filter=True
     )
 
 
@@ -850,7 +859,7 @@ def q_dedup_clusters(spark, sf_dir):
     cluster) for every clustered doc — the representative-picking step of
     a corpus dedup pipeline."""
     edges = dedup.similarity_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, prefix_filter=True
+        _docs_parallel(spark, sf_dir), threshold=0.5, prefix_filter=True
     )
     return dedup.connected_components(edges)
 
