@@ -819,6 +819,28 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard(docs, pairs, shingle_n=3)
 
 
+def q_corpus_filter_relative(spark, sf_dir):
+    """RELATIVE quality filtering: keep docs at or above their language's
+    median stopword-ratio (absolute thresholds like corpus_filter break
+    when quality distributions differ per language — the standard fix in
+    training-data pipelines is per-stratum percentile cuts). percent_rank
+    is rank-based, so ties land identically in both engines; null scores
+    (empty docs) are coalesced to 0 because Spark sorts nulls first and
+    DuckDB last."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang_pred"),
+        F.coalesce(TX.stopword_ratio("text"), F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang_pred", "score", "pr")
+    )
+
+
 def q_split_train_test(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by Knuth
     multiplicative hash of the doc id — reproducible across engines, runs
@@ -1180,6 +1202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_similarity_join": q_dedup_similarity_join,
     "dedup_clusters": q_dedup_clusters,
     "split_train_test": q_split_train_test,
+    "corpus_filter_relative": q_corpus_filter_relative,
     "agg_approx": q_agg_approx,
     "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
@@ -1658,6 +1681,30 @@ ORACLE: dict[str, str] = {
               FROM cand) WHERE rk <= 5
     """,
     "sql_regional_revenue": _SQL_Q5,
+    "corpus_filter_relative": """
+        WITH scored AS (
+          SELECT doc_id,
+                 CASE WHEN contains(t,' the ') OR contains(t,' and ') OR contains(t,' of ') THEN 'en'
+                      WHEN contains(t,' le ') OR contains(t,' la ') OR contains(t,' et ') THEN 'fr'
+                      WHEN contains(t,' el ') OR contains(t,' los ') OR contains(t,' y ') THEN 'es'
+                      WHEN contains(t,' der ') OR contains(t,' und ') OR contains(t,' die ') THEN 'de'
+                      WHEN contains(t,'的') OR contains(t,'是') OR contains(t,'了') THEN 'zh'
+                      ELSE 'und' END AS lang_pred,
+                 coalesce(round(len(list_filter(w, x -> list_contains(
+                       ['the','a','and','of','to','in','is'], x)))
+                       / nullif(len(w), 0), 6), 0.0) AS score
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+                       ' ' || lower(text) || ' ' AS t
+                FROM documents)
+        )
+        SELECT doc_id, lang_pred, score, pr FROM (
+          SELECT doc_id, lang_pred, score,
+                 round(percent_rank() OVER (
+                     PARTITION BY lang_pred ORDER BY score, doc_id), 6) AS pr
+          FROM scored
+        ) WHERE pr >= 0.5
+    """,
     "split_train_test": """
         SELECT doc_id,
                CASE WHEN b < 8 THEN 'train'
