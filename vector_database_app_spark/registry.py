@@ -474,6 +474,22 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
+def q_unpivot_long(spark, sf_dir):
+    """Unpivot (wide→long), the inverse reshape of pivot_wide: lineitem
+    measures melted to (measure, value) rows via the native DataFrame
+    `unpivot` (Expand node — one pass, no join/union of N projections)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )
+
+
 def q_sql_pricing_summary(spark, sf_dir):
     """The spark.sql entry surface: a TPC-H Q3-shaped query (join + agg +
     top-k) written as SQL against registered views — same Catalyst plan as
@@ -1174,6 +1190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except": q_set_except,
     "agg_cube": q_agg_cube,
     "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
     "window_running_sum": q_window_running_sum,
     "window_rank": q_window_rank,
     "window_lead": q_window_lead,
@@ -1681,6 +1698,16 @@ ORACLE: dict[str, str] = {
               FROM cand) WHERE rk <= 5
     """,
     "sql_regional_revenue": _SQL_Q5,
+    "unpivot_long": """
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                            l_extendedprice, l_discount, l_tax
+                     FROM lineitem WHERE l_orderkey < 100)
+            ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME measure VALUE value
+        )
+    """,
     "corpus_filter_relative": """
         WITH scored AS (
           SELECT doc_id,
