@@ -101,6 +101,21 @@ def test_run_search_fuses_modalities(chunks):
         rag.run_search(chunks)
 
 
+def test_run_search_negative_query_id_fails_in_plan(chunks, spark):
+    """The reserved-id guard is an in-plan raise_error, not a driver-side
+    pre-flight count: building the query fires no job, executing it fails
+    on the bad row."""
+    bad = spark.createDataFrame(
+        [(-1, b"some image")], "query_id int, payload binary"
+    )
+    before = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+    out = rag.run_search(chunks, query_images=bad, top_n=1)  # builds fine
+    after = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+    assert after == before, "validation must not fire a Spark job at build"
+    with pytest.raises(Exception, match="query_id must be >= 0"):
+        out.collect()
+
+
 def test_rrf_fusion_known_ranks(spark):
     a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id long, sim double")
     b = spark.createDataFrame([(2, 0.7), (3, 0.6)], "doc_id long, sim double")

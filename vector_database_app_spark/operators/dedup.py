@@ -278,10 +278,12 @@ def minhash_near_dups(
     )
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, n_hashes=n_hashes)
     # the verify step consumes `pairs` twice (semi-join prune + the join
-    # itself); checkpoint so the signature/bucket pipeline runs once —
-    # candidate pairs are tiny (~linear in true near-dups), so the
-    # materialization cost is negligible against recomputing signatures
-    pairs = pairs.localCheckpoint(eager=False)
+    # itself); persist so the signature/bucket pipeline runs once —
+    # candidate pairs are tiny (~linear in true near-dups). persist(), not
+    # localCheckpoint: under AQE a checkpoint (even eager=False) executes
+    # the physical plan — shuffle jobs fire while the query is still being
+    # BUILT — while persist stays fully lazy and still dedupes the sub-DAG
+    pairs = pairs.persist()
     verified = ngram_jaccard(df, pairs, text_col, id_col, shingle_n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 

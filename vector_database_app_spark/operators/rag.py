@@ -204,11 +204,22 @@ def run_search(
         )
         parts += [t, x]
     if query_images is not None:
-        if query_images.filter(F.col("query_id") < 0).limit(1).count() > 0:
-            raise ValueError(
-                "query_images query_id must be >= 0 (negative ids are "
-                "reserved for the text query)"
-            )
+        # in-plan guard, not a driver-side count(): a pre-flight
+        # `filter(...).limit(1).count()` would fire a synchronous scan of
+        # the query frame before every search; raise_error evaluates with
+        # the rest of the plan and fails the task on the first bad row
+        query_images = query_images.withColumn(
+            "query_id",
+            F.when(
+                F.col("query_id") < 0,
+                F.raise_error(
+                    F.lit(
+                        "query_images query_id must be >= 0 (negative ids "
+                        "are reserved for the text query)"
+                    )
+                ).cast(query_images.schema["query_id"].dataType.simpleString()),
+            ).otherwise(F.col("query_id")),
+        )
         parts.append(
             image_search(
                 chunks, query_images, top_n=top_n, search_location=search_location

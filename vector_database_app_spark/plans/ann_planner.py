@@ -144,19 +144,26 @@ def plan_topk_similarity(
 
     if isinstance(index, IvfIndex):
         assigned = index.assigned
+        reason = f"size {size} > threshold; IVF index (n_probe={index.n_probe})"
         if assigned is None:
+            # An index without a materialized assignment is a scan-the-
+            # corpus-per-query plan: ivf_assign is a full corpus × centroid
+            # argmax, and Catalyst does no sub-DAG CSE, so the build
+            # re-executes for EVERY query batch. Tolerated (correct, and
+            # exercised in tests) but loudly recorded — production callers
+            # register IvfIndex(assigned=<written/checkpointed table>).
+            reason += (
+                "; WARNING index.assigned missing — building the cell "
+                "assignment inline (full corpus assign re-runs per query "
+                "batch; pass a materialized `assigned` table)"
+            )
             assigned = search.ivf_assign(
                 corpus, index.centroids, vec_col=vec_col, id_col=id_col
             )
         df = search.ivf_search(
             assigned, index.centroids, queries, n_probe=index.n_probe, **common
         )
-        return PlannedSearch(
-            "ivf",
-            f"size {size} > threshold; IVF index (n_probe={index.n_probe})",
-            size,
-            df,
-        )
+        return PlannedSearch("ivf", reason, size, df)
 
     if isinstance(index, SrpIndex):
         indexed = search.srp_index(

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 
 from ..schemas import DRIVER_TABLES
 
+#: Memoized DataFrames per (session, sf_dir, table). spark.read.parquet
+#: fires a footer-read job for schema inference on EVERY call; reusing the
+#: (immutable) DataFrame object makes repeat query construction job-free
+#: and skips redundant footer reads across the registry/bench loop.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Plain `spark.read.parquet` — no schema override,
@@ -26,6 +32,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and floor-converted to a micros timestamp — the same truncation DuckDB
     applies when it narrows ns → µs, so both engines see identical values.
     """
+    key = (id(spark), sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,8 +43,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)")
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
