@@ -224,29 +224,27 @@ def ngram_jaccard(
     """Exact shingle-set Jaccard for given (id_a, id_b) candidate pairs —
     the verify step after LSH (array_intersect/union are JVM-side).
 
-    The corpus is semi-join pruned to ids that actually appear in a pair
-    BEFORE shingling: candidates are ~linear in true near-dups, so this
-    avoids re-shingling the whole corpus twice for the a/b sides."""
-    pair_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = df.join(pair_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    `pairs` is consumed exactly ONCE (two inner equi-joins pull the raw
+    text through; shingling runs AFTER the joins, only on surviving pair
+    rows). This matters twice at scale: (a) an expensive candidate
+    generator upstream (the LSH pipeline) is never re-executed for a
+    second consumer, so no checkpoint/persist is needed to avoid
+    recompute; (b) the join shuffles raw strings, not shingle arrays —
+    a word-3-gram set is ~3× the text size. Inner joins also bound the
+    pair list for free: ids with no corpus row simply drop."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"))
+    sh_a = F.array_distinct(TX.shingles("_t_a", shingle_n))
+    sh_b = F.array_distinct(TX.shingles("_t_b", shingle_n))
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect(sh_a, sh_b))
+                / F.size(F.array_union(sh_a, sh_b)),
                 scale,
             ).alias("jaccard"),
         )
@@ -277,13 +275,9 @@ def minhash_near_dups(
         df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, n_hashes=n_hashes)
-    # the verify step consumes `pairs` twice (semi-join prune + the join
-    # itself); persist so the signature/bucket pipeline runs once —
-    # candidate pairs are tiny (~linear in true near-dups). persist(), not
-    # localCheckpoint: under AQE a checkpoint (even eager=False) executes
-    # the physical plan — shuffle jobs fire while the query is still being
-    # BUILT — while persist stays fully lazy and still dedupes the sub-DAG
-    pairs = pairs.persist()
+    # no checkpoint/persist needed: ngram_jaccard consumes `pairs` exactly
+    # once, so the signature/bucket pipeline executes once per action and
+    # the whole dedup stays a single lazy plan
     verified = ngram_jaccard(df, pairs, text_col, id_col, shingle_n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -298,19 +292,13 @@ def edit_distance_verify(
 ) -> DataFrame:
     """Exact Levenshtein verify over candidate (id_a, id_b) pairs — an
     alternative to `ngram_jaccard` when character-level edits matter
-    (OCR noise, boilerplate variants). Same shape: semi-join prune first,
-    O(len²) DP only on candidate pairs, NEVER all-pairs. `max_distance`
-    optionally filters; the raw distance is always returned."""
-    pair_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    t = df.join(pair_ids, id_col, "left_semi").select(
-        F.col(id_col), F.col(text_col).alias("_t")
-    )
-    a = t.select(F.col(id_col).alias("id_a"), F.col("_t").alias("t_a"))
-    b = t.select(F.col(id_col).alias("id_b"), F.col("_t").alias("t_b"))
+    (OCR noise, boilerplate variants). Same single-consumption shape as
+    ngram_jaccard (pairs flow through two inner equi-joins once — no
+    re-execution of the candidate generator), O(len²) DP only on
+    candidate pairs, NEVER all-pairs. `max_distance` optionally filters;
+    the raw distance is always returned."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
     out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -762,7 +762,7 @@ def q_ann_kmeans_train(spark, sf_dir):
                                F.lit(0.0), lambda a, x: a + x)),
             6,
         ).alias("norm"),
-        F.sha2(F.to_json("centroid"), 256).alias("centroid_sha256"),
+        F.xxhash64("centroid").alias("centroid_hash64"),
     )
 
 
@@ -1023,8 +1023,10 @@ def q_ingest_chunks(spark, sf_dir):
     """rows-only: registry form of the ingest path. The driver's pandas
     canonicalizer cannot hash list cells (round 1 aborted its whole sweep
     here), so the array columns are projected to scalars — dimension +
-    content digest for the embedding, JSON text for the bbox — while
-    tests/bench keep the full-schema `_ingest_chunks_full`."""
+    xxhash64 content digest for the embedding (native over arrays, no
+    JSON serialization in the hot path), JSON text for the (tiny,
+    mostly-null) bbox — while tests/bench compositions use the
+    full-schema `_ingest_chunks_full`."""
     chunks = _ingest_chunks_full(spark, sf_dir)
     return chunks.select(
         "doc_name",
@@ -1037,7 +1039,7 @@ def q_ingest_chunks(spark, sf_dir):
         "timestamp",
         "error",
         F.size("embedding").alias("emb_dim"),
-        F.sha2(F.to_json("embedding"), 256).alias("emb_sha256"),
+        F.xxhash64("embedding").alias("emb_hash64"),
         F.to_json("bbox").alias("bbox_json"),
     )
 
@@ -1188,7 +1190,7 @@ def q_image_features(spark, sf_dir):
         "height",
         "channels",
         F.size("features").alias("n_features"),
-        F.sha2(F.to_json("features"), 256).alias("features_sha256"),
+        F.xxhash64("features").alias("features_hash64"),
     )
 
 
