@@ -105,3 +105,132 @@ def test_chunk_words_python_expr_parity(spark):
     ]
     want = [ingest._chunk_words(s, 64, 0) for s in samples]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 against real inputs (VERDICT r1 item 3): the reference's shipped
+# sample corpus, plus a structurally valid in-repo PDF fixture. The parser
+# libs (pymupdf/python-pptx) are not installed in this container, so the
+# default assertion is the quarantine path end-to-end; the same tests
+# flip to real-parse assertions wherever the libs exist.
+# ---------------------------------------------------------------------------
+
+import importlib.util
+
+REFERENCE_DATA = "/root/reference/rag_search/data"
+HAS_FITZ = importlib.util.find_spec("fitz") is not None
+HAS_PPTX = importlib.util.find_spec("pptx") is not None
+
+
+def _build_minimal_pdf(pages: list[str]) -> bytes:
+    """Hand-assemble a structurally valid multi-page PDF (classic xref,
+    Helvetica, one text line per page). Offsets are computed while
+    emitting, so the xref table is exact — PyMuPDF parses it without
+    repair. ~1 KB for 2 pages."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    page_ids = [3 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    font_id = 3 + 2 * n_pages
+    objs.append(b"<</Type /Catalog /Pages 2 0 R>>")                    # 1
+    objs.append(
+        f"<</Type /Pages /Kids [{kids}] /Count {n_pages}>>".encode()
+    )                                                                  # 2
+    for i, text in enumerate(pages):
+        objs.append(
+            (
+                f"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {page_ids[i] + 1} 0 R "
+                f"/Resources <</Font <</F1 {font_id} 0 R>>>>>>"
+            ).encode()
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        objs.append(
+            b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objs.append(b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<</Size %d /Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def test_minimal_pdf_fixture_parse_or_quarantine(spark, tmp_path):
+    """A real .pdf flowing through the full scan→parse→embed pipeline.
+    With pymupdf installed: two pages of planted text come back as
+    text_chunk rows with page-indexed provenance and bboxes. Without it:
+    exactly one quarantine row naming the missing lib — the file is
+    never silently dropped (reference printed-and-swallowed, §2.9.6)."""
+    root = tmp_path / "pdfcorpus"
+    root.mkdir()
+    (root / "two_pages.pdf").write_bytes(
+        _build_minimal_pdf(["hello spark page one", "second page content"])
+    )
+    rows = ingest.ingest_folder(spark, str(root)).collect()
+    if HAS_FITZ:
+        texts = {
+            (r.page_num, r.content_raw)
+            for r in rows
+            if r.content_type == "text_chunk"
+        }
+        assert texts == {
+            (0, "hello spark page one"),
+            (1, "second page content"),
+        }
+        assert all(r.error is None for r in rows)
+    else:
+        assert len(rows) == 1
+        (r,) = rows
+        assert r.content_type == "error"
+        assert "pymupdf" in r.error
+        assert len(r.file_hash) == 64  # provenance survives quarantine
+        assert r.embedding is None
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_DATA),
+    reason="reference corpus not present",
+)
+def test_reference_corpus_end_to_end(spark):
+    """S1 recursive binaryFile scan + S2 dispatch over the reference's own
+    shipped corpus (1 PDF + 1 PPTX, SURVEY §1.3 golden shape 272 text +
+    21 image rows). Libs absent: one quarantine row per file, nothing
+    lost. Libs present: the golden-artifact shape bounds the output."""
+    files = ingest.with_file_meta(
+        ingest.scan_binary_files(spark, REFERENCE_DATA)
+    )
+    chunks = ingest.embed_chunks(ingest.parse_chunks(files))
+    rows = chunks.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_name.rsplit("/", 1)[-1], []).append(r)
+    assert set(by_doc) == {
+        "Microsoft_FY25Q3_PressRelease.pdf",
+        "Microsoft_FY25Q3_Results.pptx",
+    }
+    pdf_rows = by_doc["Microsoft_FY25Q3_PressRelease.pdf"]
+    pptx_rows = by_doc["Microsoft_FY25Q3_Results.pptx"]
+    if not HAS_FITZ:
+        assert len(pdf_rows) == 1 and pdf_rows[0].content_type == "error"
+        assert "pymupdf" in pdf_rows[0].error
+    else:
+        assert sum(r.content_type == "text_chunk" for r in pdf_rows) > 50
+    if not HAS_PPTX:
+        assert len(pptx_rows) == 1 and pptx_rows[0].content_type == "error"
+        assert "python-pptx" in pptx_rows[0].error
+    else:
+        # reference golden image_data: 21 images, all from the PPTX
+        assert sum(r.content_type == "image" for r in pptx_rows) == 21
+    # quarantine preserves provenance: hash + mtime for every row
+    assert all(len(r.file_hash) == 64 for r in rows)
+    assert all(r.timestamp is not None for r in rows)
