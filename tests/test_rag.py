@@ -116,6 +116,44 @@ def test_run_search_negative_query_id_fails_in_plan(chunks, spark):
         out.collect()
 
 
+def test_image_text_search_v5(chunks, spark):
+    """Reference V5 (image→text, the TODO at vector_db.py:757): a query
+    image whose payload carries revenue-chart text retrieves the revenue
+    TEXT chunk first — both sides embedded by the paired clipstub towers."""
+    q = spark.createDataFrame(
+        [(0, b"quarterly revenue grew")], "query_id int, payload binary"
+    )
+    hits = rag.image_text_search(chunks, q, top_n=2).collect()
+    assert all(h.content_type == "text_chunk" for h in hits)
+    assert hits[0].content_raw == "the quarterly revenue grew twelve percent"
+
+
+def test_image_text_search_guard_hash64_corpus(chunks, spark):
+    """The stored hash-64 text embeddings must NEVER be dotted against a
+    clipstub image query: skipping the re-embed (what a naive V5 port
+    would do) trips EmbeddingSpaceMismatch instead of returning garbage."""
+    q = spark.createDataFrame(
+        [(0, b"anything")], "query_id int, payload binary"
+    )
+    from vector_database_app_spark.functions.embed import clip_stub_image_embed
+
+    text_corpus = chunks.filter(F.col("content_type") != "image").withColumn(
+        "chunk_uid", F.concat_ws("#", "doc_name", "content_id")
+    )
+    with pytest.raises(EmbeddingSpaceMismatch):
+        knn_batch(
+            text_corpus,  # still tagged hash-64
+            q.select(
+                "query_id",
+                clip_stub_image_embed(F.col("payload")).alias("query_embedding"),
+            ),
+            vec_col="embedding",
+            id_col="chunk_uid",
+            corpus_space="hash-64",
+            query_space=CLIP_STUB_SPACE,
+        )
+
+
 def test_rrf_fusion_known_ranks(spark):
     a = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id long, sim double")
     b = spark.createDataFrame([(2, 0.7), (3, 0.6)], "doc_id long, sim double")

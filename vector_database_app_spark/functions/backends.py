@@ -1,0 +1,170 @@
+"""Pluggable embedding backends — the reference's real-model surface
+(F1-F6, `rag_search/vector_db.py:451-545`) behind the engine's batch
+embedder slot.
+
+Every backend exposes the SAME contract as `functions.embed`: a factory
+returning an Arrow-batched pandas UDF `string column -> array<float>`
+(L2-normalized — the engine's cosine==dot write invariant), plus the
+embedding-space tag its vectors carry so operators keep refusing
+cross-space dot products regardless of backend.
+
+The real-model backends construct the model (or API client) ONCE PER
+WORKER and reuse it across Arrow batches — a worker-global cache under the
+scalar pandas-UDF form, which Spark reuses across tasks
+(spark.python.worker.reuse) — the exact fix for the reference's two worst
+embedding bugs: one model/API call per string (`:269,297,324`) and the
+CLIP text tower re-downloaded on every call (`:496-497,533-534`). Scalar
+(not iterator) form deliberately: scalar pandas UDFs sharing an eval type
+fuse into ONE ArrowEvalPython stage with the neighboring image embedder,
+so every backend produces the identical physical plan. Model libraries
+are not installed in this container, so the real backends raise
+NotImplementedError inside the task at the precise line the model call
+plugs in; the plan/schema around them is real and tested
+(tests/test_backends.py swaps backends and proves identical plans and
+schemas).
+
+Only the `hash` backend is on the correctness path (deterministic, no
+dependencies); selection is explicit or via the Spark conf key
+``spark.vector_database_app_spark.embed.backend``.
+"""
+
+# NOTE: no `from __future__ import annotations` here — pandas_udf resolves
+# the eval type from runtime type hints, and stringified hints break that
+# inference (see bench.py warm-up note).
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from .embed import make_text_embed_udf
+
+#: Spark conf key consulted by `from_conf`.
+BACKEND_CONF_KEY = "spark.vector_database_app_spark.embed.backend"
+
+
+@dataclass(frozen=True)
+class TextEmbedBackend:
+    """One embedding backend: its config name, the space tag its vectors
+    live in (operators refuse cross-space dot products), output dimension,
+    and the UDF factory."""
+
+    name: str
+    space: str
+    dim: int
+    udf_factory: Callable[[], Callable[..., Column]]
+
+    def __call__(self, col) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return self.udf_factory()(c)
+
+
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (mat / norms).astype(np.float32)
+
+
+#: Worker-global model/client cache: populated lazily inside the UDF, it
+#: lives for the python worker's lifetime — one model load per worker
+#: process, shared across Arrow batches AND tasks (worker reuse).
+_WORKER_MODELS: dict = {}
+
+
+def _make_sentence_transformers_udf(model_name: str, dim: int):
+    """Reference F2 `bge_text_embedder` (`rag_search/vector_db.py:464-471`)
+    as load-once batch inference."""
+
+    @F.pandas_udf("array<float>")
+    def embed(s: pd.Series) -> pd.Series:
+        model = _WORKER_MODELS.get(model_name)
+        if model is None:
+            try:
+                from sentence_transformers import (  # noqa: PLC0415
+                    SentenceTransformer,
+                )
+            except ImportError as e:  # pragma: no cover - lib absent here
+                raise NotImplementedError(
+                    f"backend requires sentence-transformers (model "
+                    f"{model_name!r}); not installed in this environment"
+                ) from e
+            model = SentenceTransformer(model_name)  # pragma: no cover
+            _WORKER_MODELS[model_name] = model  # pragma: no cover
+        vecs = model.encode(  # pragma: no cover
+            s.fillna("").tolist(), normalize_embeddings=True
+        )
+        return pd.Series(  # pragma: no cover
+            list(np.asarray(vecs, dtype=np.float32))
+        )
+
+    return embed
+
+
+def _make_openai_udf(model_name: str, dim: int, api_batch: int = 256):
+    """Reference F1 `openai_text_embedder` (`rag_search/vector_db.py:
+    451-462`) as a BATCHED API call (the reference sent one string per
+    request) with the same normalize-after-embed step (`:460`)."""
+
+    @F.pandas_udf("array<float>")
+    def embed(s: pd.Series) -> pd.Series:
+        client = _WORKER_MODELS.get("openai")
+        if client is None:
+            try:
+                from openai import OpenAI  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover - lib absent here
+                raise NotImplementedError(
+                    f"backend requires the openai client (model "
+                    f"{model_name!r}); not installed in this environment"
+                ) from e
+            client = OpenAI()  # pragma: no cover - reads OPENAI_API_KEY
+            _WORKER_MODELS["openai"] = client  # pragma: no cover
+        texts = s.fillna("").tolist()  # pragma: no cover
+        rows: list[np.ndarray] = []  # pragma: no cover
+        for i in range(0, len(texts), api_batch):  # pragma: no cover
+            resp = client.embeddings.create(
+                model=model_name, input=texts[i : i + api_batch]
+            )
+            rows.extend(np.asarray(d.embedding) for d in resp.data)
+        return pd.Series(list(_l2_normalize(np.vstack(rows))))  # pragma: no cover
+
+    return embed
+
+
+#: name -> backend. Names follow the reference's model routing keys
+#: (`rag_search/vector_db.py:73-77,113-116`).
+TEXT_BACKENDS: dict[str, TextEmbedBackend] = {
+    "hash": TextEmbedBackend(
+        "hash", "hash-64", 64, lambda: make_text_embed_udf(64)
+    ),
+    "local-bge-base": TextEmbedBackend(
+        "local-bge-base",
+        "bge-768",
+        768,
+        lambda: _make_sentence_transformers_udf("BAAI/bge-base-en", 768),
+    ),
+    "openai-text-embedding-3-small": TextEmbedBackend(
+        "openai-text-embedding-3-small",
+        "openai-1536",
+        1536,
+        lambda: _make_openai_udf("text-embedding-3-small", 1536),
+    ),
+}
+
+
+def resolve_text_backend(name: str) -> TextEmbedBackend:
+    try:
+        return TEXT_BACKENDS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown text embed backend {name!r}; "
+            f"known: {sorted(TEXT_BACKENDS)}"
+        ) from None
+
+
+def from_conf(spark: SparkSession) -> TextEmbedBackend:
+    """Config-selected backend (default: the deterministic hash embedder —
+    the only backend on the correctness path)."""
+    return resolve_text_backend(spark.conf.get(BACKEND_CONF_KEY, "hash"))

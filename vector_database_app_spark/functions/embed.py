@@ -173,3 +173,13 @@ def clip_stub_image_embed(col: Column | str) -> Column:
     """Clipstub-space embedding of a binary payload column (UDF call)."""
     c = F.col(col) if isinstance(col, str) else col
     return make_image_embed_udf()(c)
+
+
+def clip_stub_text_embed(col: Column | str) -> Column:
+    """Clipstub-space embedding of a STRING column — the batch form of the
+    'CLIP text tower' (reference F4/F6, vector_db.py:492-508,529-545; the
+    reference reloaded the model per call — here one UDF instance embeds
+    Arrow batches). Pairs with clip_stub_image_embed for image↔text
+    retrieval in the shared clipstub space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return make_text_embed_udf(CLIP_STUB_DIM, perm_offset=CLIP_STUB_DIM)(c)

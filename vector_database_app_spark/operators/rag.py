@@ -22,6 +22,7 @@ from ..functions.embed import (
     CLIP_STUB_SPACE,
     clip_stub_image_embed,
     clip_stub_query_text,
+    clip_stub_text_embed,
     embed_query_text,
     embedding_space_tag,
 )
@@ -142,6 +143,49 @@ def image_search(
         .filter(F.col("content_type") == "image")
         .filter(F.col("embedding_space") == CLIP_STUB_SPACE)
         .withColumn("chunk_uid", _chunk_uid())
+    )
+    q = query_images.select(
+        F.col(query_id_col).alias("query_id"),
+        clip_stub_image_embed(F.col(payload_col)).alias("query_embedding"),
+    )
+    return knn_batch(
+        corpus,
+        q,
+        k=top_n,
+        vec_col="embedding",
+        id_col="chunk_uid",
+        corpus_space=CLIP_STUB_SPACE,
+        query_space=CLIP_STUB_SPACE,
+    )
+
+
+def image_text_search(
+    chunks: DataFrame,
+    query_images: DataFrame,
+    *,
+    top_n: int = 5,
+    search_location: str | None = None,
+    payload_col: str = "payload",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Reference V5 — image-vs-text search, the reference's own declared
+    TODO (`rag_search/vector_db.py:757`). Retrieval runs entirely in the
+    clipstub space through the PAIRED towers: the query image through the
+    image tower, the corpus text chunks through the text tower (CLIP
+    image→text retrieval works exactly because the towers share a space).
+
+    The STORED text embeddings live in the hash-64 space and are NOT
+    comparable — knn_batch's EmbeddingSpaceMismatch guard refuses the dot
+    product (tested) — so the text side is re-embedded into the clipstub
+    space inside the plan. A production store materializes this second
+    per-space embedding column at write time instead of per query."""
+    corpus = (
+        search_range_filter(chunks, search_location)
+        .filter(F.col("content_type") != "image")
+        .filter(F.col("embedding_space") == embedding_space_tag())
+        .withColumn("chunk_uid", _chunk_uid())
+        .withColumn("embedding", clip_stub_text_embed(F.col("content_raw")))
+        .withColumn("embedding_space", F.lit(CLIP_STUB_SPACE))
     )
     q = query_images.select(
         F.col(query_id_col).alias("query_id"),

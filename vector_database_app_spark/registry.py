@@ -823,6 +823,22 @@ def q_run_search_multimodal(spark, sf_dir):
     )
 
 
+def q_image_text_search(spark, sf_dir):
+    """rows-only: V5 image→text search — the reference's declared TODO
+    (vector_db.py:757). Two staged query 'images' (payloads carrying doc
+    text) retrieve top-5 TEXT chunks each, via the paired clipstub
+    towers."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).select(
+        F.col("doc_id").cast("int").alias("query_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    hits = rag.image_text_search(
+        _multimodal_chunks(spark, sf_dir), queries, top_n=5
+    )
+    return hits.select("query_id", "doc_name", "content_type", "chunk_uid", "sim", "rk")
+
+
 def q_rag_answer(spark, sf_dir):
     """rows-only: the complete RAG tail — run_search hits → R1 prompt
     assembly (text + base64 image parts, similarity-ordered) → R2 batched
@@ -1282,6 +1298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_fixed": q_chunk_fixed,
     "ingest_chunks": q_ingest_chunks,
     "run_search_multimodal": q_run_search_multimodal,
+    "image_text_search": q_image_text_search,
     "rag_answer": q_rag_answer,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_similarity_join": q_dedup_similarity_join,

@@ -322,16 +322,32 @@ def dedup_against_store(files: DataFrame, existing: DataFrame) -> DataFrame:
     )
 
 
-def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
+def embed_chunks(
+    chunks: DataFrame, dim: int = 64, text_backend: str | None = None
+) -> DataFrame:
     """Attach embeddings at write time (normalized — the engine's
-    cosine==dot invariant): text rows via the deterministic text embedder
-    (space `hash-<dim>`), image rows via the CLIP-stub image tower (space
-    `clipstub-32`, shared with the stub text tower so cross-modal search
-    works, mirroring the reference's paired CLIP encoders,
-    vector_db.py:716-722). Quarantine rows keep NULL embeddings. Output
-    matches `schemas.CHUNKS` + the quarantine column."""
+    cosine==dot invariant): text rows via the selected text backend
+    (default: the deterministic hash embedder, space `hash-<dim>` — the
+    only backend on the correctness path), image rows via the CLIP-stub
+    image tower (space `clipstub-32`, shared with the stub text tower so
+    cross-modal search works, mirroring the reference's paired CLIP
+    encoders, vector_db.py:716-722). Quarantine rows keep NULL embeddings.
+    Output matches `schemas.CHUNKS` + the quarantine column.
+
+    `text_backend` selects a real-model slot from functions.backends
+    (reference F1/F2 — 'openai-text-embedding-3-small', 'local-bge-base'):
+    same plan shape, same schema, different vectors + space tag."""
     is_text = F.col("content_type") == "text_chunk"
     is_image = F.col("content_type") == "image"
+    if text_backend is None or text_backend == "hash":
+        text_embed = hash_embed_udf(F.col("content_raw"), dim)
+        text_space = embedding_space_tag(dim)
+    else:
+        from ..functions.backends import resolve_text_backend
+
+        backend = resolve_text_backend(text_backend)
+        text_embed = backend(F.col("content_raw"))
+        text_space = backend.space
     return chunks.select(
         "doc_name",
         "doc_type",
@@ -340,11 +356,11 @@ def embed_chunks(chunks: DataFrame, dim: int = 64) -> DataFrame:
         "content_id",
         "content_raw",
         "content_bytes",
-        F.when(is_text, hash_embed_udf(F.col("content_raw"), dim))
+        F.when(is_text, text_embed)
         .when(is_image, clip_stub_image_embed(F.col("content_bytes")))
         .otherwise(F.lit(None))
         .alias("embedding"),
-        F.when(is_text, F.lit(embedding_space_tag(dim)))
+        F.when(is_text, F.lit(text_space))
         .when(is_image, F.lit(CLIP_STUB_SPACE))
         .otherwise(F.lit(None))
         .alias("embedding_space"),
