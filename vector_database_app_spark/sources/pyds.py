@@ -228,7 +228,15 @@ class _JsonlCommitWriter(DataSourceStreamWriter):
     checkpoint advanced) discards its temp files instead of renaming:
     exactly-once output without a transactional store, the same recipe as
     streaming/windows.run_stream_to_parquet but expressed through the
-    Python DataSource write contract."""
+    Python DataSource write contract.
+
+    CONSTRAINT: the driver-side commit() renames files the EXECUTORS
+    wrote, so `path` must be one filesystem visible to driver and all
+    executors — local mode, NFS/shared volume, or a rename-capable DFS
+    client (a fuse/NFS mount). On object stores (S3/GCS) there is no
+    atomic rename: stage to the store via multipart upload and commit by
+    manifest (what Delta/Iceberg's commit protocols do) instead of this
+    two-phase file rename."""
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
