@@ -80,3 +80,48 @@ def test_backend_call_contract(spark):
     (row,) = out.collect()
     assert len(row.e) == 64
     assert abs(sum(x * x for x in row.e) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# R2 generation backends (reference generate_gpt_response /
+# generate_mistral_response, vector_db.py:768-901)
+# ---------------------------------------------------------------------------
+
+from vector_database_app_spark.functions import llm_backends as L
+from vector_database_app_spark.operators import rag
+
+
+@pytest.fixture(scope="module")
+def prompts(spark):
+    return spark.createDataFrame(
+        [(0, "query: revenue | context: " + " ".join(f"w{i}" for i in range(200)))],
+        "query_id int, prompt string",
+    )
+
+
+def test_gen_backend_registry(spark):
+    assert L.resolve_gen_backend("stub") is L.stub_generate
+    assert L.from_conf(spark) is L.stub_generate  # default off-path safe
+    with pytest.raises(ValueError, match="unknown LLM backend"):
+        L.resolve_gen_backend("claude")
+    # reference response-model routing keys resolve (vector_db.py:40-64)
+    assert L.resolve_gen_backend("openai-gpt-4o") is L.gpt_generate
+    assert L.resolve_gen_backend("local-mistral-3") is L.mistral_generate
+
+
+def test_gen_backend_swap_same_plan_and_schema(prompts):
+    df_stub = rag.answer_prompts(prompts, backend="stub")
+    df_gpt = rag.answer_prompts(prompts, backend="openai-gpt-4o")
+    assert df_stub.schema == df_gpt.schema
+    assert _plan_shape(df_stub) == _plan_shape(df_gpt)
+
+
+def test_gen_stub_caps_at_100_tokens(prompts):
+    (row,) = rag.answer_prompts(prompts, backend="stub").collect()
+    assert len(row.response.split()) == 100  # reference max_new_tokens=100
+
+
+def test_gen_real_backend_raises_at_model_boundary(prompts):
+    df = rag.answer_prompts(prompts, backend="openai-gpt-4o")
+    with pytest.raises(Exception, match="openai"):
+        df.collect()

@@ -136,9 +136,15 @@ def caption_images(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Image → caption text derivation (reference F7 BLIP / F8 GPT-4o,
-    `rag_search/vector_db.py:547-596`, incl. the 3-retry loop at
-    `:312-340` — retries belong INSIDE the UDF here, with Spark task retry
-    as the outer layer).
+    `rag_search/vector_db.py:547-596`).
+
+    DELIBERATE DIVERGENCE from the reference's retry semantics
+    (`:312-340,394-414`: 3 attempts with a 1 s sleep, then the image row
+    is kept with NO caption): here a failed caption lands in the
+    quarantine column instead of being silently dropped, model-call
+    retries belong INSIDE the UDF body (around the inference call), and
+    Spark task retry is the outer layer — a sleep-loop per image in the
+    driver thread does not survive contact with a 100 TB corpus.
 
     STUB: no vision model in this container. The fake caption is a
     deterministic function of the payload (size + content digest), so the

@@ -317,16 +317,20 @@ def assemble_prompts(
     )
 
 
-def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
+def answer_prompts(prompts: DataFrame, backend: str = "stub") -> DataFrame:
     """R2 batched LLM inference slot (reference GPT-4o / local Mistral,
-    vector_db.py:768-901, max_new_tokens=100 at :830): an Arrow-batched
-    mapInPandas stage over assembled prompts. STUB: deterministic
-    'summary' = first 100 whitespace tokens of the context (the cap
-    mirrors the reference's token limit); a real deployment swaps the body
-    for a chat-completions batch call, same schema."""
+    vector_db.py:768-901): ONE Arrow-batched mapInPandas stage over
+    assembled prompts, with the generation function selected from
+    functions.llm_backends ('stub' | 'openai-gpt-4o' | 'local-mistral-3').
+    Every backend shares this plan and the (query_id, response) schema;
+    only 'stub' (deterministic first-100-token summary, cap mirroring the
+    reference's max_new_tokens=100 at :830) is on the correctness path."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    from ..functions.llm_backends import resolve_gen_backend
+
+    generate = resolve_gen_backend(backend)
     schema = T.StructType(
         [
             T.StructField("query_id", T.IntegerType()),
@@ -338,13 +342,16 @@ def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {
                 "query_id": pdf["query_id"],
-                "response": [
-                    " ".join(p.split()[:100]) for p in pdf["prompt"]
-                ],
+                "response": generate(list(pdf["prompt"])),
             }
             yield pd.DataFrame(out)
 
     return prompts.mapInPandas(run, schema)
+
+
+def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
+    """Back-compat alias: the deterministic stub backend."""
+    return answer_prompts(prompts, backend="stub")
 
 
 def rrf_fusion(
