@@ -65,3 +65,31 @@ def l2_normalize(v: Column | str) -> Column:
     n = l2_norm(v)
     vv = _as_double(v)
     return F.when(n > F.lit(0.0), F.transform(vv, lambda x: x / n)).otherwise(vv)
+
+
+def int8_scale(v: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max|x| / 127 (0 for the zero
+    vector so downstream division stays finite via nullif guards)."""
+    vv = _as_double(v)
+    return F.array_max(F.transform(vv, F.abs)) / F.lit(127.0)
+
+
+def int8_quantize(v: Column | str, scale: Column) -> Column:
+    """Quantize to int8 codes by TRUNCATION toward zero — both engines
+    truncate identically (Spark double→long cast / DuckDB trunc), unlike
+    round(), whose half-way ties break differently across engines."""
+    vv = _as_double(v)
+    return F.transform(
+        vv, lambda x: (x / F.nullif(scale, F.lit(0.0))).cast("long")
+    )
+
+
+def int8_dequant_error(v: Column | str, scale: Column, rounding: int = 6) -> Column:
+    """Max absolute reconstruction error |x - q*scale| of the int8
+    round-trip — the quality metric that decides whether a corpus can
+    serve ANN from quantized vectors (4x smaller scans) with exact
+    re-rank on the float originals."""
+    vv = _as_double(v)
+    q = int8_quantize(v, scale)
+    err = F.zip_with(vv, q, lambda x, c: F.abs(x - c * scale))
+    return F.round(F.coalesce(F.array_max(err), F.lit(0.0)), rounding)

@@ -106,6 +106,41 @@ def knn_batch(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """RANGE query — every corpus row with cosine >= threshold per query
+    (radius search: "all candidates at least this similar", the retrieval
+    mode behind near-dup lookups and recall-first RAG, where top-k's fixed
+    cut is wrong by construction).
+
+    Cheaper than knn_batch at scale: the threshold is a plain filter on
+    the scored rows — NO per-query window, NO shuffle at all after the
+    broadcast join; the corpus stays partition-local end to end. For
+    selective thresholds pre-filter with an SRP/IVF candidate stage and
+    apply the same predicate inside the probed cells."""
+    _check_spaces(corpus_space, query_space)
+    return (
+        corpus.crossJoin(
+            F.broadcast(queries.select(query_id_col, query_vec_col))
+        )
+        .withColumn(
+            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        )
+        .filter(F.col("sim") >= threshold)
+        .drop(query_vec_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale path: sign-random-projection LSH buckets + exact re-rank
 # ---------------------------------------------------------------------------

@@ -147,3 +147,87 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "tfidf", "rk")
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str = "lang",
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sampling: the k lowest Knuth
+    multiplicative hashes of the id within each stratum. The standard
+    training-data mix op ("exactly k docs per language/source") without
+    RNG — reproducible across engines, runs, and cluster sizes, unlike
+    sampleBy whose per-partition seeds drift with the split layout.
+
+    Scale shape: one hash-partition shuffle on the stratum key + per-group
+    top-k window. For very hot strata at 100 TB, swap the window for the
+    same two-phase top-k trick TakeOrderedAndProject uses (per-partition
+    heap then merge); at corpus scale the per-group row count is what it
+    is — k rows survive per stratum either way."""
+    from pyspark.sql import Window
+
+    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, strata_col, F.col("_rk").cast("int").alias("sample_rank"))
+    )
+
+
+#: PII patterns (kept to syntax shared by Java regex and DuckDB's RE2):
+#: emails and http(s) URLs — the two scrubs every public-corpus pipeline
+#: runs first.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction (training-data compliance pass): count
+    and strip emails/URLs, emitting the redacted text alongside the
+    counts so the pipeline can route 'dirty' docs to review and clean
+    ones onward. Pure regexp expressions — one scan, codegen, no
+    shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL)).cast("bigint").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL, "<URL>"), PII_EMAIL, "<EMAIL>"
+        ).alias("redacted"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_docs: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-grams appearing in at
+    least `min_docs` DISTINCT documents (headers, footers, license
+    blurbs — the repeated-n-gram filter every web-scale corpus runs).
+
+    Scale shape: per-doc DISTINCT shingles first (row-local, so a phrase
+    repeated inside one doc counts once), explode, then ONE hash
+    aggregation keyed by shingle with map-side partial counts — the
+    shuffle carries |distinct shingles| rows, not |corpus|. The output is
+    the boilerplate lexicon; anti-joining it back onto exploded docs is
+    the removal pass."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(text_col, n))).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -766,6 +766,82 @@ def q_ann_kmeans_train(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic k-per-stratum sample (training-data mix control):
+    the 20 lowest Knuth-hashes per language."""
+    return textops.sample_stratified(
+        _t(spark, sf_dir, "documents"), "lang", k=20
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact. The fixture corpus is synthetic word-soup, so
+    PII is STAGED in-query (deterministically, on both engines): every
+    7th doc gains an email, every 11th a URL — the scrub must find
+    exactly those and strip them."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/doc/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(docs)
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Repeated word-2-grams across >= 25 distinct docs — the corpus
+    boilerplate lexicon (C4-style repeated-n-gram filter; 2-grams because
+    the synthetic corpus's 3-gram doc-frequency tops out at 7)."""
+    return textops.boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=2, min_docs=25
+    )
+
+
+def q_knn_range_search(spark, sf_dir):
+    """Radius search: all corpus vectors with cosine >= 0.3 of 3 query
+    vectors — no window, no post-join shuffle (threshold beats top-k when
+    recall matters more than a fixed cut)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.range_search(corpus, queries, threshold=0.3).select(
+        "query_id", "vec_id", "label", "sim"
+    )
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization audit: per-vector scale + max round-trip
+    error — the go/no-go metric for serving ANN from 4x-smaller int8
+    scans with float re-rank."""
+    from .functions import vector as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = V.int8_scale("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        V.int8_dequant_error("embedding", scale).alias("max_abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ingest pipeline (SURVEY §2.1 S1-S4/S6, §3.2)
 # ---------------------------------------------------------------------------
@@ -1315,6 +1391,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "text_tfidf": q_text_tfidf,
+    "sample_stratified": q_sample_stratified,
+    "pii_scrub": q_pii_scrub,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "knn_range_search": q_knn_range_search,
+    "embed_quantize": q_embed_quantize,
     "corpus_filter": q_corpus_filter,
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
@@ -2044,6 +2125,77 @@ ORACLE: dict[str, str] = {
         SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n
         FROM exploded GROUP BY 1, 2
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS rk
+            FROM documents) WHERE rk <= 20
+    """,
+    "pii_scrub": """
+        WITH staged AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || doc_id || '@example.com'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ' see https://example.com/doc/' || doc_id
+                        ELSE '' END AS text
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+                   AS BIGINT) AS n_urls,
+               regexp_replace(
+                   regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS redacted
+        FROM staged
+    """,
+    "boilerplate_ngrams": """
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(ws) >= 2 THEN
+                           list_transform(range(1, len(ws)),
+                                          i -> ws[i] || ' ' || ws[i+1])
+                       ELSE [lower(text)] END)) AS ngram
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS ws
+                  FROM documents))
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+        FROM sh GROUP BY ngram HAVING count(*) >= 25
+    """,
+    "knn_range_search": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id >= 3
+        )
+        SELECT query_id, vec_id, label, sim FROM scored WHERE sim >= 0.3
+    """,
+    "embed_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS sc
+            FROM embeddings)
+        SELECT vec_id,
+               round(sc, 6) AS scale,
+               round(coalesce(list_max(list_transform(e,
+                   x -> abs(x - trunc(x / nullif(sc, 0)) * sc))), 0.0), 6)
+                   AS max_abs_err
+        FROM s
     """,
     "window_session": """
         WITH flagged AS (
