@@ -72,3 +72,49 @@ def test_column_pruning(spark):
     df = QUERIES["project_cols"](spark, SF)
     plan = explain_str(df)
     assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan, plan
+
+
+def test_range_search_has_no_post_join_shuffle(spark):
+    """Radius search is filter-on-scores: after the broadcast join there
+    must be NO Exchange and NO Window — the corpus stays partition-local
+    (the whole point of threshold search over top-k at scale)."""
+    df = QUERIES["knn_range_search"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan.split("Join")[0], plan
+
+
+def test_sample_stratified_single_shuffle(spark):
+    """k-per-stratum sampling = one hash partitioning on the stratum key
+    feeding the rank window; no second exchange."""
+    df = QUERIES["sample_stratified"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_pii_scrub_is_scan_project_only(spark):
+    """PII scrub must stay a pure projection over the scan: no shuffle,
+    no python — regexp expressions inside codegen."""
+    df = QUERIES["pii_scrub"](spark, SF)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "* Project" in plan, plan  # the * marks a codegen'd operator
+
+
+def test_boilerplate_single_agg_shuffle(spark):
+    """Per-doc distinct shingles happen BEFORE the explode, so the only
+    shuffle is the final shingle-keyed aggregation (partial+final)."""
+    df = QUERIES["boilerplate_ngrams"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_embed_quantize_no_shuffle(spark):
+    """Quantization audit is row-local: scan + project, nothing else."""
+    df = QUERIES["embed_quantize"](spark, SF)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
