@@ -148,3 +148,27 @@ def test_sliding_stream_runs(spark, batch_events):
         for r in SW.sliding_counts(batch_events, "1 hour", "30 minutes").collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_equals_batch(spark, batch_events):
+    """Stream-static broadcast enrichment: the streaming micro-batches
+    produce exactly the batch join's rows — no state store involved."""
+    from vector_database_app_spark.sources.catalog import load_table
+
+    dim = load_table(spark, SF, "customer")
+    stream = SW.stream_events(spark, SF)
+    enriched = SW.enrich_with_dim(stream, dim).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    _drain(enriched, "s_enrich", "append")
+    got = {tuple(r) for r in spark.table("s_enrich").collect()}
+    want = {
+        tuple(r)
+        for r in SW.enrich_with_dim(batch_events, dim)
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # left-join semantics: no events were dropped by the lookup
+    assert len(got) == batch_events.count()

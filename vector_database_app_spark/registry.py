@@ -1304,6 +1304,24 @@ def q_stream_attribution(spark, sf_dir):
     return SW.purchase_click_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Batch form of stream-static dimension enrichment (broadcast lookup
+    join onto the event stream); the same function runs as a readStream
+    query in tests/test_streaming.py. Aggregated per segment so the
+    output is small and the left-join NULL coverage (users without a dim
+    row) is part of the checked result."""
+    out = SW.enrich_with_dim(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+    return (
+        out.groupBy(F.coalesce("c_mktsegment", F.lit("NO_DIM")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def q_window_tumbling(spark, sf_dir):
     return SW.tumbling_counts(_t(spark, sf_dir, "events"), "1 hour")
 
@@ -1410,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
     "stream_attribution": q_stream_attribution,
+    "stream_enrich": q_stream_enrich,
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
@@ -1763,6 +1782,13 @@ ORACLE: dict[str, str] = {
         FROM pairs p
         JOIN sh sa ON sa.doc_id = p.id_a
         JOIN sh sb ON sb.doc_id = p.id_b
+    """,
+    "stream_enrich": """
+        SELECT coalesce(c.c_mktsegment, 'NO_DIM') AS segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY coalesce(c.c_mktsegment, 'NO_DIM')
     """,
     "stream_attribution": """
         SELECT p.event_id AS purchase_id, p.user_id,

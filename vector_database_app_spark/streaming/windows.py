@@ -128,6 +128,31 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment: broadcast-join a (small, slowly-changing)
+    dimension onto the event stream — the canonical streaming lookup
+    (user profile, device table, exchange rates). Identical code runs in
+    batch (oracle-checked as `stream_enrich`) and as a readStream query
+    (tests/test_streaming.py): Spark plans the static side as a broadcast,
+    so the stream never shuffles and there is no state store — each
+    micro-batch probes the broadcast hash table.
+
+    Left join: events without a dim row pass through with NULLs (dropping
+    them silently is how attribution pipelines lose traffic); count the
+    NULLs downstream to monitor dim coverage."""
+    d = dim.select(
+        F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols]
+    )
+    return events.join(F.broadcast(d), stream_key, "left")
+
+
 def purchase_click_attribution(
     events: DataFrame, *, attribution_window: str = "30 minutes"
 ) -> DataFrame:
