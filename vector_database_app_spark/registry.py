@@ -474,6 +474,42 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
+def q_agg_corr(spark, sf_dir):
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the OLS regression line (slope/intercept) of
+    extendedprice on quantity — the §2.6 statistical-aggregate family
+    beyond simple moments. One hash aggregation; all four statistics
+    share the same partial sums, so adding them is shuffle-free."""
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        )
+    )
+
+
+def q_window_cume(spark, sf_dir):
+    """cume_dist + nth_value over an explicit full-partition ROWS frame
+    (nth_value under the DEFAULT frame returns NULL until the nth row has
+    been 'seen' — pin the frame or the result is order-of-evaluation
+    trivia, and engines disagree)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
+    )
+
+
 def q_unpivot_long(spark, sf_dir):
     """Unpivot (wide→long), the inverse reshape of pivot_wide: lineitem
     measures melted to (measure, value) rows via the native DataFrame
@@ -1374,6 +1410,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead": q_window_lead,
     "agg_stats": q_agg_stats,
     "agg_percentile": q_agg_percentile,
+    "agg_corr": q_agg_corr,
+    "window_cume": q_window_cume,
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_regional_revenue": q_sql_regional_revenue,
     "string_funcs": q_string_funcs,
@@ -1629,6 +1667,28 @@ ORACLE: dict[str, str] = {
                round(stddev_samp(l_extendedprice), 4) AS std_price,
                round(var_samp(l_extendedprice), 2) AS var_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_corr": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4)
+                   AS covar_qty_price,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "window_cume": """
+        SELECT o_orderkey, o_orderpriority,
+               round(cume_dist() OVER w, 6) AS price_cume,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
     """,
     "agg_percentile": """
         SELECT o_orderpriority,
