@@ -187,3 +187,74 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_energy", T.DoubleType()),
+        T.StructField("n_windows", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    window_ms: int = 1000,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Audio decode + signal features as an Arrow-batched mapInPandas
+    stage — the audio twin of `decode_image_features` (duration,
+    RMS energy, analysis-window count; a real pipeline adds MFCC/log-mel
+    features through the same slot and they flow to embedding like any
+    vector column).
+
+    STUB: no audio codec (soundfile/librosa/ffmpeg) ships in this
+    container. With ``deterministic_fake=True`` the payload bytes are
+    treated as 8-bit PCM mono @ 16 kHz, so every derived number is an
+    exact function of the bytes and the plumbing (batching, schema,
+    windowing arithmetic) is fully exercised; ``deterministic_fake=False``
+    raises NotImplementedError exactly where the decoder plugs in."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rate = 16000
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa/ffmpeg — "
+                    "plug the codec in here; this container ships no "
+                    "audio libs"
+                )
+            out = {
+                "doc_id": pdf[id_col],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "rms_energy": [],
+                "n_windows": [],
+            }
+            for payload in pdf[payload_col]:
+                pcm = np.frombuffer(bytes(payload), dtype=np.uint8)
+                centered = pcm.astype(np.float64) - 128.0
+                n = int(pcm.size)
+                dur_ms = n * 1000 // rate
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(dur_ms)
+                out["rms_energy"].append(
+                    round(float(np.sqrt((centered**2).mean())) if n else 0.0, 6)
+                )
+                out["n_windows"].append(-(-max(dur_ms, 1) // window_ms))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, AUDIO_FEATURES_SCHEMA
+    )

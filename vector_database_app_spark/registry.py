@@ -1327,6 +1327,14 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(payload)
 
 
+def q_audio_features(spark, sf_dir):
+    """rows-only: audio decode + signal features (duration, RMS energy,
+    window count) via Arrow mapInPandas with the deterministic PCM8 fake
+    — the audio leg of the multimodal column surface."""
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_features(payload)
+
+
 # ---------------------------------------------------------------------------
 # Streaming surface — batch-equivalent forms (oracle-checked); the streaming
 # mode of the same functions is exercised in tests/test_streaming.py
@@ -1465,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
+    "audio_features": q_audio_features,
     "stream_attribution": q_stream_attribution,
     "stream_enrich": q_stream_enrich,
     "window_tumbling": q_window_tumbling,
