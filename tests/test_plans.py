@@ -118,3 +118,16 @@ def test_embed_quantize_no_shuffle(spark):
     df = QUERIES["embed_quantize"](spark, SF)
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_conf_profile():
+    """The 100 TB profile keeps semantics-neutral keys only and scales
+    the initial shuffle partitioning with the fleet."""
+    from vector_database_app_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=4000)
+    assert conf["spark.sql.shuffle.partitions"] == "8000"
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    # semantics-stability keys match the local session exactly
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    assert conf["spark.sql.execution.arrow.pyspark.enabled"] == "true"

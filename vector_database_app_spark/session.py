@@ -51,3 +51,54 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    *,
+    total_cores: int = 1000 * 4,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """The 100 TB cluster profile — what changes (and what deliberately
+    does NOT) when this engine leaves local[32] for ~1000 executors.
+    Returned as a dict so deployments feed it to spark-submit --conf /
+    SparkSession.builder without importing anything else.
+
+    Rationale per key:
+
+    - shuffle.partitions ≈ 2-3x total cores: the INITIAL partitioning only
+      — AQE coalesces small post-shuffle partitions at runtime, so
+      over-partitioning is cheap and under-partitioning (spill) is the
+      failure mode being priced out.
+    - files.maxPartitionBytes 256m: at 100 TB this yields ~400k scan
+      tasks; larger splits amortize task overhead, and columnar pruning
+      keeps per-task memory bounded by the projected columns, not the
+      split size.
+    - adaptive.* on: runtime re-plan (coalescing, skew-join splitting,
+      broadcast demotion) replaces every hand-tuned partition count in
+      this codebase — the operators were written assuming it.
+    - autoBroadcastJoinThreshold 64m: dimension tables, centroid/probe
+      lists, and query batches are the broadcast sides everywhere here;
+      64m covers them while 100 TB fact sides can never be mistaken for
+      broadcastable.
+    - shuffle.service / dynamicAllocation: elasticity on a shared cluster;
+      harmless locally, required at fleet scale.
+    - kryo: shuffle/broadcast bytes, not semantics.
+
+    NOT set: executor count/sizing flags beyond memory (cluster-manager
+    territory), and nothing that alters query semantics — the same plans
+    that pass the sf0.01 oracle gate run unchanged."""
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.7",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
