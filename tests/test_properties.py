@@ -119,3 +119,25 @@ def test_prefix_filter_similarity_join_is_exact(spark):
     }
     assert filtered == full
     assert len(full) > 0
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_int8_truncation_error_bounded_by_one_step(vec):
+    """Int8 truncation round-trip error is strictly below one quantization
+    step (|x - trunc(x/s)*s| < s) — the invariant that makes the
+    embed_quantize audit meaningful. Pure-python mirror of the column
+    expressions in functions.vector."""
+    scale = max(abs(x) for x in vec) / 127.0
+    if scale == 0:
+        return  # zero vector: quantization is exact by definition
+    for x in vec:
+        q = int(x / scale)  # python int() truncates toward zero, like both engines
+        assert abs(x - q * scale) < scale + 1e-12
+        assert -127 <= q <= 127
