@@ -1,0 +1,243 @@
+"""Stdlib-only fallback extractors for PDF and PPTX (S3/S4 degraded path).
+
+The primary parsers use PyMuPDF / python-pptx (reference ``embed_pdf`` /
+``embed_pptx``, `rag_search/vector_db.py:247-342,344-418`). Those libraries
+are not installed in this container — but both formats are tractable with
+the standard library alone, so rather than quarantining every PDF/PPTX the
+ingest pipeline degrades to these extractors and the reference's own sample
+corpus (`rag_search/data/`) flows through the REAL scan→parse→embed path
+end-to-end (tests/test_ingest.py asserts row counts against it).
+
+What each fallback honestly is:
+
+- **PDF** (`pdf_pages_text`): classic-xref object scan (``N 0 obj`` …
+  ``endobj``), FlateDecode content streams via ``zlib``, text from literal
+  ``(…) Tj`` / ``[…] TJ`` show operators inside BT…ET blocks, cp1252
+  byte decode. LIMITATIONS (why PyMuPDF stays the primary): no object
+  streams (/ObjStm — objects hidden inside compressed containers are
+  invisible), no ToUnicode CMaps (subset CID fonts decode as garbage; a
+  printable-ratio guard drops such strings), no layout analysis — callers
+  re-chunk the per-page text with the engine's word-window chunker instead
+  of PyMuPDF's layout blocks, so row GRANULARITY differs from the
+  reference golden (272 layout blocks → ~45 word-window chunks for the
+  same sample text); CONTENT coverage is the same pages and words.
+- **PPTX** (`pptx_shapes`): the container is plain zip+XML. Text from
+  ``a:t`` runs grouped per shape, pictures resolved through each slide's
+  relationship part to the ``ppt/media/`` blob, bbox from ``a:off``/
+  ``a:ext`` (EMU, as python-pptx reports). This path is near-parity with
+  python-pptx for the shapes the reference extracts — on the reference's
+  sample deck it yields the exact golden image count (21).
+
+Both run inside the Arrow-batched parse stage (one file per input row), so
+scale behavior is the ingest pipeline's: embarrassingly parallel, no
+shuffle, quarantine rows for files that still fail.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from collections.abc import Iterator
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_LITERAL_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
+_CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(raw: bytes) -> str:
+    """PDF literal-string bytes (escapes + octal) → text via cp1252 (the
+    closest stdlib codec to PDF's WinAnsiEncoding)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\":
+            nxt = raw[i + 1 : i + 2]
+            if nxt.isdigit():
+                j = 1
+                while j <= 3 and raw[i + j : i + j + 1].isdigit():
+                    j += 1
+                out += bytes([int(raw[i + 1 : i + j], 8) & 0xFF])
+                i += j
+            elif nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            else:  # line continuation or unknown escape: drop the backslash
+                i += 1
+        else:
+            out += c
+            i += 1
+    return out.decode("cp1252", errors="replace")
+
+
+def _mostly_printable(s: str) -> bool:
+    """Guard against CID/subset-font strings (2-byte glyph ids decoded as
+    cp1252 soup): keep a string only when it reads like text."""
+    if not s:
+        return False
+    ok = sum(ch.isprintable() or ch.isspace() for ch in s)
+    return ok / len(s) >= 0.8
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    head = body.split(b"stream", 1)[0]
+    if b"/FlateDecode" in head:
+        try:
+            return zlib.decompress(m.group(1))
+        except zlib.error:
+            return None
+    return m.group(1)
+
+
+def _text_of_content_stream(cs: bytes) -> str:
+    parts: list[str] = []
+    for bt in _BT_ET_RE.finditer(cs):
+        seg = bt.group(1)
+        for sm in _LITERAL_RE.finditer(seg):
+            t = _decode_literal(sm.group(0)[1:-1])
+            if _mostly_printable(t):
+                parts.append(t)
+        for hm in _HEX_RE.finditer(seg):
+            hx = re.sub(rb"\s", b"", hm.group(1))
+            if len(hx) % 2:
+                hx += b"0"
+            t = bytes.fromhex(hx.decode("ascii")).decode(
+                "cp1252", errors="replace"
+            )
+            if _mostly_printable(t):
+                parts.append(t)
+    return "".join(parts)
+
+
+def pdf_pages_text(data: bytes) -> list[str]:
+    """Per-page extracted text, page order = page-object order in the file
+    (classic writers emit pages in document order; good enough for a
+    fallback — PyMuPDF walks the page tree instead)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    pages: list[str] = []
+    for _num, body in objs.items():
+        head = body.split(b"stream", 1)[0]
+        if not _PAGE_RE.search(head) or _PAGES_RE.search(head):
+            continue
+        arr = _CONTENTS_ARR_RE.search(head)
+        if arr:
+            refs = [int(x) for x in _REF_RE.findall(arr.group(1))]
+        else:
+            one = _CONTENTS_ONE_RE.search(head)
+            refs = [int(one.group(1))] if one else []
+        text = ""
+        for r in refs:
+            cs = _stream_bytes(objs.get(r, b""))
+            if cs:
+                text += _text_of_content_stream(cs)
+        pages.append(text)
+    if not pages:
+        raise ValueError(
+            "fallback pdf extractor found no page objects "
+            "(object-stream-only xref? encrypted?)"
+        )
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# PPTX
+# ---------------------------------------------------------------------------
+
+_NS = {
+    "a": "http://schemas.openxmlformats.org/drawingml/2006/main",
+    "p": "http://schemas.openxmlformats.org/presentationml/2006/main",
+    "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+}
+_SLIDE_RE = re.compile(r"ppt/slides/slide(\d+)\.xml$")
+
+
+def pptx_shapes(data: bytes) -> Iterator[dict]:
+    """Yield per-shape dicts matching the primary parser's emit shape:
+    ``{"page_num", "content_type", "content_id", "content_raw",
+    "content_bytes", "bbox"}`` — text shapes (concatenated ``a:t`` runs)
+    and pictures (media blob via the slide's rels), bbox in EMU floats
+    like python-pptx's left/top/width/height."""
+    import xml.etree.ElementTree as ET
+
+    z = zipfile.ZipFile(io.BytesIO(data))
+    names = set(z.namelist())
+    slides = sorted(
+        (n for n in names if _SLIDE_RE.search(n)),
+        key=lambda n: int(_SLIDE_RE.search(n).group(1)),
+    )
+    if not slides:
+        raise ValueError("no ppt/slides/*.xml parts — not a pptx?")
+
+    def shape_bbox(el) -> list[float] | None:
+        off = el.find(f".//{{{_NS['a']}}}off")
+        ext = el.find(f".//{{{_NS['a']}}}ext")
+        if off is None or ext is None:
+            return None
+        x, y = float(off.get("x", 0)), float(off.get("y", 0))
+        cx, cy = float(ext.get("cx", 0)), float(ext.get("cy", 0))
+        return [x, y, x + cx, y + cy]
+
+    def shape_id(el) -> str:
+        cnv = el.find(f".//{{{_NS['p']}}}cNvPr")
+        return cnv.get("id", "") if cnv is not None else ""
+
+    for slide_idx, part in enumerate(slides):
+        rels: dict[str, str] = {}
+        rel_part = f"ppt/slides/_rels/{part.rsplit('/', 1)[1]}.rels"
+        if rel_part in names:
+            for rel in ET.fromstring(z.read(rel_part)):
+                rels[rel.get("Id")] = rel.get("Target")
+        root = ET.fromstring(z.read(part))
+        for sp in root.iter(f"{{{_NS['p']}}}sp"):
+            text = "".join(
+                t.text or "" for t in sp.iter(f"{{{_NS['a']}}}t")
+            ).strip()
+            if text:
+                yield {
+                    "page_num": slide_idx,
+                    "content_type": "text_chunk",
+                    "content_id": shape_id(sp),
+                    "content_raw": text,
+                    "content_bytes": None,
+                    "bbox": shape_bbox(sp),
+                }
+        for pic in root.iter(f"{{{_NS['p']}}}pic"):
+            blip = pic.find(f".//{{{_NS['a']}}}blip")
+            rid = (
+                blip.get(f"{{{_NS['r']}}}embed") if blip is not None else None
+            )
+            target = rels.get(rid)
+            if not target:
+                continue
+            media = "ppt/" + target.replace("../", "")
+            if media not in names:
+                continue
+            yield {
+                "page_num": slide_idx,
+                "content_type": "image",
+                "content_id": shape_id(pic),
+                "content_raw": None,
+                "content_bytes": z.read(media),
+                "bbox": shape_bbox(pic),
+            }

@@ -12,10 +12,11 @@ Re-expression of the reference's ingestion entry points (SURVEY §3.2):
   the file hash BEFORE the expensive parse+embed work, same ordering as the
   reference.
 - ``embed_pdf`` / ``embed_pptx`` (`:247-342`, `:344-418`) — PyMuPDF /
-  python-pptx extraction. Both libraries are optional imports here (absent
-  in this container): the parsers carry the real dispatch/emit structure and
-  degrade to a quarantine row explaining the missing dependency. Plain-text
-  formats (.txt/.md) parse for real.
+  python-pptx extraction when installed; otherwise stdlib fallback
+  extractors (``fallback_parsers.py``: zlib'd content streams for PDF,
+  zip+XML for PPTX) keep real rows flowing — the reference's shipped
+  sample corpus parses end-to-end in this container. Unparseable files
+  become quarantine rows. Plain-text formats (.txt/.md) parse natively.
 - ``_save_vector_db`` pickles (`:231-238`) → schema-enforced parquet
   partitioned by ``doc_type``.
 
@@ -135,14 +136,30 @@ def _parse_text(doc_name: str, data: bytes) -> Iterator[dict]:
 def _parse_pdf(doc_name: str, data: bytes) -> Iterator[dict]:
     """PDF via PyMuPDF when installed (reference `embed_pdf`,
     vector_db.py:247-342: per-page text blocks with bbox + images with
-    bbox). Raises ParserUnavailable in containers without the lib — the
-    pipeline converts that to a quarantine row."""
+    bbox). Without the lib, the stdlib fallback extractor recovers the
+    same pages' text (word-window chunk granularity, no bbox/images —
+    see fallback_parsers.py); files neither can read become quarantine
+    rows."""
     try:
         import fitz  # type: ignore[import-not-found]
-    except ImportError as e:  # pragma: no cover - lib absent in test env
-        raise ParserUnavailable(
-            "pdf parser requires pymupdf (fitz); not installed"
-        ) from e
+    except ImportError:
+        # Degraded stdlib path (see fallback_parsers module docstring):
+        # same pages and words, word-window chunk granularity instead of
+        # PyMuPDF layout blocks, no image extraction, bbox unavailable.
+        from . import fallback_parsers
+
+        for page_num, page_text in enumerate(fallback_parsers.pdf_pages_text(data)):
+            for i, chunk in enumerate(_chunk_words(page_text)):
+                if chunk.strip():
+                    yield {
+                        "page_num": page_num,
+                        "content_type": "text_chunk",
+                        "content_id": f"fb-{i}",
+                        "content_raw": chunk.strip(),
+                        "content_bytes": None,
+                        "bbox": None,
+                    }
+        return
     doc = fitz.open(stream=data, filetype="pdf")  # pragma: no cover
     for page_num, page in enumerate(doc):  # pragma: no cover
         for block in page.get_text("blocks"):
@@ -173,16 +190,22 @@ def _parse_pdf(doc_name: str, data: bytes) -> Iterator[dict]:
 def _parse_pptx(doc_name: str, data: bytes) -> Iterator[dict]:
     """PPTX via python-pptx when installed (reference `embed_pptx`,
     vector_db.py:344-418: per-slide text shapes + picture shapes, bbox in
-    EMU → normalized to double here)."""
+    EMU → normalized to double here). Without the lib, the stdlib
+    zip+XML fallback extracts the same shapes (near-parity — see
+    fallback_parsers.py)."""
     try:
         import io
 
         from pptx import Presentation  # type: ignore[import-not-found]
         from pptx.enum.shapes import MSO_SHAPE_TYPE  # type: ignore[import-not-found]
-    except ImportError as e:  # pragma: no cover - lib absent in test env
-        raise ParserUnavailable(
-            "pptx parser requires python-pptx; not installed"
-        ) from e
+    except ImportError:
+        # Degraded stdlib path: zip+XML extraction, near-parity with
+        # python-pptx for the shapes the reference emits (text frames +
+        # pictures with EMU bbox) — see fallback_parsers module docstring.
+        from . import fallback_parsers
+
+        yield from fallback_parsers.pptx_shapes(data)
+        return
     prs = Presentation(io.BytesIO(data))  # pragma: no cover
     for slide_num, slide in enumerate(prs.slides):  # pragma: no cover
         for shape in slide.shapes:
