@@ -149,6 +149,84 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the published
+    pre-training filters that catch boilerplate-y / degenerate text which
+    length and stopword ratios miss (Rae et al. 2021, table A1 — duplicate
+    line/n-gram fractions).
+
+    Emitted per doc:
+      - ``n_words`` — whitespace token count
+      - ``dup_word_frac`` — 1 − distinct/total words (token redundancy)
+      - ``top_word_frac`` — occurrences of the modal word / total words
+      - ``top_bigram_frac`` — occurrences of the modal word bigram / total
+        bigrams (0.0 for docs of <2 words)
+
+    (The fixture's documents carry no newlines, so Gopher's duplicate-LINE
+    fractions degenerate; the word/bigram forms are the operative ones.)
+
+    Scale shape: distinct counts are row-local array expressions (no
+    shuffle); the modal-term counts are explode → two-level hashagg keyed
+    by (doc, term) then (doc) — partial aggregation map-side, keys as
+    uniform as the docs themselves, so this is the same shuffle profile as
+    any per-doc word count at 100 TB. The three legs re-join on the doc id.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    base = (
+        df.select(F.col(id_col), words.alias("words"))
+        .withColumn("n_words", F.size("words").cast("bigint"))
+        .withColumn(
+            "n_distinct", F.size(F.array_distinct("words")).cast("bigint")
+        )
+    )
+    # bigrams: positional pairing; sequence(1, 0) counts DOWN in Spark, so
+    # short docs need the explicit empty-array guard
+    bigrams = F.when(
+        F.size("words") >= 2,
+        F.expr(
+            "transform(sequence(1, size(words)-1), "
+            "i -> concat(words[i-1], ' ', words[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni_top = (
+        base.select(id_col, F.explode("words").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    bi_top = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    nw = F.col("n_words").cast("double")
+    return (
+        base.join(uni_top, id_col, "left")
+        .join(bi_top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.when(F.col("n_words") > 0, F.round(1 - F.col("n_distinct") / nw, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_word_frac"),
+            F.when(F.col("n_words") > 0, F.round(F.col("top_word_cnt") / nw, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+            F.coalesce(
+                F.round(F.col("top_bigram_cnt") / (nw - 1), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str = "lang",

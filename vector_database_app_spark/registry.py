@@ -583,6 +583,175 @@ def q_sql_regional_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-class analytical suite (adapted to the fixture's trimmed schemas:
+# no partsupp, no l_shipmode/l_commitdate — each query keeps the CLASSIC
+# plan shape the optimizer must get right, which is the point).
+# Every string below is dialect-shared VERBATIM between Spark and DuckDB:
+# the oracle entries reference the same constants, so a wrong answer can
+# only come from execution, never from query drift. Revenue sums go
+# through the DECIMAL(18,4) trick (see _SQL_Q5) for accumulation-order
+# independence.
+# ---------------------------------------------------------------------------
+
+#: exact, order-independent revenue sum shared by the suite
+_REV = (
+    "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) "
+    "AS DECIMAL(18,4))) AS DOUBLE)"
+)
+
+#: Q3: segment filter + 3-way join + grouped revenue top-k. Catalyst must
+#: broadcast customer, push c_mktsegment into its scan, and take the
+#: ordered top-10 without a global sort (TakeOrderedAndProject).
+_SQL_Q3 = f"""
+    SELECT l.l_orderkey, {_REV} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+#: Q4: EXISTS-correlated order-priority census → the planner's
+#: decorrelation test (left-semi join on l_orderkey with the date
+#: predicate, never a per-row subquery).
+_SQL_Q4 = """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+#: Q10: returned-item revenue by customer (4-way join, selective
+#: returnflag pushdown, top-20).
+_SQL_Q10 = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, {_REV} AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+#: Q14: promo revenue share — conditional aggregation over a fact⋈dim
+#: join inside one month of shipdate.
+_SQL_Q14 = """
+    SELECT CAST(round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                       AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END)
+             / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                        AS DECIMAL(18,4))), 4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+#: Q15: top supplier by quarterly revenue — CTE reused by both the rank
+#: filter (scalar subquery) and the projection; the planner should
+#: evaluate the tiny max() once and broadcast it.
+_SQL_Q15 = f"""
+    WITH rev AS (
+      SELECT l.l_suppkey, {_REV} AS total_rev
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_rev
+    FROM supplier s JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+#: Q18: large-volume orders — HAVING-filtered semi-join of an aggregate
+#: back onto its own fact table.
+_SQL_Q18 = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(round(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l2.l_orderkey FROM lineitem l2
+      GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+"""
+
+#: Q19: disjunctive brand/size/quantity predicates — the classic test
+#: that OR-of-ANDs still prunes (common l_partkey = p_partkey join
+#: conjunct extracted, residual disjunction evaluated post-join).
+_SQL_Q19 = f"""
+    SELECT {_REV} AS revenue, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _sql_query(spark, sf_dir, sql: str):
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+def q_sql_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — see _SQL_Q3."""
+    return _sql_query(spark, sf_dir, _SQL_Q3)
+
+
+def q_sql_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelation) — see _SQL_Q4."""
+    return _sql_query(spark, sf_dir, _SQL_Q4)
+
+
+def q_sql_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — see _SQL_Q10."""
+    return _sql_query(spark, sf_dir, _SQL_Q10)
+
+
+def q_sql_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (conditional agg) — see _SQL_Q14."""
+    return _sql_query(spark, sf_dir, _SQL_Q14)
+
+
+def q_sql_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (CTE + scalar subquery) — see _SQL_Q15."""
+    return _sql_query(spark, sf_dir, _SQL_Q15)
+
+
+def q_sql_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (agg semi-join) — see _SQL_Q18."""
+    return _sql_query(spark, sf_dir, _SQL_Q18)
+
+
+def q_sql_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (OR-of-ANDs pruning) — see _SQL_Q19."""
+    return _sql_query(spark, sf_dir, _SQL_Q19)
+
+
+# ---------------------------------------------------------------------------
 # Scalar-function surface (SURVEY §2.5 F9-F15 equivalents + §2.6 families)
 # ---------------------------------------------------------------------------
 
@@ -742,6 +911,12 @@ def q_lang_id(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (dup-word / modal-word / modal-
+    bigram fractions) — see operators/textops.repetition_signals."""
+    return textops.repetition_signals(_t(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1434,6 +1609,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_cume": q_window_cume,
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_regional_revenue": q_sql_regional_revenue,
+    "sql_shipping_priority": q_sql_shipping_priority,
+    "sql_order_priority": q_sql_order_priority,
+    "sql_returned_items": q_sql_returned_items,
+    "sql_promo_revenue": q_sql_promo_revenue,
+    "sql_top_supplier": q_sql_top_supplier,
+    "sql_large_orders": q_sql_large_orders,
+    "sql_disjunctive_revenue": q_sql_disjunctive_revenue,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -1463,6 +1645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pipeline": q_events_pipeline,
     "rrf_fusion": q_rrf_fusion,
     "text_quality": q_text_quality,
+    "repetition_signals": q_repetition_signals,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1972,6 +2155,13 @@ ORACLE: dict[str, str] = {
               FROM cand) WHERE rk <= 5
     """,
     "sql_regional_revenue": _SQL_Q5,
+    "sql_shipping_priority": _SQL_Q3,
+    "sql_order_priority": _SQL_Q4,
+    "sql_returned_items": _SQL_Q10,
+    "sql_promo_revenue": _SQL_Q14,
+    "sql_top_supplier": _SQL_Q15,
+    "sql_large_orders": _SQL_Q18,
+    "sql_disjunctive_revenue": _SQL_Q19,
     "unpivot_long": """
         SELECT l_orderkey, l_linenumber, measure, value
         FROM (
@@ -2171,6 +2361,44 @@ ORACLE: dict[str, str] = {
                      ['the','a','and','of','to','in','is'], x)))
                      / nullif(len(w), 0), 6) AS stopword_ratio
         FROM base
+    """,
+    "repetition_signals": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(words) AS n_words,
+                 len(list_distinct(words)) AS n_dist, words
+          FROM w),
+        uni AS (
+          SELECT doc_id, max(c) AS top_cnt FROM (
+            SELECT doc_id, word, count(*) AS c FROM (
+              SELECT doc_id, unnest(words) AS word FROM w)
+            GROUP BY doc_id, word)
+          GROUP BY doc_id),
+        big AS (
+          SELECT doc_id, max(c) AS top_bi FROM (
+            SELECT doc_id, bg, count(*) AS c FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(2, len(words) + 1),
+                            i -> words[i-1] || ' ' || words[i])) AS bg
+              FROM w)
+            GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_words AS BIGINT) AS n_words,
+               CASE WHEN b.n_words > 0
+                    THEN round(1 - b.n_dist / CAST(b.n_words AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN b.n_words > 0
+                    THEN round(uni.top_cnt / CAST(b.n_words AS DOUBLE), 6)
+                    ELSE 0.0 END AS top_word_frac,
+               coalesce(round(big.top_bi / CAST(b.n_words - 1 AS DOUBLE), 6),
+                        0.0) AS top_bigram_frac
+        FROM base b
+        LEFT JOIN uni USING (doc_id)
+        LEFT JOIN big USING (doc_id)
     """,
     "lang_id": """
         WITH base AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents)
