@@ -172,3 +172,76 @@ def test_stream_static_enrich_equals_batch(spark, batch_events):
     assert len(got) > 0
     # left-join semantics: no events were dropped by the lookup
     assert len(got) == batch_events.count()
+
+
+# ---------------------------------------------------------------------------
+# Continuous ingestion (S1 as a file-arrival stream): ingest.ingest_stream
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_stream_incremental_and_replay_safe(spark, tmp_path):
+    """File-stream ingest: first drain ingests the backlog; a file arriving
+    AFTER the checkpoint is the only thing the next drain processes; a
+    content-duplicate under a new name adds nothing (hash anti-join); and
+    chunks match the batch pipeline's output for the same folder."""
+    from vector_database_app_spark.sources import ingest
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha doc words " * 4)
+    (src / "b.txt").write_text("beta doc entirely different words")
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = ingest.ingest_stream(spark, str(src), store, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(store).collect()
+    names = {r.doc_name.rsplit("/", 1)[-1] for r in first}
+    assert names == {"a.txt", "b.txt"}
+    assert all(r.error is None for r in first)
+    assert all(abs(sum(x * x for x in r.embedding) - 1.0) < 1e-5 for r in first)
+
+    # batch twin over the same folder produces the same chunk set
+    batch = ingest.ingest_folder(spark, str(src)).collect()
+    assert {(r.doc_name, r.content_id, r.content_raw) for r in first} == {
+        (b.doc_name, b.content_id, b.content_raw) for b in batch
+    }
+
+    # late arrivals: one genuinely new file + one content-duplicate of a.txt
+    (src / "c.txt").write_text("gamma fresh arrival")
+    (src / "a_copy.txt").write_text("alpha doc words " * 4)
+    q = ingest.ingest_stream(spark, str(src), store, ckpt)
+    q.awaitTermination()
+    after = spark.read.parquet(store).collect()
+    new_names = {r.doc_name.rsplit("/", 1)[-1] for r in after} - names
+    assert new_names == {"c.txt"}  # a_copy deduped by content hash
+    assert len(after) == len(first) + 1
+
+    # a third drain with nothing new appends nothing (checkpoint, not rescan)
+    q = ingest.ingest_stream(spark, str(src), store, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(store).count() == len(after)
+
+
+def test_ingest_stream_backpressure_batches(spark, tmp_path):
+    """maxFilesPerTrigger splits a backlog into multiple micro-batches
+    under AvailableNow — the knob that bounds per-trigger work at scale —
+    without changing the final store contents."""
+    from vector_database_app_spark.sources import ingest
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.txt").write_text(f"unique content number {i}")
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = ingest.ingest_stream(
+        spark, str(src), store, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 2  # 5 files / 2 per trigger
+    rows = spark.read.parquet(store).collect()
+    assert {r.doc_name.rsplit("/", 1)[-1] for r in rows} == {
+        f"f{i}.txt" for i in range(5)
+    }

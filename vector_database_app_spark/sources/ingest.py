@@ -436,3 +436,77 @@ def ingest_folder(
             batch_hashes, "file_hash", "left_semi"
         )
     return embed_chunks(parse_chunks(files), dim)
+
+
+def ingest_stream(
+    spark: SparkSession,
+    folder: str,
+    store_path: str,
+    checkpoint_path: str,
+    *,
+    dim: int = 64,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous ingestion: the Structured Streaming twin of
+    ``ingest_folder`` — S1 as a file-ARRIVAL stream instead of a rescan.
+    The reference has no incremental story at all: `vectorize_folder`
+    re-walks the whole tree and re-probes every file's hash per run
+    (vector_db.py:163-190); here the file-source checkpoint remembers
+    processed files, so each trigger touches only NEW arrivals.
+
+    Shape: ``readStream.format("binaryFile")`` (same options as the batch
+    scan) → ``foreachBatch`` running the UNCHANGED batch stages —
+    meta/hash → within-batch dedup (window — legal on the micro-batch,
+    not on an unbounded stream) → anti-join vs store → parse → embed →
+    append. One code path, two execution modes, like every other
+    streaming operator in this engine (streaming/windows.py).
+
+    Delivery semantics: the checkpoint gives at-least-once batch replay
+    after a crash mid-write; the content-hash anti-join inside the batch
+    turns replays into no-ops (REPLACED files under a same name re-ingest
+    — content identity, not path identity, is the dedup key). That is
+    exactly-once EFFECT without a transactional sink.
+
+    Scale notes: file listing per trigger is the known cost of file
+    streams at 100 TB — bound it with ``max_files_per_trigger`` (a
+    backpressure knob, splits a backlog into pipelined micro-batches)
+    and compact the store separately. The parse/embed stages are the
+    same shuffle-free map stages as the batch path.
+
+    Returns the started StreamingQuery (caller awaits/stops it).
+    """
+    # streaming file sources require an explicit schema; binaryFile's is
+    # fixed by the format
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(folder)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = dedup_within_batch(with_file_meta(batch_df))
+        existing = load_chunks(batch_df.sparkSession, store_path)
+        if existing is not None:
+            b = dedup_against_store(b, existing)
+        write_chunks(embed_chunks(parse_chunks(b), dim), store_path)
+
+    writer = (
+        files.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
