@@ -98,3 +98,106 @@ def test_ivf_probe_over_partitioned_store_is_dpp_pruned(spark, tmp_path):
         (r.query_id, r.vec_id, r.rk) for r in df.collect()
     )
     assert key(res) == key(direct)
+
+
+# ---------------------------------------------------------------------------
+# Compaction + clustering (layout.compact): small-files rewrite with
+# pruning-effective row organization, verified against parquet footers.
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) of `col` per parquet data file, from footer statistics —
+    what a scan's row-group pruning actually consults."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_compact_shrinks_file_count_and_clusters(spark, tmp_path):
+    """200 scattered files → few size-targeted files; with cluster_cols the
+    per-file min/max ranges become disjoint, so a point predicate on the
+    cluster column intersects exactly one file's range."""
+    from vector_database_app_spark.sources import layout
+
+    df = spark.range(0, 20000).selectExpr(
+        "id AS k", "id % 97 AS v", "repeat('x', 64) AS pad"
+    )
+    scattered = str(tmp_path / "scattered")
+    df.repartition(200).write.parquet(scattered)
+    import os
+
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(scattered))
+    assert n_small == 200
+
+    out = str(tmp_path / "compacted")
+    back = layout.compact(
+        spark.read.parquet(scattered),
+        out,
+        target_file_bytes=32 * 1024,
+        cluster_cols=["k"],
+    )
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert 5 < n_files < 40  # size-derived, far fewer than 200
+    assert back.count() == 20000
+
+    ranges = _file_ranges(out, "k")
+    assert all(lo is not None for lo, _ in ranges)
+    # global range clustering => files cover disjoint k-ranges
+    srt = sorted(ranges)
+    assert all(srt[i][1] < srt[i + 1][0] for i in range(len(srt) - 1))
+    # a point lookup intersects exactly one file's stats
+    probe = 12345
+    assert sum(lo <= probe <= hi for lo, hi in ranges) == 1
+
+
+def test_zorder_gives_both_columns_locality(spark, tmp_path):
+    """Z-order vs linear sort on (a, b): linear clusters a perfectly but
+    leaves b unclustered (every file spans b's whole domain); the morton
+    layout narrows BOTH columns' per-file ranges, so selective predicates
+    on either column skip most files."""
+    from vector_database_app_spark.sources import layout
+
+    # two independent uniform dims
+    df = spark.range(0, 40000).selectExpr(
+        "cast(id % 200 as long) AS a",
+        "cast(pmod(hash(id), 200) as long) AS b",
+        "repeat('y', 32) AS pad",
+    )
+
+    lin = str(tmp_path / "linear")
+    layout.compact(df, lin, target_file_bytes=48 * 1024, cluster_cols=["a", "b"])
+    zor = str(tmp_path / "zorder")
+    zback = layout.compact(
+        df, zor, target_file_bytes=48 * 1024, zorder_cols=("a", "b")
+    )
+    assert zback.count() == 40000
+    assert set(zback.columns) == {"a", "b", "pad"}  # _z key dropped
+
+    def avg_span(path, col):
+        rs = _file_ranges(path, col)
+        return sum(hi - lo for lo, hi in rs) / len(rs)
+
+    domain = 199.0
+    # linear: 'a' tightly clustered, 'b' spans ~the whole domain per file
+    assert avg_span(lin, "a") < 0.25 * domain
+    assert avg_span(lin, "b") > 0.8 * domain
+    # z-order: BOTH dims substantially narrower than the domain
+    assert avg_span(zor, "a") < 0.6 * domain
+    assert avg_span(zor, "b") < 0.6 * domain

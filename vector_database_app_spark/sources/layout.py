@@ -59,3 +59,100 @@ def write_partitioned(
 
 def drop_table(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (same statistic the ANN
+    planner thresholds on — plans/ann_planner.py)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def interleave_bits_expr(col_a, col_b, bits: int = 16):
+    """Z-order key: bit-interleave two non-negative integer columns
+    (morton code) as a pure JVM-side expression — `shiftleft`/`bitwise
+    OR` chain built once at plan time, no UDF. Columns must already be
+    rank/scale-normalized to [0, 2^bits) (see `zorder_rank_expr`)."""
+    from pyspark.sql import functions as F
+
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_rank_expr(col, bits: int = 16):
+    """Dense percent-rank of a column scaled to [0, 2^bits) — the
+    normalization step before interleaving, making z-order robust to
+    skewed value distributions (raw values would collapse the curve onto
+    a few codes). One window over the full frame; at 100 TB swap for an
+    approx-quantile bucketizer computed on a sample — same downstream
+    expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(col)
+    return (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+
+
+def compact(
+    df: DataFrame,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+    zorder_cols: tuple[str, str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """OPTIMIZE for a parquet store: rewrite many small files into
+    ~`target_file_bytes` files, optionally clustering rows so min/max
+    row-group statistics prune point/range scans.
+
+    The small-files problem is THE operational failure mode of streaming/
+    append ingest at scale (each micro-batch appends a file per task; a
+    year of 1-minute triggers = millions of files; listing + open cost
+    dwarfs the scan). The fix is this rewrite, run periodically out of
+    band — same job Delta's OPTIMIZE / Iceberg's rewrite_data_files runs.
+
+    - file count = ceil(plan-estimated bytes / target_file_bytes) —
+      derived from Catalyst stats, no extra pass over the data.
+    - `cluster_cols`: repartitionByRange + sortWithinPartitions —
+      GLOBAL lexicographic clustering; equality/range predicates on the
+      leading column touch ~1 file (asserted via parquet footer min/max
+      in tests/test_layout.py).
+    - `zorder_cols`: rank-normalize both columns, interleave bits, range-
+      partition and sort by the morton code — BOTH columns get locality,
+      the right layout when two independent predicates matter (classic
+      Delta OPTIMIZE ZORDER BY semantics, expressed with stock Spark).
+    """
+    from pyspark.sql import functions as F
+
+    n_files = max(1, -(-plan_size_bytes(df) // target_file_bytes))
+    if zorder_cols is not None:
+        a, b = zorder_cols
+        keyed = df.withColumn(
+            "_z",
+            interleave_bits_expr(
+                zorder_rank_expr(F.col(a)), zorder_rank_expr(F.col(b))
+            ),
+        )
+        out = (
+            keyed.repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_cols:
+        out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(out_path)
+    return df.sparkSession.read.parquet(out_path)
