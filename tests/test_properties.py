@@ -141,3 +141,48 @@ def test_int8_truncation_error_bounded_by_one_step(vec):
         q = int(x / scale)  # python int() truncates toward zero, like both engines
         assert abs(x - q * scale) < scale + 1e-12
         assert -127 <= q <= 127
+
+
+# ---------------------------------------------------------------------------
+# Fallback PDF extractor (sources/fallback_parsers.py): round-trip property
+# ---------------------------------------------------------------------------
+
+#: text that survives a PDF literal string unescaped: printable ASCII minus
+#: the characters the writer would need to escape
+_pdf_safe = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="()\\"
+    ),
+    min_size=1,
+    max_size=80,
+).map(str.strip).filter(bool)
+
+
+@given(st.lists(_pdf_safe, min_size=1, max_size=6))
+@settings(max_examples=50, deadline=None)
+def test_pdf_fallback_roundtrips_generated_documents(page_texts):
+    """Any text planted page-by-page into a structurally valid PDF comes
+    back from the stdlib extractor verbatim, page-aligned — the property
+    that makes the degraded S3 path trustworthy."""
+    from tests.test_ingest import _build_minimal_pdf
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    pdf = _build_minimal_pdf(page_texts)
+    assert FB.pdf_pages_text(pdf) == page_texts
+
+
+@given(st.lists(_pdf_safe, min_size=1, max_size=4))
+@settings(max_examples=25, deadline=None)
+def test_pdf_fallback_roundtrips_escaped_strings(page_texts):
+    """Escape-bearing text: parens and backslashes written through the
+    PDF escape syntax decode back exactly."""
+    from tests.test_ingest import _build_minimal_pdf
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    decorated = [f"a(b) \\\\ {t}" for t in page_texts]
+    escaped = [
+        t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        for t in decorated
+    ]
+    pdf = _build_minimal_pdf(escaped)
+    assert FB.pdf_pages_text(pdf) == decorated
