@@ -1,0 +1,309 @@
+"""Product quantization (PQ): compressed-domain ANN for the 100 TB corpus.
+
+No reference equivalent (the reference holds float vectors in one pickle,
+`rag_search/vector_db.py:160-161`). At scale the raw-vector scan is the
+cost: 100 TB of float32 embeddings compresses ~32× under PQ (64-d float =
+256 B → m=8 one-byte codes), so the FIRST pass of a search reads 3 TB of
+codes instead of 100 TB of floats, then an exact re-rank touches only the
+shortlist's float vectors (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — the IVF-ADC system).
+
+Split of work, all stock DataFrame ops:
+
+- **train** (`pq_train`): per-subspace L2 Lloyd's over sliced sub-vectors.
+  Per iteration and subspace, assignment is a broadcast of k·(d/m)
+  centroids and a row-local argmin (the corpus never shuffles); the mean
+  update is posexplode + hashagg keyed (code, pos) with map-side partials.
+  Only m·k·(d/m) = k·d doubles ever reach the driver.
+- **encode** (`pq_encode`): one projection — an array<int> of m codes per
+  vector via the same row-local argmin. Shuffle-free; write it partitioned
+  next to the corpus and the compressed scan is just a narrower column.
+- **search** (`pq_search`): Asymmetric Distance Computation. The query is
+  NOT quantized: per query we precompute the m×k table of
+  dot(query_sub, centroid) partials — tiny (q·m·k rows), broadcast — then
+  score = sum over subspaces of table[s, code_s]. Expressed as
+  posexplode(codes) ⋈ broadcast(table) → hashagg by (query, vector):
+  explode + broadcast-hash-join + partial agg, the engine's standard
+  scalable shape (PERF.md lesson: explode+hashagg over interpreted HOF
+  folds). Optional exact re-rank (`refine_with`) rescoring the ADC
+  shortlist against float vectors — the standard PQ + re-rank system.
+
+Determinism: init = k lowest-id vectors per subspace, ties in argmin break
+on code id, no RNG anywhere — same codes on every run and cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_rounded
+
+#: rounding applied to ADC partial sums — keeps scores accumulation-order
+#: independent (same convention as cosine_rounded)
+_ADC_SCALE = 6
+
+
+def _subspace_cols(vec_col: str, m: int, dim: int) -> list:
+    """Slice a d-dim array column into m contiguous (d/m)-dim sub-arrays
+    (plan-time literals; d must be divisible by m)."""
+    sub = dim // m
+    return [
+        F.slice(F.col(vec_col), s * sub + 1, sub).cast("array<double>").alias(
+            f"_sub{s}"
+        )
+        for s in range(m)
+    ]
+
+
+def _l2_argmin_code(sub_col, codebook_rows):
+    """Row-local nearest-centroid code under L2 over a PLAN-TIME literal
+    codebook: argmin |x-c|² = argmax (x·c − |c|²/2). Builds an array of
+    (score, code) structs and takes array_max — no join, no shuffle,
+    whole-stage codegen."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub_col,
+                            F.lit(c).cast("array<double>"),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    - F.lit(sum(v * v for v in c) / 2.0),
+                    _ADC_SCALE,
+                ).alias("score"),
+                # negated so array_max's struct ordering breaks score ties
+                # toward the LOWEST code id
+                F.lit(-j).alias("neg_code"),
+            )
+            for j, c in codebook_rows
+        ]
+    )
+    return (-F.array_max(scored)["neg_code"]).cast("int")
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace L2 codebooks; returns a DataFrame
+    ``(subspace int, code int, centroid array<double>)`` with m·k rows
+    (the whole index metadata is k·d doubles — driver- and
+    broadcast-friendly at any corpus size)."""
+    spark = corpus.sparkSession
+    subs = corpus.select(*_subspace_cols(vec_col, m, dim)).persist()
+
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for s in range(m):
+        col = f"_sub{s}"
+        init = [
+            (j, list(r[col]))
+            for j, r in enumerate(
+                corpus.orderBy(id_col)
+                .limit(k)
+                .select(*_subspace_cols(vec_col, m, dim))
+                .collect()
+            )
+        ]
+        books[s] = init
+
+    for _ in range(iters):
+        # one job updates ALL subspaces: assign each sub-vector row-locally
+        # against its literal codebook, then a single (subspace, code, pos)
+        # hashagg computes every mean
+        assigned = subs.select(
+            *[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    _l2_argmin_code(F.col(f"_sub{s}"), books[s]).alias("code"),
+                    F.col(f"_sub{s}").alias("sub"),
+                ).alias(f"_a{s}")
+                for s in range(m)
+            ]
+        )
+        stacked = assigned.select(
+            F.explode(F.array(*[F.col(f"_a{s}") for s in range(m)])).alias("a")
+        ).select("a.subspace", "a.code", "a.sub")
+        means = (
+            stacked.select(
+                "subspace", "code", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mval")))
+                    ),
+                    lambda t: t["mval"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cur = dict(books[r.subspace])
+            cur[r.code] = list(r.centroid)
+            books[r.subspace] = sorted(cur.items())
+
+    subs.unpersist()
+    return spark.createDataFrame(
+        [
+            (s, j, v)
+            for s, rows in sorted(books.items())
+            for j, v in rows
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+
+
+def _codebook_literal(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collect the (tiny) codebook table to plan-time literals — m·k·(d/m)
+    doubles, the PQ analogue of broadcasting k centroids."""
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        books.setdefault(r.subspace, []).append((r.code, list(r.centroid)))
+    return {s: sorted(rows) for s, rows in books.items()}
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compress each vector to ``codes array<int>`` (length m): row-local
+    argmin per subspace against the literal codebooks — a shuffle-free
+    projection that runs at scan speed. Keep it partitioned like the
+    corpus; the float column stays behind for the re-rank pass only."""
+    books = _codebook_literal(codebooks)
+    m = len(books)
+    keep = keep_cols or []
+    sliced = corpus.select(
+        F.col(id_col), *[F.col(c) for c in keep], *_subspace_cols(vec_col, m, dim)
+    )
+    return sliced.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array(
+            *[
+                _l2_argmin_code(F.col(f"_sub{s}"), books[s])
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    shortlist: int | None = None,
+    refine_with: DataFrame | None = None,
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes, optionally exact-re-ranked.
+
+    Stage 1 (compressed domain): the per-query m×k partial-dot table is
+    itself a plan — queries ⋈ broadcast(codebooks) with a row-local dot
+    product → (query, subspace, code, partial), only q·m·k rows. The
+    exploded codes broadcast-join that table and a hashagg folds the m
+    partials back into one ADC score per (query, vector); the corpus
+    never shuffles raw floats in this stage, only codes.
+
+    Stage 2 (optional, ``refine_with`` = the float corpus): semi-join the
+    ADC ``shortlist`` (default 5k) back to the floats and rescore with
+    exact cosine — the standard recall-restoring re-rank, touching only
+    shortlist·q float vectors.
+    """
+    sub = dim // m
+
+    # (query, subspace, code, partial-dot) — q·m·k rows, broadcast side
+    table = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(
+            F.col(query_id_col),
+            "subspace",
+            "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.col(query_vec_col).cast("array<double>"),
+                            F.col("subspace") * sub + 1,
+                            sub,
+                        ),
+                        F.col("centroid"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                _ADC_SCALE,
+            ).alias("partial"),
+        )
+    )
+
+    exploded = codes_df.select(
+        F.col(id_col), F.posexplode("codes").alias("subspace", "code")
+    )
+    adc = (
+        exploded.join(F.broadcast(table), ["subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("partial"), _ADC_SCALE).alias("adc_score"))
+    )
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    if refine_with is None:
+        return (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id_col, id_col, "adc_score", "rk")
+        )
+
+    short = shortlist or max(5 * k, 50)
+    cand = adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= short
+    )
+    rescored = (
+        cand.select(query_id_col, id_col, "adc_score")
+        .join(refine_with.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col), F.col(query_vec_col))
+            ),
+            query_id_col,
+        )
+        .withColumn(
+            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col))
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "sim", "adc_score", "rk")
+    )

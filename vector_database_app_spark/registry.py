@@ -1364,6 +1364,27 @@ def q_ingest_chunks(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_ann_pq_search(spark, sf_dir):
+    """rows-only: product quantization end-to-end (train → encode → ADC →
+    exact re-rank; operators/pq.py). Iterative Lloyd's training makes
+    construction eager by design (like ann_kmeans_train). The compressed
+    scan reads m one-byte codes per vector instead of the float array —
+    the 100 TB first-pass layout; the re-rank touches only the
+    shortlist's floats."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebooks = PQ.pq_train(emb, m=8, k=16, iters=2)
+    codes = PQ.pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.pq_search(
+        codes, codebooks, queries, k=5, m=8, shortlist=50, refine_with=emb
+    )
+
+
 def q_ann_srp(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1659,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
     "ann_kmeans_train": q_ann_kmeans_train,
+    "ann_pq_search": q_ann_pq_search,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_search": q_ann_ivf_search,
