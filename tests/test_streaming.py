@@ -80,9 +80,7 @@ def test_stateful_dedup_drops_replayed_file(spark, batch_events):
     vector_db.py:431-434 — this is its unbounded-stream form.)"""
     path = os.path.join(SF, "events.parquet")
     d = SW.stage_stream_dir(path, path)  # two links -> duplicated stream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(SW.EVENTS_NANOS).parquet(d)
-    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = SW.events_stream_source(spark, d)
     _drain(SW.dedup_within_watermark(stream, "10 minutes"), "s_dedup", "append")
     n_unique = batch_events.select("event_id").distinct().count()
     assert spark.table("s_dedup").count() == n_unique

@@ -27,10 +27,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Plain `spark.read.parquet` — no schema override,
     so Catalyst sees the footer schema and can prune/push down.
 
-    The events table is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (legacy long mode)
-    and floor-converted to a micros timestamp — the same truncation DuckDB
-    applies when it narrows ns → µs, so both engines see identical values.
+    The events `ts` column has shifted flavor across driver generations —
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects;
+    read as raw nanos via legacy long mode and floor-divided to micros,
+    the same ns → µs truncation DuckDB applies) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (which Spark 4 infers as TIMESTAMP_NTZ, a type
+    `unix_micros`/watermarks refuse). Both are normalized here to a plain
+    UTC TIMESTAMP: the session time zone is pinned to UTC (session.py), so
+    the NTZ → TZ cast is wall-clock-identity — exactly how DuckDB treats
+    its naive TIMESTAMP in the oracle SQL.
     """
     key = (id(spark), sf_dir, name)
     if key in _CACHE:
@@ -39,10 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)")
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     _CACHE[key] = df

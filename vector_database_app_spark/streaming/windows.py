@@ -20,20 +20,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Streaming-read schema: the driver's events.parquet stores TIMESTAMP(NANOS),
-#: which Spark's reader only accepts as raw int64 (legacy nanosAsLong mode) —
-#: ts comes in as long and is floor-converted to a micros timestamp below,
+#: Streaming-read schema: the driver's events.parquet has stored `ts` as
+#: TIMESTAMP(NANOS) (readable only as raw int64 under legacy nanosAsLong
+#: mode) in some generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+#: (TIMESTAMP_NTZ to Spark 4) in others. The file stream source requires an
+#: explicit schema, so `events_stream_source` sniffs the footer with pyarrow
+#: (one driver-side metadata read — the streaming twin of batch schema
+#: inference) and normalizes ts to a plain UTC TIMESTAMP either way,
 #: identical to the batch path in sources.catalog.load_table.
-EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_field: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_NANOS = _events_schema(T.LongType())
+
+
+def events_stream_source(spark: SparkSession, directory: str) -> DataFrame:
+    """readStream over a staged events directory, robust to the parquet
+    timestamp flavor (see note above). Emits `ts` as UTC TIMESTAMP."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sample = sorted(glob.glob(os.path.join(directory, "*.parquet")))[0]
+    ts_type = str(pq.read_schema(sample).field("ts").type)
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_NANOS).parquet(directory)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp[us]":  # no tz -> NTZ; session tz is UTC
+        raw = spark.readStream.schema(
+            _events_schema(T.TimestampNTZType())
+        ).parquet(directory)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    raw = spark.readStream.schema(_events_schema(T.TimestampType())).parquet(
+        directory
+    )
+    return raw
 
 
 def stage_stream_dir(*files: str) -> str:
@@ -55,9 +87,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving-files directory or Kafka source."""
     path = os.path.join(sf_dir, "events.parquet")
     src = stage_stream_dir(path) if os.path.isfile(path) else path
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_NANOS).parquet(src)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return events_stream_source(spark, src)
 
 
 def tumbling_counts(
