@@ -131,3 +131,31 @@ def test_cluster_conf_profile():
     # semantics-stability keys match the local session exactly
     assert conf["spark.sql.session.timeZone"] == "UTC"
     assert conf["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side is one scan
+    with no gram-keyed shuffle (the shape that survives a billions-of-docs
+    corpus against a thousands-of-docs eval set)."""
+    df = QUERIES["decontaminate"](spark, SF)
+    assert_broadcast_join(df)
+    plan = explain_str(df)
+    # exactly ONE gram-keyed exchange: the benchmark-side distinct (small,
+    # feeds the BroadcastExchange). The corpus side must contribute none —
+    # its only wide exchange is the per-doc counter agg keyed by doc_id.
+    assert plan.count("hashpartitioning(ngram") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    # two joins total (details section lists each node once): gram hit join
+    # + the left-outer count join — and both are broadcast, never sort-merge
+    assert plan.count(") BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_matryoshka_coarse_prunes_fine_cost(spark):
+    """Both ranking stages are windows over a broadcast-joined corpus; the
+    corpus itself never shuffles on anything but the query_id window key,
+    and the scan reads only the embedding payload it needs."""
+    df = QUERIES["ann_matryoshka"](spark, SF)
+    assert_broadcast_join(df)      # query batch side
+    plan = explain_str(df)
+    assert "hashpartitioning(query_id" in plan, plan

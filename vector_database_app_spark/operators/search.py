@@ -401,3 +401,58 @@ def ivf_search(
         .filter(F.col("rk") <= k)
         .drop(query_vec_col)
     )
+
+
+def matryoshka_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    prefix_dims: int = 16,
+    shortlist: int = 25,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Coarse-to-fine ANN via prefix truncation (the Matryoshka / adaptive
+    retrieval pattern; no reference equivalent — the reference is full-dim
+    brute force, `rag_search/vector_db.py:684-696`): rank a SHORTLIST per
+    query by cosine over the first `prefix_dims` dimensions, then exact
+    full-dim re-rank of the shortlist only.
+
+    Scale shape: the coarse pass reads `prefix_dims`/d of the float payload
+    per row (with the prefix stored as its own parquet column the scan I/O
+    drops by the same factor — column pruning does it for free); the
+    full-dim vectors are touched for shortlist·|queries| rows only. Both
+    stages rank on ROUNDED cosine with an `id_col` tiebreak, so the
+    shortlist — and therefore the final answer — is deterministic and
+    engine-portable (the algorithm itself is its oracle).
+    """
+    _check_spaces(corpus_space, query_space)
+    coarse_sim = cosine_rounded(
+        F.slice(F.col(vec_col), 1, prefix_dims),
+        F.slice(F.col(query_vec_col), 1, prefix_dims),
+        sim_scale,
+    )
+    joined = corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).withColumn("coarse_sim", coarse_sim)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("coarse_sim"), F.asc(id_col)
+    )
+    cands = joined.withColumn("crk", F.row_number().over(w)).filter(
+        F.col("crk") <= shortlist
+    )
+    fine = cands.withColumn(
+        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        fine.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop(query_vec_col, "crk")
+    )

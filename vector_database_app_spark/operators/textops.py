@@ -309,3 +309,52 @@ def boilerplate_ngrams(
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: count, per corpus doc, the distinct word
+    n-grams it shares with an eval/benchmark set (the GPT-3/PaLM-style
+    n-gram-overlap contamination check run before every serious
+    pre-training launch; no reference equivalent). Returns
+    (doc_id, n_hits, contaminated) for every corpus doc — downstream either
+    drops flagged docs or routes them to span-level scrubbing.
+
+    Scale shape: the benchmark side is SMALL by nature (eval suites are
+    thousands of docs, the corpus is billions), so its distinct-gram set is
+    built once and BROADCAST — the corpus side is one scan, row-local
+    shingling, and a broadcast hash join with map-side partial counts. No
+    corpus-keyed shuffle of gram rows; the only wide exchange carries
+    |corpus docs| counter rows. A benchmark too big to broadcast degrades
+    gracefully to a sort-merge join on the gram key (drop the hint)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(TX.shingles(text_col, n))).alias("ngram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(text_col, n))).alias("ngram"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

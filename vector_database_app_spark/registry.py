@@ -1023,6 +1023,22 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap check):
+    every 97th doc plays the eval set; each remaining corpus doc is scored
+    by how many distinct word-3-grams it shares with it. The benchmark
+    gram set is broadcast — the corpus side is one scan with no gram-keyed
+    shuffle, the shape that survives a billions-of-docs corpus. The flag is
+    cast to int (the driver canonicalizer sees no boolean columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = textops.decontaminate(corpus, bench, n=3, min_hits=2)
+    return out.select(
+        "doc_id", "n_hits", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_knn_range_search(spark, sf_dir):
     """Radius search: all corpus vectors with cosine >= 0.3 of 3 query
     vectors — no window, no post-join shuffle (threshold beats top-k when
@@ -1385,6 +1401,24 @@ def q_ann_pq_search(spark, sf_dir):
     )
 
 
+def q_ann_matryoshka(spark, sf_dir):
+    """Coarse-to-fine ANN via prefix truncation (Matryoshka adaptive
+    retrieval): 16-dim prefix cosine picks a 25-deep shortlist per query,
+    full 64-dim cosine re-ranks it. Both stages rank on rounded sim with a
+    vec_id tiebreak, so the algorithm is deterministic and the oracle
+    replays it exactly in SQL — an ANN entry with a value-level oracle,
+    not just rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.matryoshka_search(
+        corpus, queries, k=5, prefix_dims=16, shortlist=25
+    ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
+
+
 def q_ann_srp(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1674,6 +1708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "decontaminate": q_decontaminate,
     "knn_range_search": q_knn_range_search,
     "embed_quantize": q_embed_quantize,
     "corpus_filter": q_corpus_filter,
@@ -1681,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_caption": q_image_caption,
     "ann_kmeans_train": q_ann_kmeans_train,
     "ann_pq_search": q_ann_pq_search,
+    "ann_matryoshka": q_ann_matryoshka,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_search": q_ann_ivf_search,
@@ -2528,6 +2564,54 @@ ORACLE: dict[str, str] = {
                   FROM documents))
         SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
         FROM sh GROUP BY ngram HAVING count(*) >= 25
+    """,
+    "decontaminate": f"""
+        WITH d AS (
+            SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {_SQL_SHINGLES3.format(ws="ws", t="text")})) AS ngram
+            FROM d
+        ), bench AS (
+            SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM g JOIN bench USING (ngram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        )
+        SELECT c.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) >= 2 AS INT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+        LEFT JOIN hits h USING (doc_id)
+    """,
+    "ann_matryoshka": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 3
+        ), coarse AS (
+            SELECT q.query_id, e.vec_id, e.label, e.embedding, q.qe,
+                   {_SQL_COS.format(a="list_slice(e.embedding, 1, 16)",
+                                    b="list_slice(q.qe, 1, 16)")} AS coarse_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id >= 3
+        ), short AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY coarse_sim DESC, vec_id) AS crk
+            FROM coarse
+        ), fine AS (
+            SELECT query_id, vec_id, label, coarse_sim,
+                   {_SQL_COS.format(a="embedding", b="qe")} AS sim
+            FROM short WHERE crk <= 25
+        )
+        SELECT query_id, vec_id, label, coarse_sim, sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rk
+        FROM fine
+        QUALIFY rk <= 5
     """,
     "knn_range_search": f"""
         WITH q AS (
