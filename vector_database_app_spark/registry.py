@@ -708,6 +708,56 @@ _SQL_Q19 = f"""
            AND l.l_quantity BETWEEN 20 AND 30)
 """
 
+#: Q17: small-quantity-order revenue — CORRELATED scalar subquery per part
+#: (Catalyst decorrelates it into an aggregate + join; the oracle runs the
+#: same text, so both engines must agree on the decorrelated semantics).
+_SQL_Q17 = """
+    SELECT CAST(round(sum(l.l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+"""
+
+#: Q21: suppliers who were the LAST to ship on a finished multi-supplier
+#: order — EXISTS + NOT EXISTS pair over a self-joined fact (the fixture
+#: has no receipt/commit dates, so lateness is shipdate-based).
+_SQL_Q21 = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+#: Q22: dormant high-balance customers — scalar subquery (global positive-
+#: balance average) + NOT EXISTS anti-join against recent orders.
+_SQL_Q22 = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+"""
+
 
 def _sql_query(spark, sf_dir, sql: str):
     from .sources.catalog import register_views
@@ -749,6 +799,21 @@ def q_sql_large_orders(spark, sf_dir):
 def q_sql_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape (OR-of-ANDs pruning) — see _SQL_Q19."""
     return _sql_query(spark, sf_dir, _SQL_Q19)
+
+
+def q_sql_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery) — see _SQL_Q17."""
+    return _sql_query(spark, sf_dir, _SQL_Q17)
+
+
+def q_sql_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-join) — see _SQL_Q21."""
+    return _sql_query(spark, sf_dir, _SQL_Q21)
+
+
+def q_sql_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + anti-join) — see _SQL_Q22."""
+    return _sql_query(spark, sf_dir, _SQL_Q22)
 
 
 # ---------------------------------------------------------------------------
@@ -1671,6 +1736,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_top_supplier": q_sql_top_supplier,
     "sql_large_orders": q_sql_large_orders,
     "sql_disjunctive_revenue": q_sql_disjunctive_revenue,
+    "sql_small_qty_revenue": q_sql_small_qty_revenue,
+    "sql_waiting_suppliers": q_sql_waiting_suppliers,
+    "sql_dormant_customers": q_sql_dormant_customers,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -2220,6 +2288,9 @@ ORACLE: dict[str, str] = {
     "sql_top_supplier": _SQL_Q15,
     "sql_large_orders": _SQL_Q18,
     "sql_disjunctive_revenue": _SQL_Q19,
+    "sql_small_qty_revenue": _SQL_Q17,
+    "sql_waiting_suppliers": _SQL_Q21,
+    "sql_dormant_customers": _SQL_Q22,
     "unpivot_long": """
         SELECT l_orderkey, l_linenumber, measure, value
         FROM (
