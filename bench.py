@@ -46,6 +46,8 @@ HEADLINE = [
     "run_search_multimodal",
     "text_tfidf",
     "ann_planner_indexed",
+    "decontaminate",
+    "ann_matryoshka",
 ]
 
 

@@ -201,3 +201,44 @@ def test_zorder_gives_both_columns_locality(spark, tmp_path):
     # z-order: BOTH dims substantially narrower than the domain
     assert avg_span(zor, "a") < 0.6 * domain
     assert avg_span(zor, "b") < 0.6 * domain
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: an update batch touching one day must
+    leave every other day's files byte-identical (same paths, sizes,
+    mtimes) and replace the touched day's content completely."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    base = spark.range(30).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.lit("v1").alias("val"),
+    )
+    base.write.partitionBy("day").parquet(store)
+
+    def listing(day):
+        d = os.path.join(store, f"day={day}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {d: listing(d) for d in ("0", "2")}
+    updates = spark.range(5).select(
+        (F.col("id") * 3 + 1).alias("id"),  # day-1 keys only
+        F.lit("1").alias("day"),
+        F.lit("v2").alias("val"),
+    )
+    from vector_database_app_spark.sources import layout
+
+    layout.upsert_partitions(updates, store, partition_cols=["day"])
+
+    after = {d: listing(d) for d in ("0", "2")}
+    assert before == after, "untouched partitions were rewritten"
+    got = spark.read.parquet(store).filter(F.col("day") == "1")
+    rows = {(r.id, r.val) for r in got.collect()}
+    assert rows == {(i * 3 + 1, "v2") for i in range(5)}, rows

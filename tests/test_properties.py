@@ -186,3 +186,41 @@ def test_pdf_fallback_roundtrips_escaped_strings(page_texts):
     ]
     pdf = _build_minimal_pdf(escaped)
     assert FB.pdf_pages_text(pdf) == decorated
+
+
+def test_hll_rollup_error_bound_and_merge_consistency(spark):
+    """The merged per-type HLL estimate must sit within 5% of the exact
+    distinct-user count, and the merge of daily sketches must equal (to
+    the same tolerance) a sketch built in one pass — the mergeability
+    property the rollup exists for."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_hll_rollup"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    one_pass = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("bigint")
+            .alias("n")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+        assert abs(est - one_pass[t]) / exact[t] < 0.05, (t, est, one_pass[t])

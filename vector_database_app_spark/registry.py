@@ -1326,6 +1326,34 @@ def q_agg_approx(spark, sf_dir):
     )
 
 
+def q_agg_hll_rollup(spark, sf_dir):
+    """rows-only: MERGEABLE distinct-count sketches — per (event_type, day)
+    HLL sketches built in one scan, then hll_union_agg merges them into
+    per-type distinct-user estimates WITHOUT rescanning the facts. This is
+    the re-aggregation pattern exact distinct cannot do at 100 TB: daily
+    sketches persist next to the daily rollup, and any coarser grain
+    (week/month/all-time) is a sketch merge over already-tiny rows. The
+    estimate is deterministic for fixed input (no cross-engine oracle:
+    DataSketches HLL error is engine-specific; tests pin a <5% relative
+    error against exact countDistinct)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def q_knn_filtered(spark, sf_dir):
     """The reference's scoped search (P1 → V1, vector_db.py:706-709):
     metadata prefilter BEFORE the similarity scan — Catalyst pushes the
@@ -1763,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_train_test": q_split_train_test,
     "corpus_filter_relative": q_corpus_filter_relative,
     "agg_approx": q_agg_approx,
+    "agg_hll_rollup": q_agg_hll_rollup,
     "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
     "events_pipeline": q_events_pipeline,

@@ -156,3 +156,26 @@ def compact(
         out = df.repartition(n_files)
     out.write.mode(mode).parquet(out_path)
     return df.sparkSession.read.parquet(out_path)
+
+
+def upsert_partitions(
+    updates: DataFrame, path: str, *, partition_cols: list[str]
+) -> None:
+    """Upsert by dynamic partition overwrite: rewrite ONLY the partition
+    directories present in `updates`, leaving every other partition's
+    files untouched (no reference equivalent — its "save" rewrites both
+    whole-table pickles, vector_db.py:231-238).
+
+    This is the parquet-native CDC/backfill primitive at 100 TB: a daily
+    correction batch touching 3 of 3 650 day-partitions rewrites 0.08% of
+    the store instead of 100%. partitionOverwriteMode=dynamic is set on
+    THIS write only (option, not session conf), so concurrent writers keep
+    their own semantics; tests assert untouched partitions are
+    byte-identical after an upsert. For multi-writer atomic commits use a
+    table format (Delta/Iceberg) — this is the format-free form."""
+    (
+        updates.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
