@@ -243,3 +243,49 @@ def test_ingest_stream_backpressure_batches(spark, tmp_path):
     assert {r.doc_name.rsplit("/", 1)[-1] for r in rows} == {
         f"f{i}.txt" for i in range(5)
     }
+
+
+def test_stream_upsert_sink_replaces_only_touched_partitions(spark, tmp_path):
+    """foreachBatch dynamic-partition upsert: a streamed correction batch
+    for day-1 must replace that partition, leave day-0/day-2 files
+    byte-identical, and a checkpoint-replayed rerun must be a no-op (the
+    batch is already committed)."""
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.range(30).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.lit("v1").alias("val"),
+    )
+    base.write.partitionBy("day").parquet(store)
+
+    fixes = spark.range(5).select(
+        (F.col("id") * 3 + 1).alias("id"),
+        F.lit("1").alias("day"),
+        F.lit("v2").alias("val"),
+    )
+    fixes.coalesce(1).write.parquet(src)
+
+    def listing(day):
+        d = os.path.join(store, f"day={day}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {d: listing(d) for d in ("0", "2")}
+    stream = spark.readStream.schema("id long, day string, val string").parquet(src)
+    SW.run_stream_upsert_partitions(stream, store, ckpt, partition_cols=["day"])
+
+    assert {d: listing(d) for d in ("0", "2")} == before
+    got = {(r.id, r.val) for r in spark.read.parquet(store).filter("day = '1'").collect()}
+    assert got == {(i * 3 + 1, "v2") for i in range(5)}, got
+
+    # replay with the same checkpoint: no new input files -> no-op
+    day1_before = listing("1")
+    stream2 = spark.readStream.schema("id long, day string, val string").parquet(src)
+    SW.run_stream_upsert_partitions(stream2, store, ckpt, partition_cols=["day"])
+    assert listing("1") == day1_before

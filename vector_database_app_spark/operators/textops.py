@@ -358,3 +358,41 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], *, id_hint: str | None = None
+) -> DataFrame:
+    """Data-profiling pass: one row per profiled column with null rate,
+    exact distinct count, min/max (as strings, type-erased), and average
+    string length — the pre-flight audit every ingestion run records
+    before a corpus is admitted (no reference equivalent; the reference
+    never inspects its tables).
+
+    Scale shape: ONE scan computes every column's aggregates side by side
+    in a single partial+final hash aggregation (no per-column scans, no
+    shuffle keyed by data values — the reduce is to one row, then
+    unpivoted driver-free via stack). Exact distinct is the honest default
+    for an audit; swap `countDistinct` for `approx_count_distinct` when
+    the profiled column is high-cardinality at 100 TB."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.round(F.avg(F.length(F.col(c).cast("string"))), 4).alias(
+                f"{c}__avg_len"
+            ),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg_len"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str, avg_len)"
+    )

@@ -1104,6 +1104,15 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    """Per-column profiling audit over documents (null rate, exact
+    distinct, min/max, avg length) — one scan, one partial+final agg to a
+    single row, unpivoted via stack. The pre-admission corpus audit."""
+    return textops.profile_columns(
+        _t(spark, sf_dir, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def q_knn_range_search(spark, sf_dir):
     """Radius search: all corpus vectors with cosine >= 0.3 of 3 query
     vectors — no window, no post-join shuffle (threshold beats top-k when
@@ -1806,6 +1815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "decontaminate": q_decontaminate,
+    "profile_table": q_profile_table,
     "knn_range_search": q_knn_range_search,
     "embed_quantize": q_embed_quantize,
     "corpus_filter": q_corpus_filter,
@@ -2712,6 +2722,42 @@ ORACLE: dict[str, str] = {
                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rk
         FROM fine
         QUALIFY rk <= 5
+    """,
+    "profile_table": """
+        SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               min(doc_id::VARCHAR) AS min_str, max(doc_id::VARCHAR) AS max_str,
+               round(avg(length(doc_id::VARCHAR)), 4) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'text' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+               min(text::VARCHAR) AS min_str, max(text::VARCHAR) AS max_str,
+               round(avg(length(text::VARCHAR)), 4) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'lang' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+               min(lang::VARCHAR) AS min_str, max(lang::VARCHAR) AS max_str,
+               round(avg(length(lang::VARCHAR)), 4) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'source' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_distinct,
+               min(source::VARCHAR) AS min_str, max(source::VARCHAR) AS max_str,
+               round(avg(length(source::VARCHAR)), 4) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+               min(n_chars::VARCHAR) AS min_str, max(n_chars::VARCHAR) AS max_str,
+               round(avg(length(n_chars::VARCHAR)), 4) AS avg_len
+        FROM documents
     """,
     "knn_range_search": f"""
         WITH q AS (

@@ -114,16 +114,20 @@ class SyntheticDocsDataSource(DataSource):
 
 def _sorted_events(path: str) -> list[tuple]:
     """The replay order: events ts-sorted (event_id tie-break), timestamps
-    down-converted to microsecond longs (the events table is
-    TIMESTAMP(NANOS); see sources/catalog.py)."""
+    normalized to microsecond longs whatever the stored unit — the driver
+    has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) generations
+    (see sources/catalog.py)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["event_id", "user_id", "event_type", "ts"])
     # go through the raw int64 view of ts: to_pylist() would hand back
     # datetimes truncated to microseconds, losing the exact sort order
+    unit = t["ts"].type.unit  # 'ns' | 'us' | 'ms' | 's'
+    to_us = {"ns": lambda v: v // 1000, "us": lambda v: v,
+             "ms": lambda v: v * 1000, "s": lambda v: v * 1_000_000}[unit]
     raw = t["ts"].cast("int64").to_pylist()
     rows = [
-        (int(e), int(u), str(k), int(ns) // 1000)
+        (int(e), int(u), str(k), to_us(int(ns)))
         for e, u, k, ns in zip(
             t["event_id"].to_pylist(),
             t["user_id"].to_pylist(),

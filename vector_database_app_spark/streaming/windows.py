@@ -293,3 +293,34 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_upsert_partitions(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    partition_cols: list[str],
+) -> None:
+    """CDC-style streaming sink: each micro-batch dynamically OVERWRITES
+    only the partition directories it touches (sources.layout.
+    upsert_partitions), instead of appending — late corrections to a day
+    replace that day in place while every other partition's files stay
+    untouched. Batch-id-keyed idempotence: a replayed micro-batch (failure
+    after write, before the checkpoint advanced) rewrites the same
+    partitions with the same rows, so the store converges to the same
+    state — the foreachBatch twin of the exactly-once file-sink commit
+    log, for the overwrite (not append) write pattern."""
+    from ..sources.layout import upsert_partitions
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_partitions(batch_df, out_dir, partition_cols=partition_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
