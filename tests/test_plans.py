@@ -159,3 +159,55 @@ def test_matryoshka_coarse_prunes_fine_cost(spark):
     assert_broadcast_join(df)      # query batch side
     plan = explain_str(df)
     assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's picks must (a) start from the plain argmax hit, (b) form a
+    valid greedy trajectory (one pick per step per query), and (c) differ
+    from the plain similarity top-5 for at least one query on this
+    fixture — otherwise the diversification term is dead code."""
+    from vector_database_app_spark.registry import QUERIES
+
+    mmr = QUERIES["rag_mmr"](spark, SF).toPandas()
+    knn = QUERIES["topk_per_group"](spark, SF)  # noqa: F841  (shape ref)
+    # (a) step 1 == argmax qsim per query
+    for qid, grp in mmr.groupby("query_id"):
+        s1 = grp[grp["step"] == 1]
+        assert len(s1) == 1
+        assert s1.iloc[0]["qsim"] == grp["qsim"].max()
+        # (b) exactly one pick per step 1..5, all distinct vec_ids
+        assert sorted(grp["step"]) == [1, 2, 3, 4, 5]
+        assert grp["vec_id"].nunique() == 5
+    # (c) the MMR set differs from plain top-5-by-qsim for ≥1 query
+    from vector_database_app_spark.operators import search as S
+    from vector_database_app_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    plain = (
+        S.knn_batch(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+        .select("query_id", "vec_id")
+        .toPandas()
+    )
+    differs = False
+    for qid, grp in mmr.groupby("query_id"):
+        plain_set = set(plain[plain["query_id"] == qid]["vec_id"])
+        if set(grp["vec_id"]) != plain_set:
+            differs = True
+    assert differs, "MMR returned plain top-k for every query"
+
+
+def test_mmr_rerank_cost_is_blocked_by_query(spark):
+    """The greedy rounds must stay blocked by query_id (window/agg keys)
+    and the corpus side must reach the shortlist via broadcast join —
+    never a corpus shuffle."""
+    from vector_database_app_spark.registry import QUERIES
+
+    df = QUERIES["rag_mmr"](spark, SF)
+    assert_broadcast_join(df)
+    plan = explain_str(df)
+    assert "hashpartitioning(query_id" in plan, plan

@@ -456,3 +456,142 @@ def matryoshka_search(
         .filter(F.col("rk") <= k)
         .drop(query_vec_col, "crk")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    shortlist: int = 10,
+    lam: float = 0.7,
+    pen_weight: float = 0.3,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998). The reference returns the raw similarity top-k
+    (`rag_search/vector_db.py:684-696`); MMR is the standard RAG-context
+    diversification on top of it: pick the best hit, then repeatedly pick
+    ``argmax lam·sim(q,d) − pen_weight·max_{s∈picked} sim(d,s)`` over the
+    rest of a per-query SHORTLIST.
+
+    Spark shape: the shortlist comes from :func:`knn_batch` (the scale
+    path — corpus never shuffles); the shortlist×shortlist pair matrix and
+    the ``k`` greedy rounds are relational ops blocked by ``query_id_col``
+    on ≤``shortlist`` rows per query, so the re-rank cost is independent
+    of corpus size. The rounds are UNROLLED at plan time (k is a small
+    constant) — no driver-side action fires.
+
+    Determinism/oracle-portability: similarities are rounded to
+    ``sim_scale`` decimals, and the MMR score itself is computed in EXACT
+    DECIMAL arithmetic (6-decimal sims × decimal literals) cast back to
+    double — ``round(0.7·qsim, 6)`` would hit a 7th-decimal half-way tie
+    on almost every row, where Spark (decimal-string HALF_UP) and other
+    engines (binary-value rounding) disagree. ``lam``/``pen_weight`` are
+    both explicit literals (never computed as ``1-lam``, a different
+    double); every argmax tie-breaks on ``id_col``. The greedy trajectory
+    is therefore bit-identical in any engine replaying the same steps.
+    """
+    _check_spaces(corpus_space, query_space)
+    short = knn_batch(
+        corpus,
+        queries,
+        k=shortlist,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        sim_scale=sim_scale,
+    ).select(
+        query_id_col,
+        F.col(id_col),
+        F.col("sim").alias("qsim"),
+        F.col(vec_col),
+    )
+    pair = (
+        short.select(
+            query_id_col,
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("a_emb"),
+        )
+        .join(
+            short.select(
+                query_id_col,
+                F.col(id_col).alias("b_id"),
+                F.col(vec_col).alias("b_emb"),
+            ),
+            on=query_id_col,
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            query_id_col,
+            "a_id",
+            "b_id",
+            cosine_rounded(F.col("a_emb"), F.col("b_emb"), sim_scale).alias("psim"),
+        )
+    )
+    short = short.drop(vec_col)
+
+    dec = f"decimal(18,{sim_scale})"
+    lam_lit = F.expr(f"CAST({lam!r} AS DECIMAL(10,6))")
+    pen_lit = F.expr(f"CAST({pen_weight!r} AS DECIMAL(10,6))")
+
+    w1 = Window.partitionBy(query_id_col).orderBy(F.desc("qsim"), F.asc(id_col))
+    first = (
+        short.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            query_id_col,
+            id_col,
+            "qsim",
+            F.lit(1).alias("step"),
+            (lam_lit * F.col("qsim").cast(dec)).cast("double").alias("mmr"),
+        )
+    )
+    selected = first
+    remaining = short.join(
+        first.select(query_id_col, id_col), on=[query_id_col, id_col], how="anti"
+    )
+    for step in range(2, k + 1):
+        pen = (
+            pair.join(
+                selected.select(
+                    query_id_col, F.col(id_col).alias("b_id")
+                ),
+                on=[query_id_col, "b_id"],
+            )
+            .groupBy(query_id_col, "a_id")
+            .agg(F.max("psim").alias("pen"))
+        )
+        scored = remaining.join(
+            pen,
+            on=(remaining[query_id_col] == pen[query_id_col])
+            & (remaining[id_col] == pen["a_id"]),
+        ).select(
+            remaining[query_id_col],
+            remaining[id_col],
+            remaining["qsim"],
+            (
+                lam_lit * remaining["qsim"].cast(dec)
+                - pen_lit * pen["pen"].cast(dec)
+            )
+            .cast("double")
+            .alias("mmr"),
+        )
+        ws = Window.partitionBy(query_id_col).orderBy(F.desc("mmr"), F.asc(id_col))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(query_id_col, id_col, "qsim", F.lit(step).alias("step"), "mmr")
+        )
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select(query_id_col, id_col), on=[query_id_col, id_col], how="anti"
+        )
+    return selected

@@ -45,6 +45,81 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram commonness score per document: the mean corpus
+    probability of the document's tokens, ``Σ_t count(t) / (n_tokens ·
+    total_tokens)``. Low scores flag rare-token/garbled documents, high
+    scores boilerplate-common ones — the cheap LM-style quality signal a
+    training pipeline runs before any model-based scorer.
+
+    Determinism by construction: every aggregate is an INTEGER sum
+    (token counts), and the score is ONE double division of bigints —
+    no float accumulation order, no libm transcendentals (a log-space
+    perplexity would hinge on ln() parity across engines; the
+    arithmetic-mean form needs none).
+
+    Scale shape: explode → (term) hash agg for the LM ⋈ tokens on term
+    (AQE broadcasts the vocab side when it fits) → (doc) hash agg; the
+    corpus total joins as a broadcast single-row aggregate, never a
+    collected scalar."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    per_doc = (
+        toks.join(lm, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("ct").alias("sum_ct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.col("sum_ct").cast("bigint").alias("sum_ct"),
+        (
+            F.col("sum_ct") / (F.col("n_tokens") * F.col("total_tokens"))
+        ).alias("mean_token_p"),
+    )
+
+
+def top_terms_per_lang(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Heavy hitters per language: top-k most frequent tokens — corpus
+    vocabulary drift / boilerplate monitoring per language slice. Two
+    hash aggs (both map-side partial) + one window over |vocab| rows;
+    ties break on the term string so the cut is deterministic."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(lang_col),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    counts = toks.groupBy(lang_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(lang_col, "term", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, shingle_n: int = 3
 ) -> DataFrame:

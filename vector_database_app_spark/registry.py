@@ -758,6 +758,139 @@ _SQL_Q22 = """
     ORDER BY segment
 """
 
+#: Q6: forecast-revenue — the canonical full-scan filter+agg. No join at
+#: all: the whole query is a parquet scan with three pushable predicates
+#: and a single map-side-combinable sum; at 100 TB it is bounded by I/O
+#: after pushdown, which is exactly the plan Spark emits.
+_SQL_Q6 = """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * l.l_discount, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_discount BETWEEN 0.03 AND 0.07
+      AND l.l_quantity < 24
+"""
+
+#: Q7: volume shipping between a nation pair — the two nation dims join
+#: the fact from BOTH sides (supplier's and customer's), with a
+#: symmetric-pair disjunction. Both nation joins broadcast (25 rows);
+#: only the lineitem⋈orders⋈customer chain shuffles.
+_SQL_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                  AS DECIMAL(18,4)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+#: Q8: market share — a 7-table snowflake (fact joins part, supplier,
+#: orders, customer, nation×2, region) feeding a conditional-sum ratio
+#: per order year. Every dim side is broadcastable; the DECIMAL volume
+#: keeps the numerator/denominator sums order-independent so the ratio
+#: is bit-stable across both engines.
+_SQL_Q8 = """
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      / sum(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                  AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+#: Q9: profit by supplier nation and order year. The fixture has no
+#: partsupp/ps_supplycost, so cost is stood in by 10% of the part's
+#: retail price per unit (deliberate adaptation, noted here rather than
+#: silent); the shape — LIKE-filtered part dim, 5-way join, two-level
+#: group — is Q9's.
+_SQL_Q9 = """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                        - 0.1 * p.p_retailprice * l.l_quantity, 4)
+                  AS DECIMAL(18,4)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+#: Q12: shipping-lateness priority split. The fixture has no l_shipmode /
+#: commit/receipt dates, so the Q12 two-bucket conditional count runs
+#: over a derived late/on-time status (shipdate more than 60 days after
+#: the order date) instead of shipmode — same shape: fact⋈orders join,
+#: CASE buckets both in the group key and inside the aggregates.
+_SQL_Q12 = """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'on-time' END AS ship_status,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_status
+    ORDER BY ship_status
+"""
+
+#: Q13: customer order-count distribution — LEFT join with a predicate in
+#: the JOIN condition (not WHERE — outer rows must survive), then an
+#: aggregate OF an aggregate. The fixture has no o_comment, so the
+#: excluded class is a priority value instead of the comment LIKE.
+_SQL_Q13 = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
 
 def _sql_query(spark, sf_dir, sql: str):
     from .sources.catalog import register_views
@@ -814,6 +947,36 @@ def q_sql_waiting_suppliers(spark, sf_dir):
 def q_sql_dormant_customers(spark, sf_dir):
     """TPC-H Q22 shape (scalar subquery + anti-join) — see _SQL_Q22."""
     return _sql_query(spark, sf_dir, _SQL_Q22)
+
+
+def q_sql_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (pure filter+agg scan) — see _SQL_Q6."""
+    return _sql_query(spark, sf_dir, _SQL_Q6)
+
+
+def q_sql_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (dual-role nation dim) — see _SQL_Q7."""
+    return _sql_query(spark, sf_dir, _SQL_Q7)
+
+
+def q_sql_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (7-table snowflake, conditional ratio) — see _SQL_Q8."""
+    return _sql_query(spark, sf_dir, _SQL_Q8)
+
+
+def q_sql_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (LIKE-filtered 5-way join) — see _SQL_Q9."""
+    return _sql_query(spark, sf_dir, _SQL_Q9)
+
+
+def q_sql_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (CASE-bucketed conditional counts) — see _SQL_Q12."""
+    return _sql_query(spark, sf_dir, _SQL_Q12)
+
+
+def q_sql_order_count_dist(spark, sf_dir):
+    """TPC-H Q13 shape (outer join + agg-of-agg) — see _SQL_Q13."""
+    return _sql_query(spark, sf_dir, _SQL_Q13)
 
 
 # ---------------------------------------------------------------------------
@@ -992,6 +1155,17 @@ def q_text_tfidf(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_lm_unigram_score(spark, sf_dir):
+    """Corpus-unigram commonness score (operators/textops.unigram_lm_score)
+    — integer-arithmetic-deterministic LM-style quality signal."""
+    return textops.unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_top_terms_per_lang(spark, sf_dir):
+    """Per-language heavy hitters (operators/textops.top_terms_per_lang)."""
+    return textops.top_terms_per_lang(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_corpus_filter(spark, sf_dir):
     """Composed training-data admission pipeline: quality thresholds +
     language allowlist + exact-content dedup in one pass."""
@@ -1140,6 +1314,49 @@ def q_embed_quantize(spark, sf_dir):
         "vec_id",
         F.round(scale, 6).alias("scale"),
         V.int8_dequant_error("embedding", scale).alias("max_abs_err"),
+    )
+
+
+def q_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid in LONG form (label, dimension,
+    value): posexplode → groupBy(label, pos). Embedding "arithmetic" the
+    reference has no equivalent for — the building block of class
+    prototypes / IVF seeding / nearest-centroid classification.
+
+    Determinism: avg over doubles is addition-order-dependent, so the
+    mean is computed as an EXACT decimal sum (order-independent,
+    map-side combinable like any sum) divided once in double. Scale 20
+    matters: at scale 10 a float32 with a short binary expansion (e.g.
+    -0.27392578125) lands EXACTLY on a cast half-way, where Spark rounds
+    HALF_UP and DuckDB half-to-even; at scale 20 a binary float either
+    terminates within 20 digits (cast exact) or has a non-dyadic
+    remainder that can never equal 5e-21, so no half-way case exists.
+    The decimal SUM is bit-identical across engines; its cast to double
+    is not (DuckDB's int128/1e20 is two float roundings, ±2 ulp vs
+    Java's correctly-rounded BigDecimal), so the FINAL value rounds to 6
+    decimals — ulp noise collapses, and a generic 50-float average never
+    sits on a rounding boundary. Long form keeps the output scalar-only
+    for the driver canonicalizer; at scale the same aggregate feeds
+    array_agg(pos-sorted) to rebuild vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,20)")).alias("sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias(
+                "centroid_val"
+            ),
+            F.col("n").cast("bigint").alias("n"),
+        )
     )
 
 
@@ -1408,6 +1625,52 @@ def q_events_pipeline(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Sequential funnel: earliest view → first click strictly after it →
+    first purchase after that click and within 7 days of the view, per
+    user; output is the per-stage user count. The stage chain is a pair
+    of user_id-keyed joins (each stage's frame is one agg over a
+    type-filtered scan), so at scale every shuffle is on the SAME key —
+    one partitioning reused down the chain, and each stage's input is
+    already one row per user. Strict > comparisons keep the trajectory
+    deterministic; the output carries counts only, so timestamp-flavor
+    differences (nanos vs micros) can't leak into the oracle compare."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
 def q_dedup_edit_distance(spark, sf_dir):
     """Levenshtein verify on fixed candidate pairs (character-level fuzzy
     dedup; the DP runs only on candidates, never all-pairs)."""
@@ -1519,6 +1782,21 @@ def q_ann_matryoshka(spark, sf_dir):
     return search.matryoshka_search(
         corpus, queries, k=5, prefix_dims=16, shortlist=25
     ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
+
+
+def q_rag_mmr(spark, sf_dir):
+    """MMR-diversified top-k (search.mmr_rerank): shortlist-10 per query,
+    5 greedy rounds, lam=0.7. Every round ranks on ROUNDED scores with a
+    vec_id tiebreak, so the greedy trajectory is deterministic and the
+    oracle (unrolled CTE chain, _mmr_oracle_sql) replays it exactly —
+    a value-level oracle for a re-ranking algorithm, not just rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.mmr_rerank(corpus, queries, k=5, shortlist=10)
 
 
 def q_ann_srp(spark, sf_dir):
@@ -1776,6 +2054,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_small_qty_revenue": q_sql_small_qty_revenue,
     "sql_waiting_suppliers": q_sql_waiting_suppliers,
     "sql_dormant_customers": q_sql_dormant_customers,
+    "sql_forecast_revenue": q_sql_forecast_revenue,
+    "sql_volume_shipping": q_sql_volume_shipping,
+    "sql_market_share": q_sql_market_share,
+    "sql_nation_profit": q_sql_nation_profit,
+    "sql_late_priority": q_sql_late_priority,
+    "sql_order_count_dist": q_sql_order_count_dist,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -1804,6 +2088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "knn_filtered": q_knn_filtered,
     "events_pipeline": q_events_pipeline,
+    "events_funnel": q_events_funnel,
     "rrf_fusion": q_rrf_fusion,
     "text_quality": q_text_quality,
     "repetition_signals": q_repetition_signals,
@@ -1811,6 +2096,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "text_tfidf": q_text_tfidf,
+    "lm_unigram_score": q_lm_unigram_score,
+    "top_terms_per_lang": q_top_terms_per_lang,
     "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
     "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -1818,12 +2105,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "knn_range_search": q_knn_range_search,
     "embed_quantize": q_embed_quantize,
+    "embed_centroid": q_embed_centroid,
     "corpus_filter": q_corpus_filter,
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
     "ann_kmeans_train": q_ann_kmeans_train,
     "ann_pq_search": q_ann_pq_search,
     "ann_matryoshka": q_ann_matryoshka,
+    "rag_mmr": q_rag_mmr,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_search": q_ann_ivf_search,
@@ -2195,6 +2484,28 @@ ORACLE: dict[str, str] = {
         WHERE event_type IN ('click', 'view')
         GROUP BY date_trunc('hour', ts), event_type
     """,
+    "events_funnel": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id, v.t_view
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_view + INTERVAL 7 DAY
+          GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+        UNION ALL
+        SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
     "ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id,
@@ -2330,6 +2641,12 @@ ORACLE: dict[str, str] = {
     "sql_small_qty_revenue": _SQL_Q17,
     "sql_waiting_suppliers": _SQL_Q21,
     "sql_dormant_customers": _SQL_Q22,
+    "sql_forecast_revenue": _SQL_Q6,
+    "sql_volume_shipping": _SQL_Q7,
+    "sql_market_share": _SQL_Q8,
+    "sql_nation_profit": _SQL_Q9,
+    "sql_late_priority": _SQL_Q12,
+    "sql_order_count_dist": _SQL_Q13,
     "unpivot_long": """
         SELECT l_orderkey, l_linenumber, measure, value
         FROM (
@@ -2437,6 +2754,42 @@ ORACLE: dict[str, str] = {
                                 t.term) AS rk
             FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         ) WHERE rk <= 3
+    """,
+    "lm_unigram_score": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ), lm AS (
+            SELECT term, count(*) AS ct FROM toks GROUP BY term
+        ), tot AS (SELECT count(*) AS total_tokens FROM toks)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(l.ct) AS BIGINT) AS sum_ct,
+               CAST(sum(l.ct) AS BIGINT)
+                 / (CAST(count(*) AS BIGINT) * any_value(tot.total_tokens))
+                 AS mean_token_p
+        FROM toks t JOIN lm l USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id
+    """,
+    "top_terms_per_lang": """
+        WITH toks AS (
+            SELECT lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY lang, term
+        )
+        SELECT lang, term, n, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT lang, term, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, term) AS rk
+            FROM counts
+        ) WHERE rk <= 5
     """,
     "pyds_synthetic_docs": """
         WITH base AS (
@@ -2784,6 +3137,23 @@ ORACLE: dict[str, str] = {
                    AS max_abs_err
         FROM s
     """,
+    "embed_centroid": """
+        SELECT label, CAST(pos AS INT) AS pos,
+               round(CAST(sum_dec AS DOUBLE) / n, 6) AS centroid_val,
+               CAST(n AS BIGINT) AS n
+        FROM (
+          SELECT label, pos,
+                 sum(CAST(val AS DECIMAL(38,20))) AS sum_dec,
+                 count(*) AS n
+          FROM (
+            SELECT e.label,
+                   unnest(e.embedding::DOUBLE[]) AS val,
+                   unnest(range(len(e.embedding))) AS pos
+            FROM embeddings e
+          )
+          GROUP BY label, pos
+        )
+    """,
     "window_session": """
         WITH flagged AS (
           SELECT user_id, ts,
@@ -2807,3 +3177,82 @@ ORACLE: dict[str, str] = {
 # The planner's IVF branch must be bit-identical to the direct IVF query —
 # same centroids, same n_probe — so it shares that oracle verbatim.
 ORACLE["ann_planner_indexed"] = ORACLE["ann_ivf_search"]
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
+    """Unrolled-CTE DuckDB replay of search.mmr_rerank's greedy rounds.
+
+    Generated, not handwritten, so k/shortlist stay in one place with the
+    Spark side; the result is a plain static string in ORACLE. The MMR
+    score uses EXACT DECIMAL arithmetic cast to DOUBLE (matching
+    mmr_rerank): 0.7·(6-decimal sim) lands on a 7th-decimal half-way tie
+    on most rows, where Spark's decimal-string HALF_UP round and
+    DuckDB's binary-value round disagree — decimal multiply-subtract has
+    no rounding step at all."""
+    cos_q = _SQL_COS.format(a="e.embedding", b="q.qe")
+    cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+    ctes = [
+        f"""q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 3),
+    short AS (
+      SELECT query_id, vec_id, qsim, embedding FROM (
+        SELECT q.query_id, e.vec_id, {cos_q} AS qsim, e.embedding,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_q} DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= 3
+      ) WHERE rk <= {shortlist}
+    ),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id, {cos_ab} AS psim
+      FROM short a JOIN short b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT query_id, vec_id, qsim, 1 AS step,
+             CAST(CAST(0.7 AS DECIMAL(10,6))
+                  * CAST(qsim AS DECIMAL(18,6)) AS DOUBLE) AS mmr
+      FROM short
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qsim DESC, vec_id) = 1
+    ),
+    selall1 AS (SELECT * FROM sel1),
+    rem1 AS (
+      SELECT s.query_id, s.vec_id, s.qsim FROM short s
+      ANTI JOIN sel1 p ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+    )"""
+    ]
+    for r in range(2, k + 1):
+        score = (
+            "CAST(CAST(0.7 AS DECIMAL(10,6)) * CAST(r.qsim AS DECIMAL(18,6)) "
+            "- CAST(0.3 AS DECIMAL(10,6)) * CAST(pn.pen AS DECIMAL(18,6)) "
+            "AS DOUBLE)"
+        )
+        ctes.append(
+            f"""pen{r} AS (
+      SELECT p.query_id, p.a_id, max(p.psim) AS pen
+      FROM pair p JOIN selall{r - 1} s
+        ON s.query_id = p.query_id AND s.vec_id = p.b_id
+      GROUP BY p.query_id, p.a_id
+    ),
+    sel{r} AS (
+      SELECT r.query_id, r.vec_id, r.qsim, {r} AS step, {score} AS mmr
+      FROM rem{r - 1} r JOIN pen{r} pn
+        ON pn.query_id = r.query_id AND pn.a_id = r.vec_id
+      QUALIFY row_number() OVER (PARTITION BY r.query_id
+                                 ORDER BY {score} DESC, r.vec_id) = 1
+    ),
+    selall{r} AS (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r}),
+    rem{r} AS (
+      SELECT s.query_id, s.vec_id, s.qsim FROM rem{r - 1} s
+      ANTI JOIN sel{r} p ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, vec_id, qsim, step, mmr FROM selall{k}"
+    )
+
+
+ORACLE["rag_mmr"] = _mmr_oracle_sql()
