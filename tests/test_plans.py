@@ -211,3 +211,16 @@ def test_mmr_rerank_cost_is_blocked_by_query(spark):
     assert_broadcast_join(df)
     plan = explain_str(df)
     assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The keyless point-in-interval join must plan as an equi join on
+    the bin key — a bare BETWEEN theta-join would be
+    BroadcastNestedLoopJoin (O(points × intervals) at any scale)."""
+    from vector_database_app_spark.registry import QUERIES
+
+    df = QUERIES["join_interval"](spark, SF)
+    plan = explain_str(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # still a real join, on the _bin equi key

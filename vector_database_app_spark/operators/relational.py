@@ -118,3 +118,53 @@ def asof_join(
         .select(*left_cols, *[F.col(f"r.{c}").alias(c) for c in right_cols])
     )
     return picked
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_micros: int,
+) -> DataFrame:
+    """Point-in-interval join with NO equi key — the join shape Spark has
+    no native fast path for (a bare ``p.ts BETWEEN i.start AND i.end``
+    condition plans as BroadcastNestedLoopJoin: every point against every
+    interval, O(N·M) at any scale).
+
+    The scale-correct rewrite (what commercial engines' range-join hints
+    do under the hood): quantize time into fixed ``bin_micros`` bins,
+    explode each interval into the bins it overlaps, equi-join points to
+    interval-bins on the bin id, then apply the EXACT predicate as a
+    post-probe filter. Each point has exactly one bin, so no dedup step
+    is needed — a (point, interval) pair can only meet in that bin.
+
+    Bin sizing at 100 TB: cost is |intervals| · (interval_len/bin + 1)
+    exploded rows vs join selectivity per bin — set ``bin_micros`` near
+    the TYPICAL interval length so most intervals explode into ≤2 bins;
+    a long-tail interval only adds rows linearly. The equi-join
+    shuffles/broadcasts on the bin key like any hash join, so AQE skew
+    handling applies to hot bins for free.
+
+    End bound is EXCLUSIVE (`start <= ts < end`), the natural window
+    semantic and safe at bin edges.
+    """
+    p_bin = F.floor(F.unix_micros(F.col(point_ts)) / F.lit(bin_micros))
+    i_b0 = F.floor(F.unix_micros(F.col(start_ts)) / F.lit(bin_micros))
+    i_b1 = F.floor(
+        (F.unix_micros(F.col(end_ts)) - F.lit(1)) / F.lit(bin_micros)
+    )
+    pts = points.withColumn("_bin", p_bin)
+    ivs = intervals.withColumn(
+        "_bin", F.explode(F.sequence(i_b0.cast("long"), i_b1.cast("long")))
+    )
+    return (
+        pts.join(ivs, "_bin")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_bin")
+    )

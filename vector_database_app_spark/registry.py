@@ -348,6 +348,38 @@ def q_join_range(spark, sf_dir):
     )
 
 
+def q_join_interval(spark, sf_dir):
+    """KEYLESS point-in-interval join (relational.interval_join_binned):
+    purchases landing inside any error event's 10-minute incident window,
+    aggregated per incident. No equi column exists between the two sides
+    — the naive BETWEEN join is a nested-loop cross product — so the
+    operator quantizes time into 10-minute bins and equi-joins on the bin
+    id (each interval explodes into ≤2 bins), with the exact bounds as a
+    post-probe filter. The oracle runs the naive BETWEEN form: the binned
+    rewrite must be EXACTLY the naive semantics."""
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        F.timestamp_add("MINUTE", F.lit(10), F.col("ts")).alias("t1"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("ts", "value")
+    joined = relational.interval_join_binned(
+        purchases,
+        incidents,
+        point_ts="ts",
+        start_ts="t0",
+        end_ts="t1",
+        bin_micros=600_000_000,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def q_set_intersect(spark, sf_dir):
     """INTERSECT (distinct semantics): nations having both customers and
     suppliers."""
@@ -2030,6 +2062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_full": q_join_full,
     "join_cross": q_join_cross,
     "join_range": q_join_range,
+    "join_interval": q_join_interval,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "agg_cube": q_agg_cube,
@@ -2258,6 +2291,19 @@ ORACLE: dict[str, str] = {
          AND l.l_shipdate >= o.o_orderdate
          AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         GROUP BY o.o_orderkey
+    """,
+    "join_interval": """
+        SELECT i.incident_id,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(p.value, 4) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total_value
+        FROM (SELECT event_id AS incident_id, ts AS t0,
+                     ts + INTERVAL 10 MINUTE AS t1
+              FROM events WHERE event_type = 'error') i
+        JOIN (SELECT ts, value FROM events
+              WHERE event_type = 'purchase') p
+          ON p.ts >= i.t0 AND p.ts < i.t1
+        GROUP BY i.incident_id
     """,
     "set_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
