@@ -224,3 +224,51 @@ def test_hll_rollup_error_bound_and_merge_consistency(spark):
     for t, est in got.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
         assert abs(est - one_pass[t]) / exact[t] < 0.05, (t, est, one_pass[t])
+
+
+@given(
+    points=st.lists(st.integers(0, 10_000), min_size=0, max_size=25),
+    ivals=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 3_000)),
+        min_size=0,
+        max_size=12,
+    ),
+    bin_w=st.sampled_from([1, 7, 100, 1000, 5000]),
+)
+@settings(max_examples=8, deadline=None)
+def test_interval_join_binned_equals_naive(spark, points, ivals, bin_w):
+    """The binned rewrite must be EXACTLY the naive theta-join semantics
+    (start <= ts < end) for any interval set and ANY bin width — bin
+    sizing may change cost, never results. Random points/intervals cover
+    bin-edge and zero-length-gap shapes the fixture query never hits."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import relational
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, tus long"
+    ).withColumn("ts", F.timestamp_micros("tus"))
+    ivs = (
+        spark.createDataFrame(
+            [(j, s, s + d) for j, (s, d) in enumerate(ivals)],
+            "iid long, sus long, eus long",
+        )
+        .withColumn("t0", F.timestamp_micros("sus"))
+        .withColumn("t1", F.timestamp_micros("eus"))
+    )
+    binned = relational.interval_join_binned(
+        pts.select("pid", "ts"),
+        ivs.select("iid", "t0", "t1"),
+        point_ts="ts",
+        start_ts="t0",
+        end_ts="t1",
+        bin_micros=bin_w,
+    )
+    got = {(r.pid, r.iid) for r in binned.collect()}
+    naive = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, d) in enumerate(ivals)
+        if s <= p < s + d
+    }
+    assert got == naive

@@ -488,6 +488,18 @@ def mmr_rerank(
     of corpus size. The rounds are UNROLLED at plan time (k is a small
     constant) — no driver-side action fires.
 
+    Plan-growth control (Catalyst does no sub-DAG CSE): the shortlist,
+    pair matrix, and EACH round's pick are persist()ed (lazily —
+    construction stays job-free), and every round's remaining/penalty
+    frames are rebuilt from cached `short` minus the UNION of cached
+    picks rather than chaining off the previous round's frames. The
+    naive recursive form re-referenced uncached subtrees combinatorially
+    — measured 402 parquet scans / 4 729 plan lines at k=5, and after
+    caching only short/pair still 200+ scheduler stages from the
+    exponential remaining-chain. The cached-union form is linear in k.
+    All persisted frames are ≤ |queries|·shortlist rows — executor-memory
+    noise at any corpus size.
+
     Determinism/oracle-portability: similarities are rounded to
     ``sim_scale`` decimals, and the MMR score itself is computed in EXACT
     DECIMAL arithmetic (6-decimal sims × decimal literals) cast back to
@@ -513,7 +525,7 @@ def mmr_rerank(
         F.col(id_col),
         F.col("sim").alias("qsim"),
         F.col(vec_col),
-    )
+    ).persist()
     pair = (
         short.select(
             query_id_col,
@@ -535,6 +547,7 @@ def mmr_rerank(
             "b_id",
             cosine_rounded(F.col("a_emb"), F.col("b_emb"), sim_scale).alias("psim"),
         )
+        .persist()
     )
     short = short.drop(vec_col)
 
@@ -553,17 +566,18 @@ def mmr_rerank(
             F.lit(1).alias("step"),
             (lam_lit * F.col("qsim").cast(dec)).cast("double").alias("mmr"),
         )
+        .persist()
     )
-    selected = first
-    remaining = short.join(
-        first.select(query_id_col, id_col), on=[query_id_col, id_col], how="anti"
-    )
+    picks = [first]
     for step in range(2, k + 1):
+        sel_all = picks[0]
+        for p in picks[1:]:
+            sel_all = sel_all.unionByName(p)
+        sel_ids = sel_all.select(query_id_col, id_col)
+        remaining = short.join(sel_ids, on=[query_id_col, id_col], how="anti")
         pen = (
             pair.join(
-                selected.select(
-                    query_id_col, F.col(id_col).alias("b_id")
-                ),
+                sel_ids.withColumnRenamed(id_col, "b_id"),
                 on=[query_id_col, "b_id"],
             )
             .groupBy(query_id_col, "a_id")
@@ -589,9 +603,10 @@ def mmr_rerank(
             scored.withColumn("rn", F.row_number().over(ws))
             .filter(F.col("rn") == 1)
             .select(query_id_col, id_col, "qsim", F.lit(step).alias("step"), "mmr")
+            .persist()
         )
-        selected = selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select(query_id_col, id_col), on=[query_id_col, id_col], how="anti"
-        )
-    return selected
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -64,7 +64,8 @@ def unigram_lm_score(
     (AQE broadcasts the vocab side when it fits) → (doc) hash agg; the
     corpus total joins as a broadcast single-row aggregate, never a
     collected scalar."""
-    toks = df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts, id_col).select(
         F.col(id_col),
         F.explode(
             F.filter(TX.words(text_col), lambda w: w != F.lit(""))
@@ -103,7 +104,8 @@ def top_terms_per_lang(
     ties break on the term string so the cut is deterministic."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts, lang_col, "text").select(
         F.col(lang_col),
         F.explode(
             F.filter(TX.words(text_col), lambda w: w != F.lit(""))
@@ -196,10 +198,14 @@ def tfidf_top_terms(
     scalar, so the whole plan is one lazy DAG. At 100 TB the term join
     shuffles |vocab| ≪ |corpus| rows; AQE broadcasts the df side when the
     vocabulary fits. idf = ln(N/df) on doubles — a single multiplication
-    per (doc, term), rounded for cross-engine determinism."""
+    per (doc, term), rounded for cross-engine determinism. The input is
+    repartitioned before the tokenize/explode stage (PERF.md lesson #6:
+    a single small input file otherwise serializes the per-row work on
+    one task)."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts, id_col).select(
         F.col(id_col),
         F.explode(
             F.filter(TX.words(text_col), lambda w: w != F.lit(""))

@@ -445,6 +445,31 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
+def q_window_range_rolling(spark, sf_dir):
+    """RANGE-frame window (vs the rows-frame running sum): per-user
+    rolling 2-day event count and value sum, frame defined by the ORDER
+    VALUE interval [ts-2d, ts], not by row offsets — ties in ts share one
+    frame, so the result is deterministic without a tiebreak column. The
+    frame sum uses the DECIMAL(18,4) pattern (frame-order float
+    accumulation differs across engines). One shuffle on user_id."""
+    two_days_us = 2 * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-two_days_us, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_2d"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_2d"),
+    )
+
+
 def q_window_rank(spark, sf_dir):
     """rank + dense_rank + ntile in one pass over a single window spec
     (one shuffle on the partition key serves all three)."""
@@ -2069,6 +2094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_wide": q_pivot_wide,
     "unpivot_long": q_unpivot_long,
     "window_running_sum": q_window_running_sum,
+    "window_range_rolling": q_window_range_rolling,
     "window_rank": q_window_rank,
     "window_lead": q_window_lead,
     "agg_stats": q_agg_stats,
@@ -2344,6 +2370,16 @@ ORACLE: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_spend
         FROM orders
+    """,
+    "window_range_rolling": """
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_2d,
+               CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) OVER w
+                    AS DOUBLE) AS sum_2d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                     RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)
     """,
     "window_rank": """
         SELECT c_custkey, c_nationkey,
