@@ -132,6 +132,79 @@ def fingerprints(
     )
 
 
+def corpus_pipeline(
+    df: DataFrame,
+    *,
+    bench_mod: int = 97,
+    ngram_n: int = 3,
+    min_hits: int = 2,
+    min_words: int = 20,
+    max_punct: float = 0.1,
+    langs: tuple[str, ...] = ("en", "fr", "es"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The FULL training-data admission DAG as one composed plan: exact
+    dedup → benchmark decontamination → quality/language gate → split
+    assignment, emitting one row per input doc with its DISPOSITION
+    (benchmark / dup / contaminated / low_quality / kept, first match
+    wins in that order) and, for kept docs, the deterministic
+    train/val/test split. The per-stage operators exist standalone
+    (corpus_filter, decontaminate, split assignment); this is the shape a
+    real corpus build runs — one pass producing an auditable decision log
+    instead of silently dropping rows.
+
+    Scale: one scan feeds everything; the wide exchanges are the
+    content-hash dedup window, the gram join inside decontaminate
+    (benchmark side broadcast), and the final doc_id join of hit counts —
+    all keyed, no all-pairs anything. Quality signals and the split are
+    pure row-local expressions.
+    """
+    from pyspark.sql import Window
+
+    bench = df.filter(F.col(id_col) % bench_mod == 0)
+    corpus = df.filter(F.col(id_col) % bench_mod != 0)
+    decon = decontaminate(
+        corpus, bench, n=ngram_n, min_hits=min_hits,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "n_hits")
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n_parts, id_col)
+        .withColumn("dup_rk", F.row_number().over(w))
+        .withColumn("len_words", TX.n_words(text_col).cast("bigint"))
+        .withColumn("punct_ratio", TX.punct_ratio(text_col))
+        .withColumn("lang_pred", TX.lang_id(text_col))
+    )
+    joined = base.join(decon, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    low_q = (
+        (F.col("len_words") < min_words)
+        | (F.col("punct_ratio") > max_punct)
+        | (~F.col("lang_pred").isin(*langs))
+    )
+    disposition = (
+        F.when(F.col(id_col) % bench_mod == 0, "benchmark")
+        .when(F.col("dup_rk") > 1, "dup")
+        .when(n_hits >= min_hits, "contaminated")
+        .when(low_q, "low_quality")
+        .otherwise("kept")
+    )
+    bucket = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296) % 10
+    split = F.when(
+        disposition == "kept",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    ).otherwise("none")
+    return joined.select(
+        id_col,
+        disposition.alias("disposition"),
+        split.alias("split"),
+        n_hits.alias("n_hits"),
+        "len_words",
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1335,6 +1335,14 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """Full admission DAG (operators/textops.corpus_pipeline): exact dedup
+    → decontamination → quality gate → split, one disposition row per doc
+    — the auditable composed form of corpus_filter + decontaminate +
+    split_train_test."""
+    return textops.corpus_pipeline(_t(spark, sf_dir, "documents"))
+
+
 def q_profile_table(spark, sf_dir):
     """Per-column profiling audit over documents (null rate, exact
     distinct, min/max, avg length) — one scan, one partial+final agg to a
@@ -2166,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": q_embed_quantize,
     "embed_centroid": q_embed_centroid,
     "corpus_filter": q_corpus_filter,
+    "corpus_pipeline": q_corpus_pipeline,
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
     "ann_kmeans_train": q_ann_kmeans_train,
@@ -3132,6 +3141,61 @@ ORACLE: dict[str, str] = {
                CAST(coalesce(h.n_hits, 0) >= 2 AS INT) AS contaminated
         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
         LEFT JOIN hits h USING (doc_id)
+    """,
+    "corpus_pipeline": f"""
+        WITH d AS (
+            SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       {_SQL_SHINGLES3.format(ws="ws", t="text")})) AS ngram
+            FROM d
+        ), bench AS (
+            SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM g JOIN bench USING (ngram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        w -> w <> '')) AS BIGINT) AS len_words,
+                   round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         / nullif(length(text), 0), 6) AS punct_ratio,
+                   CASE WHEN contains(t,' the ') OR contains(t,' and ') OR contains(t,' of ') THEN 'en'
+                        WHEN contains(t,' le ') OR contains(t,' la ') OR contains(t,' et ') THEN 'fr'
+                        WHEN contains(t,' el ') OR contains(t,' los ') OR contains(t,' y ') THEN 'es'
+                        WHEN contains(t,' der ') OR contains(t,' und ') OR contains(t,' die ') THEN 'de'
+                        WHEN contains(t,'的') OR contains(t,'是') OR contains(t,'了') THEN 'zh'
+                        ELSE 'und' END AS lang_pred,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS dup_rk
+            FROM (SELECT doc_id, text,
+                         ' ' || lower(text) || ' ' AS t FROM documents)
+        ), final AS (
+            SELECT s.doc_id,
+                   CASE WHEN s.doc_id % 97 = 0 THEN 'benchmark'
+                        WHEN s.dup_rk > 1 THEN 'dup'
+                        WHEN coalesce(h.n_hits, 0) >= 2 THEN 'contaminated'
+                        WHEN s.len_words < 20 OR s.punct_ratio > 0.1
+                             OR s.lang_pred NOT IN ('en','fr','es')
+                             THEN 'low_quality'
+                        ELSE 'kept' END AS disposition,
+                   ((s.doc_id * 2654435761) % 4294967296) % 10 AS b,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   s.len_words
+            FROM scored s LEFT JOIN hits h USING (doc_id)
+        )
+        SELECT doc_id, disposition,
+               CASE WHEN disposition = 'kept'
+                    THEN CASE WHEN b < 8 THEN 'train'
+                              WHEN b = 8 THEN 'val'
+                              ELSE 'test' END
+                    ELSE 'none' END AS split,
+               n_hits, len_words
+        FROM final
     """,
     "ann_matryoshka": f"""
         WITH q AS (
