@@ -112,3 +112,16 @@ def test_explain_carries_rule_decision_and_plan(emb, queries):
     assert "ANNStrategyRule" in text
     assert "brute_force" in text
     assert "== Physical Plan ==" in text
+
+
+def test_matryoshka_fallback_branch(spark):
+    """Above-threshold + no index + explicit opt-in -> the index-free
+    coarse-to-fine path; without the opt-in the planner stays exact."""
+    from vector_database_app_spark.plans import ann_planner as AP
+    from vector_database_app_spark.registry import QUERIES
+
+    df = QUERIES["ann_planner_fallback"](spark, "/root/testdata/sf0.001")
+    direct = QUERIES["ann_matryoshka"](spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want

@@ -71,11 +71,23 @@ class SrpIndex:
 
 
 @dataclass(frozen=True)
+class MatryoshkaFallback:
+    """Index-free approximate fallback: coarse prefix-cosine shortlist +
+    exact full-dim re-rank (`search.matryoshka_search`). Unlike IVF/SRP
+    there is NOTHING to build or materialize — the right middle ground
+    when the corpus outgrew brute force but no index exists yet. Opt-in
+    only: the planner never silently trades exactness for speed."""
+
+    prefix_dims: int = 16
+    shortlist: int = 25
+
+
+@dataclass(frozen=True)
 class PlannedSearch:
     """The rule's output: the chosen physical strategy, why, and the
     resulting DataFrame."""
 
-    strategy: Literal["brute_force", "ivf", "srp"]
+    strategy: Literal["brute_force", "ivf", "srp", "matryoshka"]
     reason: str
     corpus_bytes: int | None
     df: DataFrame = field(repr=False)
@@ -111,6 +123,7 @@ def plan_topk_similarity(
     *,
     k: int = 5,
     index: IvfIndex | SrpIndex | None = None,
+    approx_fallback: MatryoshkaFallback | None = None,
     brute_force_max_bytes: int = DEFAULT_BRUTE_FORCE_MAX_BYTES,
     vec_col: str = "embedding",
     query_vec_col: str = "query_embedding",
@@ -185,10 +198,29 @@ def plan_topk_similarity(
             df,
         )
 
+    if approx_fallback is not None:
+        df = search.matryoshka_search(
+            corpus,
+            queries,
+            prefix_dims=approx_fallback.prefix_dims,
+            shortlist=approx_fallback.shortlist,
+            **common,
+        )
+        return PlannedSearch(
+            "matryoshka",
+            f"size {size} > threshold, no index; caller opted into the "
+            f"index-free coarse-to-fine fallback (prefix_dims="
+            f"{approx_fallback.prefix_dims}, "
+            f"shortlist={approx_fallback.shortlist})",
+            size,
+            df,
+        )
+
     return PlannedSearch(
         "brute_force",
         f"size {size} > threshold but no index registered — "
-        "falling back to exact scan (register an IvfIndex/SrpIndex)",
+        "falling back to exact scan (register an IvfIndex/SrpIndex, or "
+        "opt into MatryoshkaFallback for an index-free approximate path)",
         size,
         search.knn_batch(corpus, queries, **common),
     )

@@ -1983,6 +1983,32 @@ def q_ann_planner_indexed(spark, sf_dir):
     )
 
 
+def q_ann_planner_fallback(spark, sf_dir):
+    """ANNStrategyRule matryoshka branch: threshold forced to 0, no index
+    registered, caller opts into the index-free coarse-to-fine fallback —
+    result must equal ann_matryoshka exactly (same prefix/shortlist/k),
+    so it shares that oracle."""
+    from .plans import ann_planner as AP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    planned = AP.plan_topk_similarity(
+        corpus,
+        queries,
+        k=5,
+        approx_fallback=AP.MatryoshkaFallback(prefix_dims=16, shortlist=25),
+        brute_force_max_bytes=0,
+    )
+    assert planned.strategy == "matryoshka", planned.reason
+    return planned.df.select(
+        "query_id", "vec_id", "label", "coarse_sim", "sim", "rk"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -2186,6 +2212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": q_ann_ivf_search,
     "ann_planner_exact": q_ann_planner_exact,
     "ann_planner_indexed": q_ann_planner_indexed,
+    "ann_planner_fallback": q_ann_planner_fallback,
     "pyds_synthetic_docs": q_pyds_synthetic_docs,
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
@@ -3323,6 +3350,7 @@ ORACLE: dict[str, str] = {
 # The planner's IVF branch must be bit-identical to the direct IVF query —
 # same centroids, same n_probe — so it shares that oracle verbatim.
 ORACLE["ann_planner_indexed"] = ORACLE["ann_ivf_search"]
+ORACLE["ann_planner_fallback"] = ORACLE["ann_matryoshka"]
 
 
 def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
