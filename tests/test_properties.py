@@ -272,3 +272,69 @@ def test_interval_join_binned_equals_naive(spark, points, ivals, bin_w):
         if s <= p < s + d
     }
     assert got == naive
+
+
+def test_mmr_matches_independent_numpy_greedy(spark):
+    """Cross-check rag_mmr against an INDEPENDENT numpy re-implementation
+    of the greedy objective (the oracle SQL mirrors the Spark construction
+    step-for-step; this reimplements the ALGORITHM from the definition:
+    pick argmax lam*qsim, then repeatedly argmax lam*qsim - pen*max-sim-to-
+    picked, ties to the lowest vec_id)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import search as S
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    short = (
+        S.knn_batch(emb.filter(F.col("vec_id") >= 3), queries, k=10)
+        .select("query_id", "vec_id", "sim", "embedding")
+        .toPandas()
+    )
+    got = {
+        (r.query_id, r.step): (r.vec_id, r.mmr)
+        for r in QUERIES["rag_mmr"](spark, sf).collect()
+    }
+    lam, pen = Decimal("0.7"), Decimal("0.3")
+    for qid, grp in short.groupby("query_id"):
+        cands = {
+            int(r.vec_id): (Decimal(str(round(r.sim, 6))), np.array(r.embedding, dtype=np.float64))
+            for r in grp.itertuples()
+        }
+        picked: list[int] = []
+        for step in range(1, 6):
+            best = None
+            for vid, (qsim, vec) in sorted(cands.items()):
+                if vid in picked:
+                    continue
+                if not picked:
+                    score = lam * qsim
+                else:
+                    worst = max(
+                        Decimal(
+                            str(
+                                round(
+                                    float(
+                                        np.dot(vec, cands[p][1])
+                                        / (np.linalg.norm(vec) * np.linalg.norm(cands[p][1]))
+                                    ),
+                                    6,
+                                )
+                            )
+                        )
+                        for p in picked
+                    )
+                    score = lam * qsim - pen * worst
+                if best is None or score > best[1]:
+                    best = (vid, score)
+            assert got[(qid, step)][0] == best[0], (qid, step, got[(qid, step)], best)
+            assert abs(got[(qid, step)][1] - float(best[1])) < 1e-9
+            picked.append(best[0])

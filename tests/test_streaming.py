@@ -289,3 +289,41 @@ def test_stream_upsert_sink_replaces_only_touched_partitions(spark, tmp_path):
     stream2 = spark.readStream.schema("id long, day string, val string").parquet(src)
     SW.run_stream_upsert_partitions(stream2, store, ckpt, partition_cols=["day"])
     assert listing("1") == day1_before
+
+
+def test_stateful_running_totals_tws(spark, batch_events):
+    """transformWithStateInPandas twin of running_user_totals: the final
+    emission per user must equal the batch aggregate (same invariant as
+    the applyInPandasWithState form; requires the RocksDB provider).
+
+    transformWithState's driver worker speaks protobuf to the state
+    server; the sandbox has no google.protobuf, so this skips where the
+    dependency is absent (same convention as the PyMuPDF/python-pptx
+    ingest tests) — the operator code itself is import-clean either way."""
+    pytest.importorskip("google.protobuf")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SW.stream_events(spark, SF)
+        _drain(SW.running_user_totals_tws(stream), "s_totals_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.table("s_totals_tws").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want

@@ -83,6 +83,11 @@ def cluster_conf(
     - shuffle.service / dynamicAllocation: elasticity on a shared cluster;
       harmless locally, required at fleet scale.
     - kryo: shuffle/broadcast bytes, not semantics.
+    - runtime.bloomFilter on: runtime row-level filtering for selective
+      joins whose small side is too big to broadcast (the gram join in
+      decontaminate with a large benchmark, similarity candidate joins) —
+      the shuffle-side complement of DPP; creationSideThreshold raised so
+      the 100 TB fact side still qualifies as the application side.
 
     NOT set: executor count/sizing flags beyond memory (cluster-manager
     territory), and nothing that alters query semantics — the same plans
@@ -101,4 +106,8 @@ def cluster_conf(
         "spark.shuffle.service.enabled": "true",
         "spark.dynamicAllocation.enabled": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(
+            256 * 1024 * 1024
+        ),
     }

@@ -279,6 +279,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same cumulative totals on Spark 4's transformWithStateInPandas
+    — the successor API to applyInPandasWithState (SPARK-49564): explicit
+    StatefulProcessor lifecycle, NAMED state variables (ValueState here;
+    ListState/MapState/TTL/timers available), and a RocksDB-backed store.
+    Kept alongside the applyInPandasWithState form so both arbitrary-state
+    surfaces stay tested; new stateful operators should start here.
+
+    Requires the RocksDB state-store provider (set by the caller/test on
+    the session: spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider); the HDFS-backed default does not
+    support transformWithState. Runtime (not import) also needs
+    google.protobuf — the TWS driver worker's state-server protocol —
+    absent in this sandbox, so the parity test importorskips (the
+    applyInPandasWithState twin above stays the fully-exercised form
+    here)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
 ) -> None:
