@@ -1158,8 +1158,9 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_embedding_srp(spark, sf_dir):
-    # rows-only: SRP bucket ids are engine-internal (xxhash-free but the
-    # bucket packing has no DuckDB twin worth maintaining)
+    """SRP-bucketed near-dup pairs. Oracle-checked: the md5-derived
+    hyperplane literals regenerate into DuckDB SQL (_srp_bucket_sql), so
+    bucket ids — and therefore the candidate set — match bit-for-bit."""
     return dedup.embedding_near_dups_srp(
         _t(spark, sf_dir, "embeddings"), threshold=0.3
     )
@@ -1865,6 +1866,9 @@ def q_rag_mmr(spark, sf_dir):
 
 
 def q_ann_srp(spark, sf_dir):
+    """SRP bucket-probe ANN. Oracle-checked (_srp_oracle_sql): the
+    hyperplanes are plan-time md5-derived literals, so DuckDB replays
+    bucketing, Hamming-1 probe ring, and re-rank exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
@@ -3351,6 +3355,74 @@ ORACLE: dict[str, str] = {
 # same centroids, same n_probe — so it shares that oracle verbatim.
 ORACLE["ann_planner_indexed"] = ORACLE["ann_ivf_search"]
 ORACLE["ann_planner_fallback"] = ORACLE["ann_matryoshka"]
+
+
+def _srp_bucket_sql(v: str, n_bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of search._srp_bucket: the SAME md5-derived ±1
+    hyperplane literals, regenerated into SQL array constants, so the
+    bucket ids match Spark's bit-for-bit (sign parity holds wherever the
+    cosine oracles' dot-product parity already holds — same sequential
+    fold over identical doubles)."""
+    import hashlib
+
+    terms = []
+    for bit in range(n_bits):
+        signs = ", ".join(
+            "1.0" if hashlib.md5(f"srp|{bit}|{j}".encode()).digest()[0] & 1
+            else "-1.0"
+            for j in range(dim)
+        )
+        terms.append(
+            f"CASE WHEN list_dot_product({v}::DOUBLE[], [{signs}]) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def _srp_oracle_sql(k: int = 5, n_bits: int = 8) -> str:
+    """Exact replay of q_ann_srp: bucket both sides with the literal
+    hyperplanes, probe the Hamming-1 ring, cosine re-rank, top-k."""
+    masks = [0] + [1 << b for b in range(n_bits)]
+    probe_list = ", ".join(f"xor(qbucket, {m})" for m in masks)
+    cos = _SQL_COS.format(a="c.embedding", b="p.qe")
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, label, embedding,
+                 {_srp_bucket_sql("embedding")} AS bucket
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qe,
+                 {_srp_bucket_sql("embedding")} AS qbucket
+          FROM embeddings WHERE vec_id < 3
+        ), probes AS (
+          SELECT query_id, qe, unnest([{probe_list}]) AS bucket FROM q
+        ), cand AS (
+          SELECT p.query_id, c.vec_id, c.label, {cos} AS sim
+          FROM corpus c JOIN probes p USING (bucket)
+        )
+        SELECT query_id, vec_id, label, sim, CAST(rk AS INT) AS rk
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rk
+          FROM cand
+        ) WHERE rk <= {k}
+    """
+
+
+ORACLE["ann_srp"] = _srp_oracle_sql()
+
+ORACLE["dedup_embedding_srp"] = f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS sim
+      FROM c a JOIN c b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+"""
 
 
 def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
