@@ -224,3 +224,25 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan  # still a real join, on the _bin equi key
+
+
+def test_pack_sequences_two_phase_and_complete(spark):
+    """The packing cumsum must be the two-phase form (per-partition window
+    keyed on _pid — a full-data SinglePartition sort window would serialize
+    the corpus through one task), and the layout must be gapless: every
+    sequence except the last carries exactly seq_len tokens."""
+    from vector_database_app_spark.registry import QUERIES
+
+    df = QUERIES["pack_sequences"](spark, SF)
+    plan = explain_str(df)
+    assert "hashpartitioning(_pid" in plan, plan
+    pdf = df.toPandas()
+    per_seq = pdf.groupby("seq_id")["n_tok_in_seq"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == 128).all()
+    assert 0 < per_seq.iloc[-1] <= 128
+    # document slices reassemble exactly: offsets contiguous from 0
+    for _, grp in pdf.groupby("doc_id"):
+        g = grp.sort_values("doc_tok_offset")
+        assert g["doc_tok_offset"].iloc[0] == 0
+        ends = g["doc_tok_offset"] + g["n_tok_in_seq"]
+        assert (g["doc_tok_offset"].iloc[1:].values == ends.iloc[:-1].values).all()

@@ -205,6 +205,96 @@ def corpus_pipeline(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing — the concat-then-chunk step every causal-LM
+    pre-training pipeline runs: documents are laid end-to-end in
+    deterministic ``id_col`` order (one separator token between docs) and
+    the token stream is sliced into fixed ``seq_len`` windows. Emits one
+    row per (sequence, document) overlap: which slice of which document
+    lands where in which training sequence. Downstream either gathers
+    rows per seq_id into actual token arrays or uses the map to shard
+    tokenization work.
+
+    The global running offset is NOT a single-partition window (the naive
+    ``Window.orderBy(id)`` — a serialized total sort that caps throughput
+    at one core no matter the cluster). Two-phase cumulative sum instead:
+    range-repartition by ``id_col``, per-PARTITION window cumsum (fully
+    parallel, each partition ordered internally), then add each
+    partition's exclusive prefix total — a second window over only
+    |partitions| rows. The same decomposition every distributed prefix
+    sum uses; the tiny prefix table broadcasts. Results are independent
+    of the sampled range boundaries (any contiguous split of the sort
+    order yields the same global cumsum), so the output is deterministic
+    and the DuckDB oracle can replay it with a plain global window.
+
+    Integer arithmetic end to end — no float anywhere."""
+    from pyspark.sql import Window
+
+    n_parts = (
+        partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    toks = (
+        df.repartitionByRange(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            (TX.n_words(text_col).cast("bigint") + F.lit(1)).alias("n_tok"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn("_local_end", F.sum("n_tok").over(w_local))
+    totals = local.groupBy("_pid").agg(F.max("_local_end").alias("_ptotal"))
+    w_prefix = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = totals.withColumn(
+        "_prefix", F.sum("_ptotal").over(w_prefix) - F.col("_ptotal")
+    ).select("_pid", "_prefix")
+    placed = (
+        local.join(F.broadcast(prefix), "_pid")
+        .withColumn("tok_end", F.col("_local_end") + F.col("_prefix"))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tok"))
+    )
+    seqs = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / seq_len),
+                F.floor((F.col("tok_end") - 1) / seq_len),
+            )
+        ),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    return seqs.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        F.greatest(F.col("tok_start") - seq_start, F.lit(0))
+        .cast("bigint")
+        .alias("pos_in_seq"),
+        F.greatest(seq_start - F.col("tok_start"), F.lit(0))
+        .cast("bigint")
+        .alias("doc_tok_offset"),
+        (
+            F.least(F.col("tok_end"), seq_start + seq_len)
+            - F.greatest(F.col("tok_start"), seq_start)
+        )
+        .cast("bigint")
+        .alias("n_tok_in_seq"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     text_col: str = "text",

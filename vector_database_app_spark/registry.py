@@ -1336,6 +1336,15 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/textops.pack_sequences): concat-then-
+    chunk the corpus into 128-token training sequences via a distributed
+    two-phase prefix sum; the oracle replays the layout with one global
+    window (fine at oracle scale, serial at cluster scale — which is the
+    point of the two-phase form)."""
+    return textops.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """Full admission DAG (operators/textops.corpus_pipeline): exact dedup
     → decontamination → quality gate → split, one disposition row per doc
@@ -2205,6 +2214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_centroid": q_embed_centroid,
     "corpus_filter": q_corpus_filter,
     "corpus_pipeline": q_corpus_pipeline,
+    "pack_sequences": q_pack_sequences,
     "join_salted": q_join_salted,
     "image_caption": q_image_caption,
     "ann_kmeans_train": q_ann_kmeans_train,
@@ -2876,6 +2886,37 @@ ORACLE: dict[str, str] = {
                                 t.term) AS rk
             FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         ) WHERE rk <= 3
+    """,
+    "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS BIGINT) + 1 AS n_tok
+          FROM documents
+        ), placed AS (
+          SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS tok_end
+          FROM t
+        ), spans AS (
+          SELECT doc_id, n_tok, tok_end, tok_end - n_tok AS tok_start
+          FROM placed
+        ), exploded AS (
+          SELECT doc_id, tok_start, tok_end,
+                 unnest(range(tok_start // 128,
+                              (tok_end - 1) // 128 + 1)) AS seq_id
+          FROM spans
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(tok_start - seq_id * 128, 0) AS BIGINT)
+                   AS pos_in_seq,
+               CAST(greatest(seq_id * 128 - tok_start, 0) AS BIGINT)
+                   AS doc_tok_offset,
+               CAST(least(tok_end, seq_id * 128 + 128)
+                    - greatest(tok_start, seq_id * 128) AS BIGINT)
+                   AS n_tok_in_seq
+        FROM exploded
     """,
     "lm_unigram_score": """
         WITH toks AS (
