@@ -500,6 +500,47 @@ def sample_stratified(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain mixing: draw a deterministic sample hitting a TARGET
+    distribution over sources (the "data mixture" stage of every
+    pre-training recipe — rebalance web vs code vs books to chosen
+    proportions). Per source s, keep the ``floor(total·w_s)`` docs with
+    the lowest Knuth-hash rank; a source with fewer docs than its quota
+    contributes everything it has (quota shortfall is visible downstream
+    as a count, never silently redistributed — redistribution would make
+    every source's sample depend on every other's size).
+
+    Determinism: hash rank + id tiebreak, same as sample_stratified — no
+    RNG, reproducible across engines/cluster sizes. Scale: one shuffle on
+    the source key; quotas are plan-time literals from the weights dict,
+    so no count() fires at construction."""
+    from pyspark.sql import Window
+
+    quota = F.lit(0)
+    for s, wgt in sorted(weights.items()):
+        quota = F.when(F.col(source_col) == s, int(total * wgt)).otherwise(quota)
+    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select(
+            id_col,
+            source_col,
+            F.col("_rk").cast("int").alias("sample_rank"),
+            F.col("_quota").cast("int").alias("source_quota"),
+        )
+    )
+
+
 #: PII patterns (kept to syntax shared by Java regex and DuckDB's RE2):
 #: emails and http(s) URLs — the two scrubs every public-corpus pipeline
 #: runs first.

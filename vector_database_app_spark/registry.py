@@ -1336,6 +1336,17 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Domain mixing (operators/textops.sample_mixture): 200-doc sample at
+    40/30/20/10% across the four sources, deterministic hash-rank draw,
+    quotas as plan-time literals."""
+    return textops.sample_mixture(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        total=200,
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (operators/textops.pack_sequences): concat-then-
     chunk the corpus into 128-token training sequences via a distributed
@@ -2205,6 +2216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_unigram_score": q_lm_unigram_score,
     "top_terms_per_lang": q_top_terms_per_lang,
     "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
     "pii_scrub": q_pii_scrub,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "decontaminate": q_decontaminate,
@@ -2886,6 +2898,21 @@ ORACLE: dict[str, str] = {
                                 t.term) AS rk
             FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         ) WHERE rk <= 3
+    """,
+    "sample_mixture": """
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                 ) AS rk,
+                 CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 60
+                             WHEN 'src2' THEN 40 WHEN 'src3' THEN 20
+                             ELSE 0 END AS quota
+          FROM documents)
+        SELECT doc_id, source, CAST(rk AS INT) AS sample_rank,
+               CAST(quota AS INT) AS source_quota
+        FROM ranked WHERE rk <= quota
     """,
     "pack_sequences": """
         WITH t AS (
