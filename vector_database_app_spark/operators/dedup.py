@@ -282,6 +282,75 @@ def minhash_near_dups(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_near_dups_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    partitions: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """ORACLE-CHECKABLE MinHash LSH: the same signatures → bands →
+    candidates → exact-Jaccard-verify trajectory as `minhash_near_dups`,
+    but every hash is md5 — available identically in any engine — so the
+    WHOLE pipeline (not just the verified output) replays in the DuckDB
+    oracle value-for-value: min over md5(shingle|perm) hex strings is a
+    lexicographic min of identical ASCII, and band keys are the plain
+    concatenation of the band's minima.
+
+    This is the checkability/throughput trade made explicit: the
+    xxhash64+affine form stays the hot path (md5 costs several× per
+    shingle and the hex strings shuffle 4× the bytes of packed longs);
+    this form exists so the LSH *algorithm* itself sits under the
+    value-level gate rather than a rows-only check. Same guardrails:
+    repartition before the signature stage, `max_bucket_size` against
+    degenerate buckets, pair expansion never all-pairs."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, id_col)
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, shingle_n))
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    if n_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rpb = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"_m{i}") for i in range(b * rpb, (b + 1) * rpb)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+    grouped = (
+        banded.groupBy("bk.band", "bk.key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pairs = (
+        _bucket_pairs(grouped)
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard(base, pairs, text_col, id_col, shingle_n=shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def edit_distance_verify(
     df: DataFrame,
     pairs: DataFrame,

@@ -1166,6 +1166,16 @@ def q_dedup_embedding_srp(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_md5(spark, sf_dir):
+    """Oracle-checked MinHash LSH (dedup.minhash_near_dups_md5): md5 hash
+    family so the full signatures → bands → candidates → verify
+    trajectory replays value-for-value in DuckDB (_minhash_md5_oracle_sql);
+    the xxhash64 form (dedup_minhash) stays the hot path."""
+    return dedup.minhash_near_dups_md5(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.3
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     # rows-only: xxhash64-based signatures are engine-internal
     return dedup.minhash_near_dups(
@@ -2189,6 +2199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_srp": q_dedup_embedding_srp,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_simhash": q_dedup_simhash,
     "chunk_fixed": q_chunk_fixed,
     "ingest_chunks": q_ingest_chunks,
@@ -3478,6 +3489,67 @@ def _srp_oracle_sql(k: int = 5, n_bits: int = 8) -> str:
 
 
 ORACLE["ann_srp"] = _srp_oracle_sql()
+
+
+def _minhash_md5_oracle_sql(
+    n_hashes: int = 8, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of dedup.minhash_near_dups_md5 — generated so
+    n_hashes/bands stay in one place with the Spark side. min over
+    md5(shingle || '|i') hex strings is a lexicographic min of identical
+    ASCII in both engines; band keys are plain concatenations of the
+    band's minima; candidates come from a band-key self-join (set-equal
+    to Spark's within-bucket pair expansion) with the same 2..1000
+    bucket-size guard."""
+    rpb = n_hashes // bands
+    sh3 = _SQL_SHINGLES3.format(ws="ws", t="text")
+    mins = ",\n                 ".join(
+        f"min(md5(s || '|{i}')) AS m{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          FROM documents
+        ), shingle_sets AS (
+          SELECT doc_id, list_distinct({sh3}) AS ss FROM d
+        ), sh AS (
+          SELECT doc_id, unnest(ss) AS s FROM shingle_sets
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          {band_rows}
+        ), buckets AS (
+          SELECT band, key FROM banded
+          GROUP BY band, key HAVING count(*) BETWEEN 2 AND 1000
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a
+          JOIN buckets k ON k.band = a.band AND k.key = a.key
+          JOIN banded b ON b.band = a.band AND b.key = a.key
+                       AND a.doc_id < b.doc_id
+        )
+        SELECT * FROM (
+          SELECT p.id_a, p.id_b,
+                 round(len(list_intersect(sa.ss, sb.ss))
+                       / len(list_distinct(list_concat(sa.ss, sb.ss))), 6)
+                     AS jaccard
+          FROM pairs p
+          JOIN shingle_sets sa ON sa.doc_id = p.id_a
+          JOIN shingle_sets sb ON sb.doc_id = p.id_b
+        ) WHERE jaccard >= {threshold}
+    """
+
+
+ORACLE["dedup_minhash_md5"] = _minhash_md5_oracle_sql()
 
 ORACLE["dedup_embedding_srp"] = f"""
     WITH c AS (
