@@ -282,6 +282,61 @@ def minhash_near_dups(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def simhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 60,
+) -> DataFrame:
+    """ORACLE-CHECKABLE SimHash: identical shape to :func:`simhash`
+    (explode distinct tokens → ONE hash aggregation of per-bit ±1 sums →
+    signature assembly) but the per-token bit pattern comes from md5 —
+    60 bits parsed from the hex tail via base-16 conv, reproducible in
+    any engine (`('0x'||substr(md5(t),18,15))::BIGINT` on the DuckDB
+    side yields the same long). 60 not 64: 15 hex chars stay inside a
+    signed BIGINT in both engines, no unsigned wraparound cases.
+
+    Same checkability/throughput trade as minhash_near_dups_md5 — the
+    xxhash64 `simhash` stays the hot path; this puts the simhash
+    ALGORITHM under the value-level gate. Empty docs get signature 0
+    with n_tokens 0 (explode_outer null row contributes nothing)."""
+    if bits > 60:
+        raise ValueError("bits > 60 would overflow the signed-long hex parse")
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(F.array_remove(TX.words(text_col), ""))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 18, 15), 16, 10).cast("long")
+    toks = toks.withColumn("_h", h)
+    aggs = [
+        F.sum(
+            F.when(F.col("tok").isNull(), 0)
+            .when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ] + [
+        F.sum(F.when(F.col("tok").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_tokens")
+    ]
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return (
+        toks.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            sig.alias("simhash_md5"),
+            "n_tokens",
+        )
+    )
+
+
 def minhash_near_dups_md5(
     df: DataFrame,
     text_col: str = "text",

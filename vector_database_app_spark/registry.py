@@ -1183,6 +1183,14 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_doc_simhash_md5(spark, sf_dir):
+    """Oracle-checked SimHash signatures (dedup.simhash_md5_signatures):
+    md5-derived 60-bit patterns so the signature computation replays
+    value-for-value in DuckDB (_simhash_md5_oracle_sql); the xxhash64
+    dedup_simhash stays the hot path."""
+    return dedup.simhash_md5_signatures(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     # rows-only
     return dedup.simhash_near_dups(
@@ -2201,6 +2209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_simhash": q_dedup_simhash,
+    "doc_simhash_md5": q_doc_simhash_md5,
     "chunk_fixed": q_chunk_fixed,
     "ingest_chunks": q_ingest_chunks,
     "run_search_multimodal": q_run_search_multimodal,
@@ -3550,6 +3559,43 @@ def _minhash_md5_oracle_sql(
 
 
 ORACLE["dedup_minhash_md5"] = _minhash_md5_oracle_sql()
+
+
+def _simhash_md5_oracle_sql(bits: int = 60) -> str:
+    """DuckDB replay of dedup.simhash_md5_signatures — generated so the
+    bit count stays in one place. The left join back to documents mirrors
+    explode_outer's empty-doc row (signature 0, n_tokens 0)."""
+    sums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = "\n                + ".join(
+        f"CASE WHEN b.s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                     string_split(lower(text), ' '), w -> w <> ''))) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 18, 15))::BIGINT AS h
+          FROM toks
+        ), bitsums AS (
+          SELECT doc_id,
+                 {sums},
+                 count(*) AS n_tokens
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce({sig}, 0) AS BIGINT) AS simhash_md5,
+               CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN bitsums b USING (doc_id)
+    """
+
+
+ORACLE["doc_simhash_md5"] = _simhash_md5_oracle_sql()
 
 ORACLE["dedup_embedding_srp"] = f"""
     WITH c AS (
