@@ -693,3 +693,214 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_str, max_str, avg_len)"
     )
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    bucket_width: int = 20,
+) -> DataFrame:
+    """Token-count distribution: docs bucketed by whitespace token count
+    (fixed-width buckets). The context-length histogram every corpus build
+    records before choosing pack/truncation lengths — the reference never
+    inspects its corpus at all.
+
+    Scale shape: one scan, row-local token count, one hash aggregation
+    keyed by the bucket id (a few hundred keys regardless of corpus size —
+    map-side partials collapse everything before the exchange). All
+    integers, so the oracle compare is exact."""
+    n = TX.n_words(text_col).cast("bigint")
+    return (
+        df.select(
+            (F.floor(n / bucket_width) * bucket_width).alias("bucket_lo"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term list (Robertson/
+    Sparck-Jones; the standard lexical-retrieval upgrade over the TF-IDF
+    ranker in ``tfidf_top_terms`` — together they form the sparse leg of a
+    hybrid sparse+dense retrieval stack next to the engine's cosine KNN).
+
+    Determinism: idf and the tf weight are derived purely from integer
+    aggregates (tf, df, N, doc/avg length), so both engines compute
+    identical double bits up to ln()'s final ulp; each (doc, term) partial
+    score is rounded to DECIMAL(18,8) and summed EXACTLY, so the per-doc
+    score is independent of partition order (no float accumulation — the
+    PERF.md lesson-2/3 discipline).
+
+    Scale shape: the query-term frame is a literal broadcast; tf is one
+    hash agg keyed (doc, term) over an exploded scan bounded to query
+    terms BEFORE the shuffle (the filter prunes the token stream to
+    |terms| keys); df/N/avgdl are single-row broadcast aggregates. Final
+    ranking is TakeOrderedAndProject, never a global sort."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col),
+        TX.n_words(text_col).cast("bigint").alias("dl"),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: F.array_contains(terms, w))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.n_words(text_col).cast("bigint")).alias("sum_dl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # avgdl enters as the exact rational sum_dl/n_docs inside one expression
+    tf_w = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part", F.round(idf * tf_w, 8).cast("decimal(18,8)")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("part").alias("score_dec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .select(
+            id_col,
+            "n_terms_hit",
+            F.round(F.col("score_dec"), 4).cast("double").alias("bm25"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    ).limit(top_k)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Corpus-bigram commonness score — the 2-gram sibling of
+    ``unigram_lm_score`` (CCNet-style LM quality filtering: docs whose
+    word-pair statistics diverge from the corpus read as noise/garble and
+    are routed to the drop/review bucket).
+
+    Per doc: n_bigrams, the exact integer sum of corpus-wide counts of its
+    bigrams, and mean_bigram_p = sum_ct / (n_bigrams · total_bigrams) —
+    integer arithmetic until ONE double division (no float accumulation,
+    the lesson-3 discipline), so the oracle compare is exact.
+
+    Scale shape: bigram assembly is a row-local array expression (no
+    self-join); the LM table is one hash agg keyed by bigram; the score
+    join shuffles |vocab²∩corpus| ≪ |tokens| rows. The input repartition
+    spreads the interpreted HOF stage (PERF.md lesson #6)."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    w = F.filter(TX.words(text_col), lambda x: x != F.lit(""))
+    # guard: sequence(1, 0) generates a DESCENDING [1, 0] in Spark, so
+    # single-word docs must short-circuit to an empty bigram list
+    bigrams_expr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.repartition(n_parts, id_col).select(
+        F.col(id_col), F.explode(bigrams_expr).alias("bigram")
+    )
+    lm = toks.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total_bigrams"))
+    return (
+        toks.join(lm, "bigram")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("ct").cast("bigint").alias("sum_ct"),
+            (
+                F.sum("ct").cast("bigint")
+                / (F.count(F.lit(1)) * F.any_value("total_bigrams"))
+            ).alias("mean_bigram_p"),
+        )
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """Deterministic linear quality classifier: a fasttext-style keep/drop
+    scorer with FIXED published weights over the engine's quality signals
+    (length, stopword density, punctuation density, token redundancy).
+    Real pipelines train these weights; the operator is the SERVING shape
+    — one projection, no model runtime — with the weight vector swapped in
+    from training.
+
+    Determinism: the logit is computed entirely in MICRO-UNIT BIGINT
+    arithmetic — each ratio feature is the engine's round(·,6) double
+    (already on the 6-decimal grid, identical bits both engines) scaled by
+    1e6 and re-rounded to an integer, weights are integer micro-weights —
+    so there is no decimal-division semantics gap and no float
+    accumulation anywhere (PERF.md lessons 1-3). The only double is the
+    final int64/1e6, a correctly-rounded cast on both engines. No exp():
+    the monotone logit thresholds identically to the sigmoid.
+
+    logit = -1.2 + 1.5·min(len,200)/200 + 2.0·stopword_ratio
+            - 3.0·punct_ratio + 1.0·distinct_word_ratio,  keep = logit > 0.5
+    """
+    nw = TX.n_words(text_col).cast("bigint")
+    micro = lambda c: F.round(c * F.lit(1_000_000)).cast("bigint")  # noqa: E731
+    distinct_ratio = F.round(
+        F.size(
+            F.array_distinct(F.filter(TX.words(text_col), lambda x: x != F.lit("")))
+        )
+        / F.greatest(nw, F.lit(1)),
+        6,
+    )
+    logit_micro = (
+        F.lit(-1_200_000).cast("bigint")
+        + F.lit(7_500) * F.least(nw, F.lit(200))  # 1.5 · len/200 · 1e6
+        + F.lit(2) * micro(F.coalesce(TX.stopword_ratio(text_col), F.lit(0.0)))
+        - F.lit(3) * micro(F.coalesce(TX.punct_ratio(text_col), F.lit(0.0)))
+        + micro(distinct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        (logit_micro / F.lit(1_000_000)).alias("quality_logit"),
+        (logit_micro > F.lit(threshold_micro)).alias("keep"),
+    )

@@ -2139,6 +2139,165 @@ def q_window_session(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# Round-2 third-session additions: retrieval ranking, LM scoring, histograms,
+# classifier serving, sliding chunks, event analytics, stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def q_token_histogram(spark, sf_dir):
+    """Context-length histogram (operators/textops.token_histogram) —
+    fixed-width buckets of per-doc whitespace token counts."""
+    return textops.token_histogram(_t(spark, sf_dir, "documents"), bucket_width=20)
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 lexical top-10 for a fixed query-term list
+    (operators/textops.bm25_rank) — the sparse leg of a hybrid
+    sparse+dense retrieval stack next to knn_brute_force."""
+    return textops.bm25_rank(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "join", "merge", "window", "vector"],
+        top_k=10,
+    )
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """Corpus-bigram commonness score (operators/textops.bigram_lm_score)
+    — the 2-gram sibling of lm_unigram_score; integer arithmetic until one
+    double division."""
+    return textops.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Linear quality classifier serving pass
+    (operators/textops.quality_classifier) — fixed micro-integer weights,
+    exact keep/drop threshold."""
+    return textops.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding word-window chunker: 32-word windows, stride 16 (the RAG
+    overlap-chunking twin of chunk_fixed; sources.ingest.chunk_words_expr
+    with overlap=16). Same pure-expression, shuffle-free shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(ingest.chunk_words_expr("text", 32, 16)).alias(
+            "chunk_id", "chunk_text"
+        ),
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    distinct-active counts per (cohort, weeks-since-cohort). The classic
+    event-analytics rollup; every value is an integer or an epoch, so the
+    oracle compare is exact.
+
+    Scale shape: both leg aggregations key on user_id (cohort min and the
+    distinct activity set), so one partitioning serves the scan-side
+    shuffles; the final rollup keys on (cohort, offset) — a few hundred
+    keys with map-side partials. No window over the full event stream."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_wk")
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_us"),
+            F.floor(F.datediff("wk", "cohort_wk") / 7).alias("wk_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def q_anomaly_outliers(spark, sf_dir):
+    """Per-event-type IQR outlier detection (Tukey fence): flag events
+    whose value exceeds q3 + 1.5·IQR for their type. Quartiles are
+    rank-based (row_number at ceil(n/4) / ceil(3n/4) with a stable
+    tie-break) and the fence compare runs in 1e-4-scaled INTEGER
+    arithmetic — no stddev, no float accumulation, deterministic across
+    engines and partitionings.
+
+    Scale shape: one window shuffle keyed by event_type for the ranking,
+    then the per-type quartile rows (a handful) broadcast back onto the
+    stream — the robust-statistics twin of a mean/σ z-score that a real
+    pipeline prefers under heavy-tailed values anyway."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("v4"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v4", "event_id")
+    ranked = ev.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    vu = F.round(F.col("v4") * 10_000).cast("bigint")
+    q1 = (
+        ranked.filter(F.col("rn") == F.expr("(n + 3) div 4"))
+        .select("event_type", vu.alias("q1u"))
+    )
+    q3 = (
+        ranked.filter(F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        .select("event_type", vu.alias("q3u"))
+    )
+    fences = q1.join(q3, "event_type").select(
+        "event_type",
+        (F.lit(10) * F.col("q3u") + F.lit(15) * (F.col("q3u") - F.col("q1u"))).alias(
+            "fence_e5"
+        ),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .filter(F.lit(10) * vu > F.col("fence_e5"))
+        .select(
+            "event_id",
+            "event_type",
+            "v4",
+            (F.col("fence_e5") / F.lit(100_000)).alias("fence_hi"),
+        )
+    )
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (tests/test_streaming.py runs the SAME join as two readStream legs):
+    clicks joined to the views they follow within 30 minutes, keyed on
+    user_id. The time bound is what lets Structured Streaming expire
+    state; in batch it is a plain range predicate after the equi-join."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        views.join(clicks, "user_id")
+        .filter(
+            (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTE"))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_parquet": q_scan_parquet,
     "filter_contains": q_filter_contains,
@@ -2269,6 +2428,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_tumbling": q_window_tumbling,
     "window_sliding": q_window_sliding,
     "window_session": q_window_session,
+    "token_histogram": q_token_histogram,
+    "bm25_rank": q_bm25_rank,
+    "lm_bigram_score": q_lm_bigram_score,
+    "quality_classifier": q_quality_classifier,
+    "chunk_sliding": q_chunk_sliding,
+    "events_retention": q_events_retention,
+    "anomaly_outliers": q_anomaly_outliers,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 
@@ -3688,3 +3855,175 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
 
 
 ORACLE["rag_mmr"] = _mmr_oracle_sql()
+
+
+ORACLE["token_histogram"] = """
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n
+      FROM documents)
+    SELECT CAST((n // 20) * 20 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+"""
+
+# BM25: literals written as (1.2 + 1.0), 0.25, 0.75 so both engines build
+# IDENTICAL double constants (python computes k1+1 before lit(); 2.2 as a
+# literal is a DIFFERENT double than 1.2+1.0)
+ORACLE["bm25_rank"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS dl,
+             unnest(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['spark','join','merge','window','vector'], w)))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, dl, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS sum_dl
+      FROM documents
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))), 8)
+             AS DECIMAL(18,8)) AS part
+      FROM tf JOIN dfq USING (term) CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(round(sum(part), 4) AS DOUBLE) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+"""
+
+ORACLE["lm_bigram_score"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    ), lm AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY bigram
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS total_bigrams FROM toks)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.ct) AS BIGINT) AS sum_ct,
+           CAST(sum(l.ct) AS BIGINT)
+             / (CAST(count(*) AS BIGINT) * any_value(tot.total_bigrams))
+             AS mean_bigram_p
+    FROM toks t JOIN lm l USING (bigram) CROSS JOIN tot
+    GROUP BY t.doc_id
+"""
+
+ORACLE["quality_classifier"] = """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS nw,
+             coalesce(round(len(list_filter(
+                 list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                 x -> list_contains(['the','a','and','of','to','in','is'], x)))
+               / nullif(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')), 0), 6), 0.0) AS stop_r,
+             coalesce(round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / nullif(length(text), 0), 6), 0.0) AS punct_r,
+             round(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                                 x -> x <> '')))
+               / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1),
+               6) AS dist_r
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(-1200000 AS BIGINT)
+               + 7500 * least(nw, 200)
+               + 2 * CAST(round(stop_r * 1000000) AS BIGINT)
+               - 3 * CAST(round(punct_r * 1000000) AS BIGINT)
+               + CAST(round(dist_r * 1000000) AS BIGINT) AS logit_micro
+      FROM f
+    )
+    SELECT doc_id,
+           logit_micro / 1000000 AS quality_logit,
+           logit_micro > 500000 AS keep
+    FROM m
+"""
+
+ORACLE["chunk_sliding"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    u AS (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 16, 1), 16)) AS s
+          FROM t)
+    SELECT doc_id,
+           CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
+           array_to_string(w[s : s + 31], ' ') AS chunk_text
+    FROM u
+"""
+
+ORACLE["events_retention"] = """
+    WITH c AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(epoch_us(cohort_wk) AS BIGINT) AS cohort_us,
+           CAST(floor(date_diff('day', cohort_wk, wk) / 7) AS BIGINT) AS wk_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE["anomaly_outliers"] = """
+    WITH ev AS (
+      SELECT event_id, event_type, round(value, 4) AS v4 FROM events
+    ), ranked AS (
+      SELECT event_type,
+             CAST(round(v4 * 10000) AS BIGINT) AS vu,
+             row_number() OVER (PARTITION BY event_type ORDER BY v4, event_id)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ), q1 AS (
+      SELECT event_type, vu AS q1u FROM ranked WHERE rn = (n + 3) // 4
+    ), q3 AS (
+      SELECT event_type, vu AS q3u FROM ranked WHERE rn = (3 * n + 3) // 4
+    ), fences AS (
+      SELECT event_type, 10 * q3u + 15 * (q3u - q1u) AS fence_e5
+      FROM q1 JOIN q3 USING (event_type)
+    )
+    SELECT ev.event_id, ev.event_type, ev.v4,
+           fence_e5 / 100000 AS fence_hi
+    FROM ev JOIN fences USING (event_type)
+    WHERE 10 * CAST(round(v4 * 10000) AS BIGINT) > fence_e5
+"""
+
+ORACLE["stream_stream_join"] = """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, view_id, click_id,
+           CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE click_ts >= view_ts
+      AND click_ts <= view_ts + INTERVAL 30 MINUTE
+"""
