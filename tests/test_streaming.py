@@ -327,3 +327,14 @@ def test_stateful_running_totals_tws(spark, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_view_click_join_stream_equals_batch(spark, batch_events):
+    """The registry's stream_stream_join batch twin, run as a real
+    watermarked two-leg stream join — same function, two modes."""
+    stream = SW.stream_events(spark, SF)
+    _drain(SW.view_click_join(stream), "s_vcj", "append")
+    got = {tuple(r) for r in spark.table("s_vcj").collect()}
+    want = {tuple(r) for r in SW.view_click_join(batch_events).collect()}
+    assert got == want
+    assert len(got) > 0

@@ -2268,34 +2268,13 @@ def q_anomaly_outliers(spark, sf_dir):
 
 def q_stream_stream_join(spark, sf_dir):
     """Batch twin of the watermarked stream-stream interval join
-    (tests/test_streaming.py runs the SAME join as two readStream legs):
+    (streaming/windows.view_click_join — ONE function, two execution
+    modes; tests/test_streaming.py runs the identical join as two
+    watermarked readStream legs and asserts set-equality with this):
     clicks joined to the views they follow within 30 minutes, keyed on
-    user_id. The time bound is what lets Structured Streaming expire
+    user_id. The time bound is what lets Structured Streaming expire join
     state; in batch it is a plain range predicate after the equi-join."""
-    ev = _t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    return (
-        views.join(clicks, "user_id")
-        .filter(
-            (F.col("click_ts") >= F.col("view_ts"))
-            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTE"))
-        )
-        .select(
-            "user_id",
-            "view_id",
-            "click_id",
-            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
-        )
-    )
+    return SW.view_click_join(_t(spark, sf_dir, "events"))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -374,3 +374,40 @@ def run_stream_upsert_partitions(
         .start()
     )
     q.awaitTermination()
+
+
+def view_click_join(
+    events: DataFrame, *, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Forward-looking stream-stream inner join: each view joined to the
+    same user's clicks within the FOLLOWING `horizon` (funnel-edge shape;
+    the mirror of purchase_click_attribution's backward window).
+
+    Streaming mode adds watermarks on both legs so join state is bounded:
+    a view can leave state once the click-side watermark passes
+    view_ts + horizon. Batch mode is the oracle-checked registry twin
+    (`stream_stream_join`)."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if views.isStreaming:
+        views = views.withWatermark("view_ts", "10 minutes")
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+    cond = (
+        (views.user_id == clicks.click_user)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts <= views.view_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return views.join(clicks, cond).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
