@@ -2277,6 +2277,61 @@ def q_stream_stream_join(spark, sf_dir):
     return SW.view_click_join(_t(spark, sf_dir, "events"))
 
 
+
+
+def q_join_right(spark, sf_dir):
+    """Right outer join (completes the §2.3 join-type family; Spark plans
+    it as the mirrored left join after reordering)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "right"
+    ).select("c_custkey", "o_orderkey")
+
+
+def q_window_ntile(spark, sf_dir):
+    """ntile(4) spend quartiles per market segment — the bucketed-rank
+    window function (deterministic: the order key is unique)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language percentile of the
+    unigram-LM commonness score routes each doc to head/middle/tail (the
+    published recipe samples the buckets at different rates; the bucket
+    label is the operator's output). percent_rank is rank-based with a
+    doc_id tiebreak, so the routing is tie-stable; the score itself is
+    integer arithmetic until one division (lm_unigram_score).
+
+    Scale shape: score = two hash aggs + one vocab-keyed join (see
+    unigram_lm_score); the percentile is ONE window shuffle keyed by
+    language — the same partitioning a per-language sampler downstream
+    would reuse."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textops.unigram_lm_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("mean_token_p", "doc_id")
+    pr = F.percent_rank().over(w)
+    third = F.lit(1.0) / F.lit(3.0)
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round(pr, 6).alias("score_pr"),
+        F.when(pr < third, "tail")
+        .when(pr < F.lit(2.0) / F.lit(3.0), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_parquet": q_scan_parquet,
     "filter_contains": q_filter_contains,
@@ -2415,6 +2470,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "anomaly_outliers": q_anomaly_outliers,
     "stream_stream_join": q_stream_stream_join,
+    "join_right": q_join_right,
+    "window_ntile": q_window_ntile,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 
@@ -4005,4 +4063,47 @@ ORACLE["stream_stream_join"] = """
     FROM v JOIN c ON v.user_id = c.user_id
     WHERE click_ts >= view_ts
       AND click_ts <= view_ts + INTERVAL 30 MINUTE
+"""
+
+
+ORACLE["join_right"] = """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLE["window_ntile"] = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS price_quartile
+    FROM orders
+"""
+
+ORACLE["perplexity_buckets"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS term
+        FROM documents
+    ), lm AS (
+        SELECT term, count(*) AS ct FROM toks GROUP BY term
+    ), tot AS (SELECT count(*) AS total_tokens FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(sum(l.ct) AS BIGINT)
+                 / (CAST(count(*) AS BIGINT) * any_value(tot.total_tokens))
+                 AS mean_token_p
+        FROM toks t JOIN lm l USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id
+    ), ranked AS (
+        SELECT s.doc_id, d.lang, s.mean_token_p,
+               percent_rank() OVER (PARTITION BY d.lang
+                                    ORDER BY s.mean_token_p, s.doc_id) AS pr
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, round(pr, 6) AS score_pr,
+           CASE WHEN pr < 1.0 / 3.0 THEN 'tail'
+                WHEN pr < 2.0 / 3.0 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM ranked
 """
