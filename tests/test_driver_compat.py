@@ -35,7 +35,12 @@ def test_output_schema_is_scalar_only(spark, sf_dir, name):
 #: algorithms: Lloyd's collects k centroids per round (k·dim floats, the
 #: documented driver-side budget); connected-components label propagation
 #: runs until a convergence count reaches zero.
-_EAGER_BY_DESIGN = {"ann_kmeans_train", "dedup_clusters", "ann_pq_search"}
+_EAGER_BY_DESIGN = {
+    "ann_kmeans_train",
+    "dedup_clusters",
+    "ann_pq_search",
+    "ann_ivfpq_search",
+}
 
 
 def _total_jobs(spark) -> int:

@@ -109,3 +109,42 @@ def test_adc_score_tracks_true_dot(emb, codebooks, codes, queries):
     )
     mae = joined.agg(F.avg("err")).first()[0]
     assert mae < 0.15
+
+
+def test_ivfpq_with_cover_all_shortlist_equals_ivf_exact(spark, sf_dir):
+    """IVF-PQ's only recall losses are (a) unprobed cells and (b) ADC
+    shortlist truncation. With the shortlist covering every probed
+    candidate, (b) vanishes — the composite must return EXACTLY the
+    oracle-checked ann_ivf_search answer (same cells, same exact cosine
+    re-rank, same tie-breaks)."""
+    from vector_database_app_spark.registry import QUERIES, _ivf_centroids
+    from vector_database_app_spark.operators import pq as PQ, search
+    from vector_database_app_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    codebooks = PQ.pq_train(emb, m=8, k=16, iters=1)
+    assigned = search.ivf_assign(emb, centroids)
+    assigned_codes = assigned.select("vec_id", "centroid_id").join(
+        PQ.pq_encode(emb, codebooks), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    got = {
+        (r.query_id, r.vec_id, r.sim, r.rk)
+        for r in PQ.ivfpq_search(
+            assigned_codes, centroids, codebooks, queries,
+            k=5, n_probe=2, m=8, shortlist=10_000_000, refine_with=emb,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.sim, r.rk)
+        for r in search.ivf_search(
+            assigned, centroids, queries, k=5, n_probe=2
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 15

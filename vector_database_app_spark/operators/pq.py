@@ -307,3 +307,133 @@ def pq_search(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "sim", "adc_score", "rk")
     )
+
+
+def ivfpq_search(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    shortlist: int | None = None,
+    refine_with: DataFrame | None = None,
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """IVF-PQ — the FAISS IVFADC system (Jégou et al. 2011 §V) as stock
+    DataFrame ops, and the full 100 TB ANN architecture this engine's
+    pieces compose into: the IVF coarse quantizer prunes the search to
+    `n_probe` cells (partition-pruned scans when the code table is stored
+    `partitionBy(centroid_id)` — tests/test_layout.py proves the DPP
+    path), the PQ codes answer ADC inside those cells only (reading
+    m bytes per candidate instead of d floats), and an exact re-rank
+    touches the shortlist's float vectors alone.
+
+    `assigned_codes` = (id, centroid_id, codes) — the stored form a real
+    deployment writes once at index-build time (ivf_assign ∘ pq_encode).
+
+    Scale accounting per query batch: centroid ranking touches √N rows,
+    the ADC stage reads n_probe/√N of the CODE table (~3 TB for a 100 TB
+    float corpus at m=8), and the float column is read for
+    |queries|·shortlist rows — never a full-corpus float scan. Every join
+    is an equi-join on a blocking key (centroid_id, then
+    (query, subspace, code)); the corpus-side shuffle carries only
+    candidate ADC partials, collapsed map-side.
+
+    Determinism: probes, codes, ADC scores and both rankings use rounded
+    scores with id tie-breaks — same answer on any partitioning."""
+    sub = dim // m
+
+    # stage 1: probe list per query (broadcast centroid table, √N rows)
+    q_cent = queries.crossJoin(
+        F.broadcast(centroids.select("centroid_id", "centroid"))
+    ).withColumn(
+        "qcsim",
+        cosine_rounded(F.col(query_vec_col), F.col("centroid"), sim_scale),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcsim"), F.asc("centroid_id")
+    )
+    probes = (
+        q_cent.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= n_probe)
+        .select(query_id_col, "centroid_id")
+    )
+
+    # stage 2: ADC inside probed cells only. The per-query m×k partial
+    # table is tiny and broadcast; candidates explode to m code rows and
+    # fold back in one hashagg.
+    table = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(
+            F.col(query_id_col),
+            "subspace",
+            "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            F.col(query_vec_col).cast("array<double>"),
+                            F.col("subspace") * sub + 1,
+                            sub,
+                        ),
+                        F.col("centroid"),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                _ADC_SCALE,
+            ).alias("partial"),
+        )
+    )
+    cand = assigned_codes.join(F.broadcast(probes), "centroid_id")
+    exploded = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(table), [query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("partial"), _ADC_SCALE).alias("adc_score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    if refine_with is None:
+        return (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id_col, id_col, "adc_score", "rk")
+        )
+
+    # stage 3: exact re-rank of the ADC shortlist against float vectors
+    short = shortlist or max(5 * k, 50)
+    cand_top = adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= short
+    )
+    rescored = (
+        cand_top.select(query_id_col, id_col, "adc_score")
+        .join(refine_with.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .withColumn(
+            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "sim", "adc_score", "rk")
+    )

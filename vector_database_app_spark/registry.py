@@ -1955,6 +1955,39 @@ def q_ann_ivf_search(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_search(spark, sf_dir):
+    """rows-only: IVF-PQ (FAISS IVFADC system) end-to-end — coarse cells
+    prune the search, ADC scores PQ codes inside probed cells, exact
+    re-rank on the shortlist floats (operators/pq.ivfpq_search; eager by
+    design: pq_train's Lloyd's loop, like ann_pq_search).
+    tests/test_pq.py pins the exactness invariant: with a
+    cover-everything shortlist the composite returns EXACTLY
+    ann_ivf_search's oracle-checked answer."""
+    from .operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    codebooks = PQ.pq_train(emb, m=8, k=16, iters=2)
+    assigned_codes = search.ivf_assign(emb, centroids).select(
+        "vec_id", "centroid_id"
+    ).join(PQ.pq_encode(emb, codebooks), "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.ivfpq_search(
+        assigned_codes,
+        centroids,
+        codebooks,
+        queries,
+        k=5,
+        n_probe=2,
+        m=8,
+        shortlist=50,
+        refine_with=emb,
+    )
+
+
 def q_pyds_synthetic_docs(spark, sf_dir):
     """Custom Spark 4 Python data source (sources/pyds.py): deterministic
     arithmetic document generator — scan parallelism without storage.
@@ -2473,6 +2506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_right": q_join_right,
     "window_ntile": q_window_ntile,
     "perplexity_buckets": q_perplexity_buckets,
+    "ann_ivfpq_search": q_ann_ivfpq_search,
 }
 
 
