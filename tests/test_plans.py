@@ -246,3 +246,20 @@ def test_pack_sequences_two_phase_and_complete(spark):
         assert g["doc_tok_offset"].iloc[0] == 0
         ends = g["doc_tok_offset"] + g["n_tok_in_seq"]
         assert (g["doc_tok_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
+
+
+def test_ivfpq_adc_is_broadcast_equijoin_no_nested_loop(spark):
+    """The IVF-PQ composite's corpus-touching joins are equi-joins on
+    blocking keys (centroid_id, then (query, subspace, code)) with the
+    tiny sides broadcast. The only nested-loop operators allowed are the
+    deliberate Cross products of the query frame against the
+    CENTROID/CODEBOOK tables (both tiny, both broadcast) — a THETA
+    (non-Cross) nested loop would mean a candidate generator degenerated
+    to all-pairs filtering."""
+    df = QUERIES["ann_ivfpq_search"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan

@@ -1988,6 +1988,61 @@ def q_ann_ivfpq_search(spark, sf_dir):
     )
 
 
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    revenue by (returnflag, linestatus), by returnflag alone, and grand
+    total — but NOT by linestatus alone, which neither rollup nor cube
+    can express. grouping_id() disambiguates the NULL-as-total rows."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def q_profile_embeddings(spark, sf_dir):
+    """Embedding-table audit: the pre-flight check that the
+    normalize-at-write invariant (every cosine query's correctness
+    precondition) actually holds in the stored corpus — row count, dim
+    cardinality, null vectors, and the norm envelope in one scan.
+
+    Determinism: per-row norm is a fixed-order fold (rounded), the
+    norm SUM accumulates in DECIMAL (exact, partition-order independent),
+    and min/max are order-free — so the audit is oracle-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm6 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+        6,
+    )
+    return emb.select(
+        norm6.alias("norm6"),
+        F.size("embedding").alias("dim"),
+        F.col("embedding").isNull().cast("bigint").alias("is_null"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims"),
+        F.sum("is_null").cast("bigint").alias("n_null"),
+        F.min("norm6").alias("min_norm"),
+        F.max("norm6").alias("max_norm"),
+        F.round(F.sum(F.col("norm6").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_norm"),
+    )
+
+
 def q_pyds_synthetic_docs(spark, sf_dir):
     """Custom Spark 4 Python data source (sources/pyds.py): deterministic
     arithmetic document generator — scan parallelism without storage.
@@ -2507,6 +2562,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ntile": q_window_ntile,
     "perplexity_buckets": q_perplexity_buckets,
     "ann_ivfpq_search": q_ann_ivfpq_search,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "profile_embeddings": q_profile_embeddings,
 }
 
 
@@ -4140,4 +4197,33 @@ ORACLE["perplexity_buckets"] = """
                 WHEN pr < 2.0 / 3.0 THEN 'middle'
                 ELSE 'head' END AS bucket
     FROM ranked
+"""
+
+
+ORACLE["agg_grouping_sets"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+ORACLE["profile_embeddings"] = """
+    WITH t AS (
+      SELECT round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6) AS norm6,
+             len(embedding) AS dim,
+             CAST(embedding IS NULL AS BIGINT) AS is_null
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+           CAST(sum(is_null) AS BIGINT) AS n_null,
+           min(norm6) AS min_norm,
+           max(norm6) AS max_norm,
+           CAST(round(sum(CAST(norm6 AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS sum_norm
+    FROM t
 """
