@@ -2043,6 +2043,98 @@ def q_profile_embeddings(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Lag-gap sessionization — the relational form of session windows
+    (the batch twin `window_session` uses session_window(); this is the
+    classic lag + cumulative-flag construction that works on ANY engine
+    and lets the gap rule be arbitrary logic, not just a fixed timeout):
+    a new session starts when a user's gap from their previous event
+    exceeds 30 minutes; session_idx is the running count of starts.
+
+    Scale shape: two window passes over the SAME (user_id, ts, event_id)
+    ordering — one exchange, reused; no self-join, no explode. Output is
+    one row per session with integer/epoch columns only."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
+def q_timeseries_gapfill(spark, sf_dir):
+    """Resample + gap-fill: hourly spine per event_type over the stream's
+    full time range, observed hours carry their counts and (decimal-exact)
+    value sums, missing hours emit n=0 and FORWARD-FILL the last observed
+    value (last_value IGNORE NULLS over the spine ordering) — the standard
+    time-series densification every metrics pipeline needs and sparse
+    event data can't answer with a plain groupBy.
+
+    Scale shape: the spine is |types| × |hours| rows generated from a
+    broadcast single-row min/max aggregate (sequence(), no driver loop);
+    the observed side is one hash agg keyed (type, hour); the fill is one
+    window pass keyed by type. Value sums accumulate in DECIMAL so the
+    fill values are partition-order independent."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.round("value", 4).cast("decimal(18,4)")), 2
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("hour").alias("hour_us"),
+            F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
 def q_pyds_synthetic_docs(spark, sf_dir):
     """Custom Spark 4 Python data source (sources/pyds.py): deterministic
     arithmetic document generator — scan parallelism without storage.
@@ -2564,6 +2656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_search": q_ann_ivfpq_search,
     "agg_grouping_sets": q_agg_grouping_sets,
     "profile_embeddings": q_profile_embeddings,
+    "events_sessionize": q_events_sessionize,
+    "timeseries_gapfill": q_timeseries_gapfill,
 }
 
 
@@ -4226,4 +4320,56 @@ ORACLE["profile_embeddings"] = """
            CAST(round(sum(CAST(norm6 AS DECIMAL(18,6))), 4) AS DOUBLE)
              AS sum_norm
     FROM t
+"""
+
+
+ORACLE["events_sessionize"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(is_start) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+    FROM sess GROUP BY user_id, session_idx
+"""
+
+ORACLE["timeseries_gapfill"] = """
+    WITH span AS (
+      SELECT date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ), spine AS (
+      SELECT t.event_type, s.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                    AS hour FROM span) s
+    ), hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(round(sum(CAST(round(value, 4) AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.event_type,
+           CAST(epoch_us(spine.hour) AS BIGINT) AS hour_us,
+           coalesce(h.n_obs, 0) AS n,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY spine.event_type ORDER BY spine.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine LEFT JOIN hourly h
+      ON h.event_type = spine.event_type AND h.hour = spine.hour
 """
