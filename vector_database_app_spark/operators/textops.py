@@ -752,9 +752,14 @@ def bm25_rank(
     hash agg keyed (doc, term) over an exploded scan bounded to query
     terms BEFORE the shuffle (the filter prunes the token stream to
     |terms| keys); df/N/avgdl are single-row broadcast aggregates. Final
-    ranking is TakeOrderedAndProject, never a global sort."""
+    ranking is TakeOrderedAndProject, never a global sort. The input is
+    repartitioned before the interpreted tokenize/filter stage (PERF.md
+    lesson #6 — a single small source file otherwise serializes the
+    per-row HOF work on one task: measured 11.4 s → ~1 s at sf0.1)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.repartition(n_parts, id_col)
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = df.select(
+    toks = spread.select(
         F.col(id_col),
         TX.n_words(text_col).cast("bigint").alias("dl"),
         F.explode(
@@ -765,7 +770,7 @@ def bm25_rank(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    stats = df.agg(
+    stats = spread.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(TX.n_words(text_col).cast("bigint")).alias("sum_dl"),
     )
