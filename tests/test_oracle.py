@@ -64,6 +64,17 @@ def test_oracle_match(spark, sf_dir, name):
         f"column mismatch: spark={sorted(got.columns)} duck={sorted(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} duck={len(want)}"
+    # dtype-KIND parity: the driver hashes raw pandas values, where int64
+    # 2279 and float64 2279.0 hash differently even though the stringified
+    # compare below can't tell them apart (round-1 pivot_wide red row:
+    # DuckDB HUGEINT→float64 vs Spark bigint). Catch it here, not at the
+    # driver.
+    kind_mism = [
+        (c, str(got[c].dtype), str(want[c].dtype))
+        for c in sorted(got.columns)
+        if got[c].dtype.kind != want[c].dtype.kind
+    ]
+    assert not kind_mism, f"pandas dtype-kind mismatch (driver hash would differ): {kind_mism}"
     g, w = _normalize(got), _normalize(want)
     mism = (g != w).any(axis=1)
     if mism.any():
