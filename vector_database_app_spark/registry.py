@@ -2135,6 +2135,81 @@ def q_timeseries_gapfill(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics as a batch op (the Delta/Iceberg MERGE shape
+    on plain parquet): a change set upserts into a keyed target — matched
+    keys UPDATE, unmatched source keys INSERT, untouched target rows KEEP
+    — emitted with an action audit column (real MERGEs log exactly these
+    counts). Source here: every c_custkey % 7 == 0 gets a +100 balance
+    adjustment, and a shifted key range arrives as new customers.
+
+    Scale shape: ONE full-outer equi-join on the merge key (AQE broadcasts
+    the change set when it's small — the common case); the action tag and
+    the merged value are row-local CASE expressions. Combined with
+    layout.upsert_partitions, only partitions holding touched keys would
+    rewrite."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    mods = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("bal") + 100, 2).alias("new_bal")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("new_bal"),
+    )
+    source = mods.unionByName(inserts)
+    merged = cust.join(source, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("new_bal", "bal").alias("bal"),
+        F.when(F.col("bal").isNull(), "insert")
+        .when(F.col("new_bal").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectations audit (the Great-Expectations-style
+    pre-admission contract every production table carries): NOT NULL,
+    uniqueness, value range, set membership, and referential integrity,
+    reported as one row per rule with its violation count.
+
+    Scale shape: the four row-local rules fold into ONE scan / one
+    single-row aggregate (no per-rule passes); uniqueness rides the same
+    aggregate (count − distinct); the FK rule is the only join — an
+    anti-join on the key, broadcast when the dimension fits. stack()
+    unpivots the audit without touching the driver."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    row_rules = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("r_notnull"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("r_unique"),
+        F.sum((F.col("o_totalprice") < 0).cast("bigint")).alias("r_range"),
+        F.sum((~F.col("o_orderpriority").isin(prio)).cast("bigint")).alias(
+            "r_domain"
+        ),
+    )
+    fk = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r_fk"))
+    )
+    audit = row_rules.crossJoin(F.broadcast(fk)).selectExpr(
+        "stack(5, 'o_custkey_not_null', r_notnull,"
+        " 'o_orderkey_unique', r_unique,"
+        " 'o_totalprice_non_negative', r_range,"
+        " 'o_orderpriority_in_domain', r_domain,"
+        " 'o_custkey_fk_customer', r_fk) AS (rule, n_violations)"
+    )
+    return audit.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
 def q_pyds_synthetic_docs(spark, sf_dir):
     """Custom Spark 4 Python data source (sources/pyds.py): deterministic
     arithmetic document generator — scan parallelism without storage.
@@ -2658,6 +2733,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_embeddings": q_profile_embeddings,
     "events_sessionize": q_events_sessionize,
     "timeseries_gapfill": q_timeseries_gapfill,
+    "merge_upsert": q_merge_upsert,
+    "dq_expectations": q_dq_expectations,
 }
 
 
@@ -4372,4 +4449,52 @@ ORACLE["timeseries_gapfill"] = """
            ) AS filled_value
     FROM spine LEFT JOIN hourly h
       ON h.event_type = spine.event_type AND h.hour = spine.hour
+"""
+
+
+ORACLE["merge_upsert"] = """
+    WITH cust AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+    ), mods AS (
+      SELECT c_custkey, round(bal + 100, 2) AS new_bal
+      FROM cust WHERE c_custkey % 7 = 0
+    ), ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS new_bal
+      FROM cust WHERE c_custkey % 13 = 0
+    ), source AS (
+      SELECT * FROM mods UNION ALL SELECT * FROM ins
+    )
+    SELECT coalesce(c.c_custkey, s.c_custkey) AS c_custkey,
+           coalesce(s.new_bal, c.bal) AS bal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN s.new_bal IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM cust c FULL OUTER JOIN source s USING (c_custkey)
+"""
+
+ORACLE["dq_expectations"] = """
+    WITH row_rules AS (
+      SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_notnull,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS r_unique,
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_range,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS r_domain
+      FROM orders
+    ), fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS r_fk
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'o_custkey_not_null' AS rule, r_notnull AS n_violations
+        FROM row_rules
+      UNION ALL SELECT 'o_orderkey_unique', r_unique FROM row_rules
+      UNION ALL SELECT 'o_totalprice_non_negative', r_range FROM row_rules
+      UNION ALL SELECT 'o_orderpriority_in_domain', r_domain FROM row_rules
+      UNION ALL SELECT 'o_custkey_fk_customer', r_fk FROM fk
+    )
 """
