@@ -1,0 +1,110 @@
+"""User-facade parity: the reference's notebook script (`Execute Vector_DB -
+Local.ipynb` cells 2-8 — initialize → vectorize folder → full / file-scoped
+/ folder-scoped text searches → text+image search) runs shape-identical
+against `vector_database_app_spark.api.VectorDatabase`.
+
+Response contract under test (reference `run_search` → `{"response",
+"sources"}`, vector_db.py:671; source dicts carry the 5 metadata keys,
+:903-916).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from vector_database_app_spark.api import VectorDatabase
+
+SOURCE_KEYS = {"doc_name", "page_num", "content_type", "content_id", "content_raw"}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("api_corpus")
+    (root / "reports").mkdir()
+    (root / "notes.txt").write_text(
+        "spark join merge sort table window " * 30
+    )
+    (root / "reports" / "q1.txt").write_text(
+        "customer revenue grew while orders shipped on time " * 25
+    )
+    (root / "reports" / "q2.txt").write_text(
+        "vector search retrieves the nearest embedding rows " * 25
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def db(spark, corpus, tmp_path_factory):
+    vdb = VectorDatabase(spark, str(tmp_path_factory.mktemp("api_store")))
+    n = vdb.vectorize_folder(str(corpus))
+    assert n > 0
+    return vdb
+
+
+def test_reingest_is_idempotent(db, corpus):
+    assert db.vectorize_folder(str(corpus)) == 0
+
+
+def test_vectorize_single_file_dedup(db, corpus):
+    # the file is already in the store — the hash probe rejects it (P4)
+    assert db.vectorize_file(str(corpus / "notes.txt")) == 0
+
+
+def test_full_search_response_shape(db):
+    out = db.run_search({"text": "customer revenue orders"}, top_n=3)
+    assert set(out) == {"response", "sources"}
+    assert isinstance(out["response"], str) and out["response"]
+    assert out["sources"], "expected retrieved sources"
+    for s in out["sources"]:
+        assert SOURCE_KEYS <= set(s)
+
+
+def test_file_scoped_search(db):
+    full = db.run_search({"text": "vector search embedding"}, top_n=5)
+    target = next(
+        s["doc_name"] for s in full["sources"] if "q2" in s["doc_name"]
+    )
+    scoped = db.run_search(
+        {"text": "vector search embedding"}, search_location=target, top_n=5
+    )
+    assert scoped["sources"]
+    assert {s["doc_name"] for s in scoped["sources"]} == {target}
+
+
+def test_folder_scoped_search(db, corpus):
+    scoped = db.run_search(
+        {"text": "customer revenue orders"},
+        search_location=str(corpus / "reports") + "/",
+        top_n=5,
+    )
+    assert scoped["sources"]
+    assert all("reports" in s["doc_name"] for s in scoped["sources"])
+
+
+def test_text_plus_image_search_runs(db):
+    img_b64 = base64.b64encode(b"not-a-real-png-but-deterministic").decode()
+    out = db.run_search(
+        {"text": "spark join merge", "image": [img_b64]}, top_n=3
+    )
+    assert out["response"]
+    assert out["sources"]
+
+
+def test_unknown_models_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="embedding model"):
+        VectorDatabase(spark, str(tmp_path), text_embedding_model="nope")
+    with pytest.raises(ValueError, match="response model"):
+        VectorDatabase(spark, str(tmp_path), response_model="nope")
+
+
+def test_search_before_ingest_raises(spark, tmp_path):
+    vdb = VectorDatabase(spark, str(tmp_path / "empty_store"))
+    with pytest.raises(RuntimeError, match="empty"):
+        vdb.run_search({"text": "anything"})
+
+
+def test_empty_query_rejected(db):
+    with pytest.raises(ValueError, match="text.*image|image.*text"):
+        db.run_search({})
