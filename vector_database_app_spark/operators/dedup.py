@@ -236,9 +236,16 @@ def ngram_jaccard(
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"))
     sh_a = F.array_distinct(TX.shingles("_t_a", shingle_n))
     sh_b = F.array_distinct(TX.shingles("_t_b", shingle_n))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
         pairs.join(ta, "id_a")
         .join(tb, "id_b")
+        # spread BEFORE the shingle/intersect projection: the joined pair
+        # rows are small in BYTES, so AQE coalesces them to a couple of
+        # partitions — but the per-row HOF work is the cost (measured:
+        # 50k pairs ran 99 s on 2 post-AQE tasks, 9 s on 32 after this;
+        # PERF.md lesson #6 generalized from scan inputs to join outputs)
+        .repartition(n_parts, "id_a")
         .select(
             "id_a",
             "id_b",
@@ -423,9 +430,13 @@ def edit_distance_verify(
     the raw distance is always returned."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        # spread before the O(len²) DP projection — same AQE-coalesce
+        # hazard as ngram_jaccard (lesson #6 on join outputs)
+        .repartition(n_parts, "id_a")
         .select(
             "id_a",
             "id_b",
