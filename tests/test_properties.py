@@ -338,3 +338,80 @@ def test_mmr_matches_independent_numpy_greedy(spark):
             assert got[(qid, step)][0] == best[0], (qid, step, got[(qid, step)], best)
             assert abs(got[(qid, step)][1] - float(best[1])) < 1e-9
             picked.append(best[0])
+
+
+def test_bm25_matches_independent_python_scoring(spark):
+    """bm25_rank vs a from-scratch python BM25 over the same fixture —
+    independent arithmetic (float, no decimal staging), so agreement to
+    4 decimals means the Spark decimal-staged pipeline computes the
+    textbook quantity, not merely something self-consistent."""
+    import math
+
+    from vector_database_app_spark.operators import textops
+    from vector_database_app_spark.sources.catalog import load_table
+
+    terms = ["spark", "join", "merge", "window", "vector"]
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+    def nw(t):
+        return [w for w in t.split(" ") if w != ""]
+
+    N = len(rows)
+    sum_dl = sum(len(nw(t)) for _, t in rows)
+    tf = {}
+    for did, t in rows:
+        words = [w for w in t.lower().split(" ") if w in terms]
+        for w in set(words):
+            tf[(did, w)] = words.count(w)
+    df_ = {w: sum(1 for (d, ww) in tf if ww == w) for w in terms}
+    k1, b = 1.2, 0.75
+    scores = {}
+    for (did, w), f in tf.items():
+        dl = len(nw(dict(rows)[did]))
+        idf = math.log((N - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0)
+        tfw = (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * dl * N / sum_dl))
+        scores[did] = scores.get(did, 0.0) + idf * tfw
+    want = sorted(
+        ((round(s, 4), -d) for d, s in scores.items()), reverse=True
+    )[:10]
+    want = [(-d, s) for s, d in want]
+
+    got = [
+        (r.doc_id, r.bm25)
+        for r in textops.bm25_rank(docs, terms, top_k=10).collect()
+    ]
+    assert [(d, round(s, 4)) for d, s in got] == want
+
+
+def test_sessionize_partitions_events_with_gap_invariant(spark):
+    """Every event lands in exactly one session; within a session all
+    consecutive gaps are <= 30 min; the first event of session k+1 is
+    > 30 min after the LAST event of session k (per user)."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    sessions = QUERIES["events_sessionize"](spark, sf).collect()
+    events = load_table(spark, sf, "events").select("user_id", "ts").collect()
+    n_events = len(events)
+    assert sum(s.n_events for s in sessions) == n_events
+
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e.ts)
+    GAP = 30 * 60
+    for u, times in by_user.items():
+        times.sort()
+        # independent python sessionizer
+        n_sessions = 1 + sum(
+            1
+            for i in range(1, len(times))
+            if (times[i] - times[i - 1]).total_seconds() > GAP
+        )
+        got = [s for s in sessions if s.user_id == u]
+        assert len(got) == n_sessions, f"user {u}"
+        # session spans must not overlap and must be gap-separated
+        spans = sorted((s.start_us, s.end_us) for s in got)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 - e1 > GAP * 1_000_000
