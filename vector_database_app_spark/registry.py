@@ -948,6 +948,124 @@ _SQL_Q13 = """
     ORDER BY custdist DESC, c_count DESC
 """
 
+#: The fixture ships no partsupp table, so the four partsupp-centric
+#: TPC-H shapes (Q2/Q11/Q16/Q20) derive one from the fact table itself:
+#: distinct (l_partkey, l_suppkey) pairs with an exact-decimal unit-cost
+#: stand-in (min observed unit price) and availability stand-in (total
+#: shipped quantity). Deliberate, documented adaptation — the
+#: join/subquery shapes are the originals'. Both stand-ins go through
+#: DECIMAL so the per-pair agg is order-independent across engines.
+#: At 100 TB this CTE is one map-side-combinable agg over the fact scan,
+#: shuffled once on the (partkey, suppkey) pair — every consumer below
+#: joins it on one of those keys, reusing the partitioning.
+_SQL_PARTSUPP = """partsupp AS (
+      SELECT l_partkey  AS ps_partkey,
+             l_suppkey  AS ps_suppkey,
+             CAST(min(CAST(round(l_extendedprice / l_quantity, 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS ps_supplycost,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS ps_availqty
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey)"""
+
+#: Q2: minimum-cost supplier — the classic correlated-scalar-subquery-
+#: with-equality shape: Catalyst decorrelates the per-part min() into an
+#: aggregate + self-join on p_partkey. ORDER BY is a TOTAL order
+#: ((p_partkey, s_suppkey) unique) so LIMIT 100 selects the same SET in
+#: both engines.
+_SQL_Q2 = f"""
+    WITH {_SQL_PARTSUPP},
+    candidates AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+             s.s_acctbal, n.n_name, ps.ps_supplycost
+      FROM partsupp ps
+      JOIN part p     ON p.p_partkey   = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey   = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size <= 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE')
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,
+           c.ps_supplycost
+    FROM candidates c
+    WHERE c.ps_supplycost = (SELECT min(c2.ps_supplycost) FROM candidates c2
+                             WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey, c.s_suppkey
+    LIMIT 100
+"""
+
+#: Q11: important stock identification — grouped value vs a scalar
+#: fraction of the corpus-wide total (uncorrelated scalar subquery the
+#: planner evaluates once and broadcasts). The per-pair value is rounded
+#: to DECIMAL before summing so both the per-part and the global totals
+#: are order-independent; the threshold compare is DOUBLE×DOUBLE on
+#: identically-derived values (0.001e0 — e-notation parses as DOUBLE in
+#: both engines; a bare 0.001 is DECIMAL in DuckDB).
+_SQL_Q11 = f"""
+    WITH {_SQL_PARTSUPP},
+    scoped AS (
+      SELECT ps.ps_partkey,
+             CAST(round(ps.ps_supplycost * ps.ps_availqty, 2)
+                  AS DECIMAL(18,2)) AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey   = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7'))
+    SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING CAST(sum(v) AS DOUBLE) >
+           (SELECT CAST(sum(v) AS DOUBLE) FROM scoped) * 0.001e0
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+#: Q16: parts/supplier relationship count — count(DISTINCT) over a
+#: NOT-IN-pruned bridge. The original excludes suppliers by a comment
+#: LIKE; the fixture's supplier has no comment column, so the excluded
+#: class is negative-balance suppliers (documented adaptation). The
+#: NOT IN subquery is null-free (s_suppkey is a key) so anti-join
+#: semantics agree across engines.
+_SQL_Q16 = f"""
+    WITH {_SQL_PARTSUPP}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+#: Q20: potential part promotion — IN-subquery whose inner WHERE carries
+#: a two-key-correlated scalar subquery (the hardest decorrelation of
+#: the four). availqty spans ALL years while the inner sum is one ship
+#: year, so the original's 0.5 multiplier admits everyone; 5.0e0 keeps
+#: the predicate selective at fixture scale (sf0.001: 8/10 suppliers,
+#: sf0.01: 29/100). NULL inner sum (no 1997 rows) >-compares false in
+#: both engines.
+_SQL_Q20 = f"""
+    WITH {_SQL_PARTSUPP}
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey FROM partsupp ps
+        WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps.ps_availqty > (
+            SELECT 5.0e0 * CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4)))
+                                AS DOUBLE)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s.s_name, n.n_name
+"""
+
 
 def _sql_query(spark, sf_dir, sql: str):
     from .sources.catalog import register_views
@@ -1034,6 +1152,30 @@ def q_sql_late_priority(spark, sf_dir):
 def q_sql_order_count_dist(spark, sf_dir):
     """TPC-H Q13 shape (outer join + agg-of-agg) — see _SQL_Q13."""
     return _sql_query(spark, sf_dir, _SQL_Q13)
+
+
+def q_sql_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min over a derived partsupp) — see
+    _SQL_Q2 / _SQL_PARTSUPP for the documented fixture adaptation."""
+    return _sql_query(spark, sf_dir, _SQL_Q2)
+
+
+def q_sql_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (group HAVING vs global-fraction scalar) — see
+    _SQL_Q11."""
+    return _sql_query(spark, sf_dir, _SQL_Q11)
+
+
+def q_sql_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape (count DISTINCT over NOT-IN-pruned bridge) — see
+    _SQL_Q16."""
+    return _sql_query(spark, sf_dir, _SQL_Q16)
+
+
+def q_sql_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (IN-subquery with two-key-correlated scalar) —
+    see _SQL_Q20."""
+    return _sql_query(spark, sf_dir, _SQL_Q20)
 
 
 # ---------------------------------------------------------------------------
@@ -2643,6 +2785,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_nation_profit": q_sql_nation_profit,
     "sql_late_priority": q_sql_late_priority,
     "sql_order_count_dist": q_sql_order_count_dist,
+    "sql_min_cost_supplier": q_sql_min_cost_supplier,
+    "sql_important_stock": q_sql_important_stock,
+    "sql_supplier_part_count": q_sql_supplier_part_count,
+    "sql_part_promotion": q_sql_part_promotion,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "array_funcs": q_array_funcs,
@@ -3277,6 +3423,10 @@ ORACLE: dict[str, str] = {
     "sql_nation_profit": _SQL_Q9,
     "sql_late_priority": _SQL_Q12,
     "sql_order_count_dist": _SQL_Q13,
+    "sql_min_cost_supplier": _SQL_Q2,
+    "sql_important_stock": _SQL_Q11,
+    "sql_supplier_part_count": _SQL_Q16,
+    "sql_part_promotion": _SQL_Q20,
     "unpivot_long": """
         SELECT l_orderkey, l_linenumber, measure, value
         FROM (
