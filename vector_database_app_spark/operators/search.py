@@ -458,6 +458,98 @@ def matryoshka_search(
     )
 
 
+def _sign_word(vec: Column, offset: int) -> Column:
+    """Pack 32 sign bits of `vec[offset..offset+31]` into one BIGINT,
+    MSB-first (element offset+1 lands in bit 31), by folding acc*2+bit —
+    values stay in [0, 2^32) so no signed-overflow edge exists under ANSI
+    mode, and the fold is exact integer arithmetic both engines replay."""
+    return F.aggregate(
+        F.slice(vec, offset + 1, 32),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2).cast("long")
+        + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def binary_quantize(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 64, prefix: str = "bq"
+) -> DataFrame:
+    """1-bit (sign) quantization: `dims` floats → dims/32 BIGINT words,
+    a 32× payload cut (64 floats = 256 B → 16 B). The 100 TB first-pass
+    layout: store the words as their own parquet columns and the Hamming
+    candidate stage scans ONLY them (column pruning keeps the float
+    vectors untouched until re-rank). No reference equivalent — the
+    reference is full-float brute force (rag_search/vector_db.py:684-696).
+    """
+    if dims % 32:
+        raise ValueError("dims must be a multiple of 32")
+    out = df
+    for w in range(dims // 32):
+        out = out.withColumn(f"{prefix}{w}", _sign_word(F.col(vec_col), w * 32))
+    return out
+
+
+def binary_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    shortlist: int = 50,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming distance over sign-bit words picks a
+    `shortlist` per query, exact full-float cosine re-ranks it — the
+    binary-quantization retrieval pattern (sign sketch ≈ SimHash with
+    coordinate hyperplanes; Charikar '02 gives the angle bound).
+
+    Scale shape: the candidate stage is bit_count(XOR) over dims/32
+    BIGINTs per row — 16 B/vector of I/O and pure codegen integer ops;
+    floats are read for shortlist·|queries| rows only. Both stages rank
+    with an `id_col` tiebreak (Hamming is already integer-exact; cosine is
+    rounded), so the result is deterministic and the SQL oracle replays it
+    value-for-value.
+    """
+    _check_spaces(corpus_space, query_space)
+    n_words = dims // 32
+    cb = binary_quantize(corpus, vec_col, dims, prefix="_cb")
+    qb = binary_quantize(
+        queries.select(query_id_col, query_vec_col), query_vec_col, dims, prefix="_qb"
+    )
+    joined = cb.crossJoin(F.broadcast(qb))
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"_cb{w}").bitwiseXOR(F.col(f"_qb{w}")))
+        ham = term if ham is None else ham + term
+    joined = joined.withColumn("hamming", ham.cast("int"))
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    cands = joined.withColumn("crk", F.row_number().over(w_short)).filter(
+        F.col("crk") <= shortlist
+    )
+    fine = cands.withColumn(
+        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    )
+    w_k = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    drop = (
+        [query_vec_col, "crk"]
+        + [f"_cb{w}" for w in range(n_words)]
+        + [f"_qb{w}" for w in range(n_words)]
+    )
+    return (
+        fine.withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= k)
+        .drop(*drop)
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2030,6 +2030,25 @@ def q_ann_matryoshka(spark, sf_dir):
     ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
 
 
+def q_ann_binary_search(spark, sf_dir):
+    """Binary-quantized ANN (search.binary_search): sign-bit words →
+    Hamming shortlist-50 → exact cosine top-5. The candidate stage reads
+    16 B/vector (two BIGINTs) instead of 256 B of floats — the 32×-
+    compression first pass a 100 TB embedding store runs before touching
+    float payloads. Integer-exact Hamming + rounded-cosine ranking with
+    vec_id tiebreaks make the whole trajectory SQL-replayable, so this is
+    an ANN entry with a VALUE-level oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.binary_search(corpus, queries, k=5, shortlist=50).select(
+        "query_id", "vec_id", "label", "hamming", "sim", "rk"
+    )
+
+
 def q_rag_mmr(spark, sf_dir):
     """MMR-diversified top-k (search.mmr_rerank): shortlist-10 per query,
     5 greedy rounds, lam=0.7. Every round ranks on ROUNDED scores with a
@@ -2846,6 +2865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_kmeans_train": q_ann_kmeans_train,
     "ann_pq_search": q_ann_pq_search,
     "ann_matryoshka": q_ann_matryoshka,
+    "ann_binary_search": q_ann_binary_search,
     "rag_mmr": q_rag_mmr,
     "ann_srp": q_ann_srp,
     "ann_ivf": q_ann_ivf,
@@ -4059,6 +4079,55 @@ ORACLE: dict[str, str] = {
 # same centroids, same n_probe — so it shares that oracle verbatim.
 ORACLE["ann_planner_indexed"] = ORACLE["ann_ivf_search"]
 ORACLE["ann_planner_fallback"] = ORACLE["ann_matryoshka"]
+
+
+def _binary_oracle_sql() -> str:
+    """Value-level replay of search.binary_search: the same MSB-first
+    sign-word packing (element off+1 → bit 31 — DuckDB's shift form and
+    Spark's acc*2+bit fold are the same integer), Hamming shortlist-50,
+    exact rounded-cosine top-5."""
+
+    def word(e: str, off: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(1, 33), i -> "
+            f"CASE WHEN {e}[{off} + i] > 0 THEN (1::BIGINT << (32 - i)) "
+            "ELSE 0::BIGINT END)) AS BIGINT)"
+        )
+
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 3
+        ), qb AS (
+            SELECT query_id, qe, {word("qe", 0)} AS q0, {word("qe", 32)} AS q1
+            FROM q
+        ), cb AS (
+            SELECT vec_id, label, embedding,
+                   {word("embedding", 0)} AS b0, {word("embedding", 32)} AS b1
+            FROM embeddings WHERE vec_id >= 3
+        ), ham AS (
+            SELECT qb.query_id, cb.vec_id, cb.label, cb.embedding, qb.qe,
+                   CAST(bit_count(xor(cb.b0, qb.q0))
+                        + bit_count(xor(cb.b1, qb.q1)) AS INT) AS hamming
+            FROM cb CROSS JOIN qb
+        ), short AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY hamming, vec_id) AS crk
+            FROM ham
+        ), fine AS (
+            SELECT query_id, vec_id, label, hamming,
+                   {_SQL_COS.format(a="embedding", b="qe")} AS sim
+            FROM short WHERE crk <= 50
+        )
+        SELECT query_id, vec_id, label, hamming, sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rk
+        FROM fine
+        QUALIFY rk <= 5
+    """
+
+
+ORACLE["ann_binary_search"] = _binary_oracle_sql()
 
 
 def _srp_bucket_sql(v: str, n_bits: int = 8, dim: int = 64) -> str:
