@@ -161,3 +161,27 @@ def test_rrf_fusion_known_ranks(spark):
     assert got[2] == (round(1 / 62 + 1 / 61, 6), 2)  # rank 2 in a, rank 1 in b
     assert got[1] == (round(1 / 61, 6), 1)
     assert got[3] == (round(1 / 62, 6), 1)
+
+
+def test_cross_encoder_model_slot_raises(spark):
+    hits = spark.createDataFrame(
+        [(0, "q", 2, "t")], "query_id long, query_text string, doc_id long, text string"
+    )
+    with pytest.raises(NotImplementedError):
+        rag.cross_encoder_rerank(hits, backend="model")
+    with pytest.raises(ValueError):
+        rag.cross_encoder_rerank(hits, backend="nope")
+
+
+def test_cross_encoder_scores_match_hashlib(spark):
+    """The Arrow-UDF score equals a driver-side hashlib recomputation."""
+    import hashlib
+
+    hits = spark.createDataFrame(
+        [(0, "alpha", 2, "beta"), (0, "alpha", 3, "gamma")],
+        "query_id long, query_text string, doc_id long, text string",
+    )
+    rows = rag.cross_encoder_rerank(hits, k=2).collect()
+    for r in rows:
+        t = {2: "beta", 3: "gamma"}[r.doc_id]
+        assert r.ce_score == hashlib.md5(f"alpha\x1f{t}".encode()).hexdigest()

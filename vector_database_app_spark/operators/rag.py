@@ -15,7 +15,7 @@ call per query`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.embed import (
@@ -352,6 +352,76 @@ def answer_prompts(prompts: DataFrame, backend: str = "stub") -> DataFrame:
 def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
     """Back-compat alias: the deterministic stub backend."""
     return answer_prompts(prompts, backend="stub")
+
+
+def cross_encoder_rerank(
+    hits: DataFrame,
+    *,
+    k: int = 5,
+    backend: str = "deterministic",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-encoder re-ranking slot for the RAG tail (no reference
+    equivalent — the reference ranks by bi-encoder cosine only,
+    rag_search/vector_db.py:684-696): score each (query, candidate) PAIR
+    with a joint model and keep the top-k per query. This is the standard
+    second-stage ranker a production RAG adds after retrieval; candidates
+    must already be blocked (a retriever shortlist), never the full
+    corpus — the pair scorer is the expensive stage.
+
+    `backend='deterministic'` scores via md5(query ␟ text) hexdigest in an
+    Arrow-batched mapInPandas stage: the REAL plan shape (pair batches →
+    Python worker → scored batches), with a score DuckDB replays
+    byte-for-byte (`md5(q || chr(31) || t)`) — so even the UDF stage is
+    value-level oracle-checked. Ranking is ascending-lexicographic on the
+    hex score with an `id_col` tiebreak (total order, no float risk).
+    `backend='model'` is the real cross-encoder slot (load once per
+    executor, score batches) and raises until a model is plugged in.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if backend == "model":
+        raise NotImplementedError(
+            "plug a real cross-encoder here: load the model once per "
+            "executor (module-level cache), score pdf[[query_text, text]] "
+            "batches, emit the same (..., ce_score) schema"
+        )
+    if backend != "deterministic":
+        raise ValueError(f"unknown cross-encoder backend {backend!r}")
+
+    in_fields = [
+        f for f in hits.schema.fields
+        if f.name in (query_id_col, query_text_col, id_col, text_col)
+    ]
+    schema = T.StructType(
+        [*in_fields, T.StructField("ce_score", T.StringType())]
+    )
+    cols = [f.name for f in in_fields]
+
+    def run(batches):
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["ce_score"] = [
+                hashlib.md5(f"{q}\x1f{t}".encode()).hexdigest()
+                for q, t in zip(pdf[query_text_col], pdf[text_col])
+            ]
+            yield out
+
+    scored = hits.select(*cols).mapInPandas(run, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("ce_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "ce_score", "rk")
+    )
 
 
 def rrf_fusion(

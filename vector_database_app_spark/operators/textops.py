@@ -132,6 +132,140 @@ def fingerprints(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact dedup: every sliding `n`-word window of every
+    doc is hashed against the corpus, and a window occurrence counts as
+    DUPLICATED when some earlier doc (min `id_col` owner) contains the
+    same passage — the sub-document analogue of exact dedup, catching
+    boilerplate and quoted spans that whole-doc sha256 misses. No
+    reference equivalent.
+
+    Output per doc: occurrence count, duplicated-occurrence count,
+    dup_frac, and a keep/drop verdict at the 50 % line (compared in
+    integers — ``2*n_dup > n_passages`` — not a float threshold).
+
+    Scale shape: one explode → ONE agg shuffle keyed on the passage to
+    find owners → broadcast-size nothing; the doc-side re-agg shuffles on
+    `id_col`. At 100 TB the owner agg should key on xxhash64(passage)
+    pairs (16 B vs ~50 B strings) with the string kept only for the
+    in-bucket verify; the oracle-checked form keys on the string so the
+    trajectory replays in SQL. Docs shorter than `n` words have no
+    passages and drop out of the output (both engines).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    passages = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col), F.explode(passages).alias("passage"))
+    owners = occ.groupBy("passage").agg(F.min(id_col).alias("_owner"))
+    return (
+        occ.join(owners, "passage")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(
+                F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_passages",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_passages").cast("double"),
+                4,
+            ).alias("dup_frac"),
+            F.when(F.col("n_dup") * 2 > F.col("n_passages"), "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
+#: Gopher-rule stopword probe (Rae et al. 2021 §A1.1 uses common English
+#: function words; the fixture vocabulary contains these two).
+_GOPHER_STOPWORDS = ("the", "a")
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_tenths: int = 38,
+    max_mwl_tenths: int = 100,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A):
+    word-count bounds, mean-word-length band, alphabetic-word fraction,
+    and a stopword-presence probe; a doc is kept only if every rule
+    passes. Thresholds are adapted to the fixture's value ranges (the
+    published ones, e.g. mean word length 3–10, barely discriminate on
+    word-soup text) — the RULE SET and its conjunction shape are the
+    published filter.
+
+    Every threshold compares in integers (mean word length via
+    ``sum_chars*10 >= n_words*min_mwl_tenths`` etc.), so the verdict has
+    no float-boundary risk across engines; the reported mean is a rounded
+    display column, never the branch condition. One scan, pure
+    whole-stage-codegen expressions, no shuffle.
+    """
+    words = F.split(F.col(text_col), " ")
+    out = df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_sum_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+        )
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(
+            F.filter(words, lambda w: w.isin(*_GOPHER_STOPWORDS))
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("_sum_chars") * 10 >= F.col("n_words") * min_mwl_tenths)
+        & (F.col("_sum_chars") * 10 <= F.col("n_words") * max_mwl_tenths)
+        & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 8)
+        & (F.col("n_stopwords") >= min_stop_hits)
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        F.round(
+            F.col("_sum_chars").cast("double") / F.col("n_words").cast("double"),
+            4,
+        ).alias("mean_word_len"),
+        "n_alpha_words",
+        "n_stopwords",
+        F.when(passes, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
 def corpus_pipeline(
     df: DataFrame,
     *,

@@ -1293,6 +1293,36 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_rag_rerank(spark, sf_dir):
+    """Second-stage cross-encoder rerank (rag.cross_encoder_rerank):
+    lang-blocked candidate pairs → Arrow mapInPandas pair scorer
+    (deterministic md5 backend) → top-5 per query. The UDF stage itself
+    is value-level oracle-checked (DuckDB md5 replays the score)."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+        "lang",
+    )
+    cands = docs.filter(F.col("doc_id") >= 2).select("doc_id", "text", "lang")
+    hits = cands.join(F.broadcast(queries), "lang")
+    return rag.cross_encoder_rerank(hits, k=5)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality gate (textops.gopher_quality): word-count,
+    mean-word-length, alpha-fraction, stopword rules; integer-compared
+    thresholds; conjunction verdict."""
+    return textops.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_passage(spark, sf_dir):
+    """Sub-document exact dedup (textops.passage_dedup): sliding 8-word
+    passages, earliest-doc ownership, per-doc duplicated fraction with an
+    integer-compared 50% keep/drop verdict."""
+    return textops.passage_dedup(_t(spark, sf_dir, "documents"), n=8)
+
+
 def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), threshold=0.35
@@ -2817,6 +2847,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_funcs": q_regex_funcs,
     "cond_funcs": q_cond_funcs,
     "dedup_exact": q_dedup_exact,
+    "dedup_passage": q_dedup_passage,
+    "gopher_quality": q_gopher_quality,
+    "rag_rerank": q_rag_rerank,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_srp": q_dedup_embedding_srp,
     "dedup_minhash": q_dedup_minhash,
@@ -3241,6 +3274,80 @@ ORACLE: dict[str, str] = {
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY sha256(text)
+    """,
+    "rag_rerank": """
+        -- replay of rag.cross_encoder_rerank's deterministic backend:
+        -- the mapInPandas pair scorer is hashlib.md5(q + chr(31) + t)
+        -- hexdigest, byte-identical to DuckDB's md5()
+        WITH q AS (
+            SELECT doc_id AS query_id, text AS query_text, lang
+            FROM documents WHERE doc_id < 2
+        ), c AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id >= 2
+        ), s AS (
+            SELECT q.query_id, c.doc_id,
+                   md5(q.query_text || chr(31) || c.text) AS ce_score
+            FROM c JOIN q USING (lang)
+        )
+        SELECT query_id, doc_id, ce_score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY ce_score, doc_id) AS INT)
+                   AS rk
+        FROM s
+        QUALIFY rk <= 5
+    """,
+    "gopher_quality": """
+        -- replay of textops.gopher_quality: integer-compared Gopher rules
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> len(x)))
+                        AS BIGINT) AS sum_chars,
+                   CAST(len(list_filter(ws,
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                       AS n_alpha_words,
+                   CAST(len(list_filter(ws, x -> x IN ('the', 'a')))
+                        AS BIGINT) AS n_stopwords
+            FROM w
+        )
+        SELECT doc_id, n_words,
+               round(CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+                   AS mean_word_len,
+               n_alpha_words, n_stopwords,
+               CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND sum_chars * 10 >= n_words * 38
+                         AND sum_chars * 10 <= n_words * 100
+                         AND n_alpha_words * 10 >= n_words * 8
+                         AND n_stopwords >= 2
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM m
+    """,
+    "dedup_passage": """
+        -- replay of textops.passage_dedup: sliding 8-word windows,
+        -- earliest-doc passage ownership, integer-compared 50% verdict
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), p AS (
+            SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS passage
+            FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) g
+            WHERE len(ws) >= 8
+        ), own AS (
+            SELECT passage, min(doc_id) AS _owner FROM p GROUP BY passage
+        ), agg AS (
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_passages,
+                   CAST(sum(CASE WHEN own._owner < p.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM p JOIN own USING (passage) GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_passages, n_dup,
+               round(CAST(n_dup AS DOUBLE) / CAST(n_passages AS DOUBLE), 4)
+                   AS dup_frac,
+               CASE WHEN n_dup * 2 > n_passages THEN 'drop' ELSE 'keep' END
+                   AS verdict
+        FROM agg
     """,
     "dedup_edit_distance": """
         WITH pairs AS (
