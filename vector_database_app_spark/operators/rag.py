@@ -26,6 +26,7 @@ from ..functions.embed import (
     embed_query_text,
     embedding_space_tag,
 )
+from ..functions.vector import cosine_rounded
 from .search import knn_batch
 
 
@@ -352,6 +353,91 @@ def answer_prompts(prompts: DataFrame, backend: str = "stub") -> DataFrame:
 def answer_prompts_stub(prompts: DataFrame) -> DataFrame:
     """Back-compat alias: the deterministic stub backend."""
     return answer_prompts(prompts, backend="stub")
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    *,
+    query_vec_id: int = 0,
+    k: int = 10,
+    w_lex: float = 0.5,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 over `query_terms` fused with
+    cosine against the `query_vec_id` embedding by per-modality MIN-MAX
+    normalization (the standard convex-combination hybrid; `rrf_fusion`
+    is the rank-based alternative). No reference equivalent — the
+    reference is dense-only (rag_search/vector_db.py:684-696).
+
+    Determinism: both legs produce engine-identical doubles (BM25 via
+    exact-decimal partial sums, cosine via `cosine_rounded`), min/max are
+    selections not accumulations, and the normalized/fused values are
+    rounded before ranking with an `id_col` tiebreak — so the whole
+    trajectory replays in SQL.
+
+    Scale shape: each leg is its own shortlist-producing pipeline (BM25:
+    term-pruned explode + hash agg; dense: broadcast query, one corpus
+    scan); the fusion is a full outer join of two score frames far
+    smaller than the corpus, and the min-max stats are a broadcast
+    single-row aggregate. Final ranking is TakeOrderedAndProject."""
+    from . import textops  # noqa: PLC0415
+
+    lex = textops.bm25_rank(
+        docs, query_terms, top_k=None, text_col=text_col, id_col=id_col
+    ).select(id_col, "bm25")
+    qv = emb.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qe")
+    )
+    dense = emb.crossJoin(F.broadcast(qv)).select(
+        F.col(vec_id_col).alias(id_col),
+        cosine_rounded(F.col(vec_col), F.col("_qe"), 6).alias("cos_sim"),
+    )
+    joined = (
+        dense.join(lex, id_col, "full")
+        .select(
+            id_col,
+            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+            F.coalesce(F.col("cos_sim"), F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+    stats = joined.agg(
+        F.min("bm25").alias("_mnb"),
+        F.max("bm25").alias("_mxb"),
+        F.min("cos_sim").alias("_mnc"),
+        F.max("cos_sim").alias("_mxc"),
+    )
+
+    def _norm(col: str, mn: str, mx: str) -> Column:
+        return F.when(
+            F.col(mx) > F.col(mn),
+            F.round((F.col(col) - F.col(mn)) / (F.col(mx) - F.col(mn)), 6),
+        ).otherwise(F.lit(0.0))
+
+    fused = joined.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "bm25",
+        "cos_sim",
+        F.round(
+            F.lit(w_lex) * _norm("bm25", "_mnb", "_mxb")
+            + F.lit(1.0 - w_lex) * _norm("cos_sim", "_mnc", "_mxc"),
+            6,
+        ).alias("fused"),
+    )
+    return (
+        fused.orderBy(F.desc("fused"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("fused"), F.asc(id_col))
+            ),
+        )
+    )
 
 
 def cross_encoder_rerank(

@@ -866,7 +866,7 @@ def bm25_rank(
     *,
     k1: float = 1.2,
     b: float = 0.75,
-    top_k: int = 10,
+    top_k: int | None = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -939,6 +939,9 @@ def bm25_rank(
             F.round(F.col("score_dec"), 4).cast("double").alias("bm25"),
         )
     )
+    if top_k is None:
+        # full scored frame (hit docs only) — the hybrid-fusion input
+        return scored
     return scored.orderBy(
         F.desc("bm25"), F.asc(id_col)
     ).limit(top_k)

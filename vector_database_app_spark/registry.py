@@ -2610,6 +2610,21 @@ def q_bm25_rank(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Sparse+dense hybrid retrieval (rag.hybrid_search): BM25 leg over
+    the fixed term list fused with the cosine leg against embedding
+    vec_id=0 by per-modality min-max normalization, equal weights,
+    top-10. Complements rrf_fusion (rank-based) with the score-based
+    fusion form."""
+    return rag.hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "join", "merge", "window", "vector"],
+        query_vec_id=0,
+        k=10,
+    )
+
+
 def q_lm_bigram_score(spark, sf_dir):
     """Corpus-bigram commonness score (operators/textops.bigram_lm_score)
     — the 2-gram sibling of lm_unigram_score; integer arithmetic until one
@@ -2850,6 +2865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_passage": q_dedup_passage,
     "gopher_quality": q_gopher_quality,
     "rag_rerank": q_rag_rerank,
+    "hybrid_search": q_hybrid_search,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_srp": q_dedup_embedding_srp,
     "dedup_minhash": q_dedup_minhash,
@@ -4498,6 +4514,71 @@ ORACLE["token_histogram"] = """
 # BM25: literals written as (1.2 + 1.0), 0.25, 0.75 so both engines build
 # IDENTICAL double constants (python computes k1+1 before lit(); 2.2 as a
 # literal is a DIFFERENT double than 1.2+1.0)
+ORACLE["hybrid_search"] = f"""
+    -- replay of rag.hybrid_search: the bm25_rank scoring CTEs (no limit)
+    -- + rounded cosine vs embeddings vec_id=0, full-join fusion with
+    -- per-modality min-max normalization at equal weights
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS dl,
+             unnest(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['spark','join','merge','window','vector'], w)))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, dl, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS sum_dl
+      FROM documents
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))), 8)
+             AS DECIMAL(18,8)) AS part
+      FROM tf JOIN dfq USING (term) CROSS JOIN st
+    ), lex AS (
+      SELECT doc_id, CAST(round(sum(part), 4) AS DOUBLE) AS bm25
+      FROM sc GROUP BY doc_id
+    ), qv AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+             {_SQL_COS.format(a="e.embedding", b="qv.qe")} AS cos_sim
+      FROM embeddings e CROSS JOIN qv
+    ), joined AS (
+      SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+             COALESCE(l.bm25, 0.0e0) AS bm25,
+             COALESCE(d.cos_sim, 0.0e0) AS cos_sim
+      FROM dense d FULL JOIN lex l ON d.doc_id = l.doc_id
+    ), stats AS (
+      SELECT min(bm25) AS mnb, max(bm25) AS mxb,
+             min(cos_sim) AS mnc, max(cos_sim) AS mxc
+      FROM joined
+    ), fused AS (
+      SELECT j.doc_id, j.bm25, j.cos_sim,
+             round(
+               0.5e0 * (CASE WHEN s.mxb > s.mnb
+                             THEN round((j.bm25 - s.mnb) / (s.mxb - s.mnb), 6)
+                             ELSE 0.0e0 END)
+               + 0.5e0 * (CASE WHEN s.mxc > s.mnc
+                               THEN round((j.cos_sim - s.mnc) / (s.mxc - s.mnc), 6)
+                               ELSE 0.0e0 END), 6) AS fused
+      FROM joined j CROSS JOIN stats s
+    )
+    SELECT doc_id, bm25, cos_sim, fused,
+           CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INT) AS rk
+    FROM fused
+    QUALIFY rk <= 10
+"""
+
 ORACLE["bm25_rank"] = """
     WITH toks AS (
       SELECT doc_id,
