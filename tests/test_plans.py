@@ -263,3 +263,58 @@ def test_ivfpq_adc_is_broadcast_equijoin_no_nested_loop(spark):
 
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
         assert m.group(1) == "Cross", plan
+
+
+def test_binary_search_broadcasts_queries(spark):
+    """ann_binary_search: query side broadcast (corpus never shuffles for
+    candidate gen), vec_id partition filter pushed to the scan."""
+    df = QUERIES["ann_binary_search"](spark, SF)
+    plan = explain_str(df)
+    assert "Broadcast" in plan, plan
+    assert_pushed_filters(df, "vec_id")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_search_fusion_plan(spark):
+    """hybrid_search: dense query + min-max stats both enter as broadcast
+    one-row sides; final top-k is TakeOrderedAndProject, not a sort."""
+    df = QUERIES["hybrid_search"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("Broadcast") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rag_rerank_blocked_pairs_and_arrow_stage(spark):
+    """rag_rerank: candidates join queries on the lang blocking key as a
+    broadcast HASH join (never an unblocked product), and the pair scorer
+    is ONE Arrow mapInPandas stage."""
+    df = QUERIES["rag_rerank"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_passage_two_hash_aggs(spark):
+    """dedup_passage: owner agg + doc re-agg are both partial+final hash
+    aggregations (map-side combine before each shuffle)."""
+    df = QUERIES["dedup_passage"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_partsupp_queries_avoid_cartesian(spark):
+    """Q2/Q11/Q16/Q20: correlated subqueries decorrelate to joins — no
+    nested-loop/cartesian fallback anywhere; dims broadcast in Q2."""
+    for name in (
+        "sql_min_cost_supplier",
+        "sql_important_stock",
+        "sql_supplier_part_count",
+        "sql_part_promotion",
+    ):
+        plan = explain_str(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    q2 = explain_str(QUERIES["sql_min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in q2, q2
