@@ -16,7 +16,13 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF, "embeddings").persist()
+    # unpersist on teardown: Spark cache matching is canonicalized-plan
+    # based, so a leaked persist of this scan would silently serve
+    # InMemoryRelation to EVERY later test reading the same parquet —
+    # including the plan-shape gates asserting parquet PushedFilters.
+    df = load_table(spark, SF, "embeddings").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

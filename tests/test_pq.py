@@ -15,17 +15,26 @@ M, KCODES, DIM = 8, 16, 64
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF, "embeddings").persist()
+    # teardown unpersist: see tests/test_binary_quant.py — a leaked
+    # persist of this scan hijacks later tests' parquet plans via
+    # canonicalized-plan cache matching.
+    df = load_table(spark, SF, "embeddings").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def codebooks(spark, emb):
-    return pq.pq_train(emb, m=M, k=KCODES, iters=2, dim=DIM).persist()
+    df = pq.pq_train(emb, m=M, k=KCODES, iters=2, dim=DIM).persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def codes(spark, emb, codebooks):
-    return pq.pq_encode(emb, codebooks, dim=DIM).persist()
+    df = pq.pq_encode(emb, codebooks, dim=DIM).persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
