@@ -318,3 +318,56 @@ def test_tpch_partsupp_queries_avoid_cartesian(spark):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
     q2 = explain_str(QUERIES["sql_min_cost_supplier"](spark, SF))
     assert "BroadcastHashJoin" in q2, q2
+
+
+def test_scd_type2_single_key_shuffle(spark):
+    """scd_type2: both windows and the run aggregation key on o_custkey —
+    exactly ONE exchange on the key partitioning serves the chain (Spark
+    reuses the sort/partitioning for the second window and the agg)."""
+    df = QUERIES["scd_type2"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
+    import re
+
+    args = re.findall(r"Arguments: hashpartitioning\(([^,]+)", plan)
+    assert args and all("o_custkey" in a for a in args), plan
+
+
+def test_agg_skew_twophase_two_hash_aggs(spark):
+    """salted agg: two partial+final hash-agg pairs (salted phase, merge
+    phase), no extra shuffles beyond the two group keys."""
+    df = QUERIES["agg_skew_twophase"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_dedup_semantic_blocked_join(spark):
+    """SemDeDup: centroid assignment broadcasts the (tiny) centroid side;
+    the pairwise stage is an EQUI-join on centroid_id — never an
+    unblocked product over the corpus."""
+    df = QUERIES["dedup_semantic"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_ann_recall_no_cartesian_beyond_query_broadcast(spark):
+    """ann_recall: both legs' candidate/truth joins block on keys; the only
+    nested-loop is the broadcast of the 3-row query side."""
+    df = QUERIES["ann_recall"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan
+
+
+def test_graph_pagerank_keyed_aggs_lazy(spark):
+    """pagerank: 3 unrolled rounds = keyed hash aggs over equi-joins; the
+    1-row |nodes| frame broadcasts; nothing cartesian over edges."""
+    df = QUERIES["graph_pagerank"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan

@@ -757,3 +757,63 @@ def connected_components(
         "graph diameter exceeds the near-dup assumption; raise max_iters "
         "or switch to large-star/small-star"
     )
+
+
+def semantic_near_dups(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid
+    (the learned blocking key), then mark a vector a duplicate iff a
+    LOWER-id vector in the SAME cell has rounded cosine ≥ threshold.
+    Output is one row per input vector: (id, centroid_id, dup_of, keep) —
+    dup_of = the smallest such lower id (deterministic owner), keep =
+    dup_of IS NULL.
+
+    This differs from `embedding_near_dups` (blocked by a given label)
+    in that the blocking key is the LEARNED cluster assignment — the
+    defining move of SemDeDup: at 100 TB the k-means cells (k ≈ √N)
+    bound the pairwise stage to Σ|cell|², ~N^1.5 instead of N², and each
+    cell's pairs compute independently after one equi-join shuffle on
+    centroid_id. Real deployments additionally cap |cell| (re-split
+    oversized cells); uncapped here because the oracle must replay the
+    exact pair set.
+    """
+    from .search import ivf_assign  # local import: avoid module cycle
+
+    from ..functions.vector import cosine_rounded
+
+    assigned = ivf_assign(
+        emb.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, vec_col, "centroid_id")
+    a = assigned.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        "centroid_id",
+    )
+    owners = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine_rounded("a_vec", "b_vec") >= F.lit(threshold))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(owners, assigned[id_col] == owners["b_id"], "left")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Graph operators over relational edge lists.
+
+The reference has no graph surface at all; connected-components label
+propagation already lives in `operators.dedup` (duplicate clustering).
+This module adds PageRank as the representative *fixed-iteration*
+message-passing algorithm, expressed as unrolled relational rounds — the
+same pattern `rag_mmr` uses for greedy selection — so the whole
+computation stays one declarative plan and replays exactly in SQL.
+
+Determinism contract: ranks are SCALED INTEGERS (1e12 fixed point) and
+every per-edge contribution is an integer floor-division by out-degree.
+Float power iteration would accumulate partition-order-dependent error;
+integer arithmetic is associative, so the result is bit-identical across
+engines and partitionings (FIXTURES.md integer-arithmetic rule). The
+flooring leaks ≤ outdeg·1e-12 of mass per node per round — irrelevant for
+ranking, essential for the oracle. Divisions use TRUE integer division
+(SQL `div`, DuckDB `//`), never floor(a/b): a/b on bigints routes through
+double, and above 2^53 (damping·msum reaches ~7e15 here) double ulp > 1,
+so floor-of-double silently diverges between engines.
+
+Scale shape: each round is one groupBy(dst) hash aggregate after an
+equi-join of ranks onto the edge list — partial+final agg, shuffle keyed
+on node id, AQE skew-split applies to celebrity nodes. At true scale you
+would localCheckpoint every few rounds to flatten lineage; with a FIXED
+small round count the unrolled plan is fine (and stays lazy — zero jobs
+at construction, enforced by the registry laziness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for rank mass.
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, `iters` unrolled rounds.
+
+    r0 = SCALE div N per node;
+    r_{t+1}(v) = ((1-d)·SCALE div 100) div N + (d · M(v)) div 100
+      where M(v) = Σ_{(u,v)∈E} (r_t(u) div outdeg(u)).
+
+    Nodes = every id appearing as src or dst. Dangling nodes (no
+    out-edges) contribute nothing — callers who need the classic
+    redistribute-dangling-mass variant should symmetrize edges first
+    (the registry query does).
+
+    Returns (node, rank_scaled BIGINT, rank DOUBLE rounded 1e-9).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    # |nodes| as a 1-row frame, broadcast into every round — keeps the
+    # plan lazy (no .count() action at build time).
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        F.expr(f"CAST({SCALE} AS BIGINT) div _n").alias("rank_scaled"),
+    )
+    base_mass = (100 - damping_pct) * SCALE // 100
+    for _ in range(iters):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(edges, ranks["node"] == edges[src_col])
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("rank_scaled div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("msum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_mass} AS BIGINT) div _n"
+                    f" + ({damping_pct} * coalesce(msum, CAST(0 AS BIGINT)))"
+                    " div 100"
+                ).cast("bigint").alias("rank_scaled"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        F.round(F.col("rank_scaled") / F.lit(float(SCALE)), 9).alias("rank"),
+    )

@@ -168,3 +168,97 @@ def interval_join_binned(
         )
         .drop("_bin")
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    *,
+    salt: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys: phase 1
+    aggregates on (keys..., salt) so a hot key's rows spread over `salt`
+    reducers, phase 2 re-aggregates the per-salt partials on the true
+    keys. The result is EXACTLY the plain groupBy for any algebraic
+    aggregate passed as (partial_expr, merge_fn, out_name) — which is why
+    the oracle for `agg_skew_twophase` is the plain GROUP BY.
+
+    Spark's hash aggregate already does map-side partials, which handles
+    skew *input-side*; manual salting addresses the REDUCER hot spot when
+    one key's partials still concentrate on a single task at 100 TB
+    (e.g. one language is 60 % of the corpus). AQE cannot split a
+    hash-aggregate the way it splits a skewed join, so this is the
+    documented manual recipe.
+
+    `aggs`: list of (partial Column aggregate, merge fn name in
+    {"sum", "min", "max"}, output name). Use count→sum for counts.
+    """
+    salt_col = (
+        F.xxhash64(F.col(salt_src))
+        if salt_src
+        else F.monotonically_increasing_id()
+    )
+    partial = (
+        df.withColumn("_salt", F.pmod(salt_col, F.lit(salt)))
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(f"_p_{name}") for expr, _, name in aggs])
+    )
+    merged = partial.groupBy(*keys).agg(
+        *[
+            getattr(F, merge)(F.col(f"_p_{name}")).alias(name)
+            for _, merge, name in aggs
+        ]
+    )
+    return merged
+
+
+def scd_type2(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    order_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: collapse the
+    per-key sequence of `attr` observations (ordered by `order_col`,
+    ties broken on `tiebreak`) into versioned validity ranges —
+    one row per consecutive run of an unchanged attribute value, with
+    [valid_from, valid_to) bounds and an is_current flag. The standard
+    warehouse dimension-history operator (absent in the reference, which
+    has no relational layer at all).
+
+    Plan shape: ONE shuffle on `key` serves both windows (run detection
+    and the valid_to lead are partitioned identically), then a hash
+    aggregate keyed on (key, run) — partial+final, map-side combinable.
+    No global sort; at 100 TB each key's history sorts independently
+    inside its partition.
+    """
+    w = Window.partitionBy(key).orderBy(order_col, tiebreak)
+    runs = (
+        df.withColumn("_prev", F.lag(attr).over(w))
+        .withColumn(
+            "_chg",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    grouped = runs.groupBy(key, "_run", attr).agg(
+        F.min(order_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_run")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("version", F.col("_run").cast("bigint"))
+        .drop("_run")
+    )

@@ -4908,3 +4908,356 @@ ORACLE["dq_expectations"] = """
       UNION ALL SELECT 'o_custkey_fk_customer', r_fk FROM fk
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch: warehouse history, privacy audit, skewed agg, SemDeDup,
+# ANN recall measurement, graph PageRank
+# ---------------------------------------------------------------------------
+
+
+def q_scd_type2(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 build (relational.scd_type2):
+    per-customer history of o_orderpriority collapsed into versioned
+    [valid_from, valid_to) runs with an is_current flag. One shuffle on
+    o_custkey serves both windows; the run aggregation is a map-side-
+    combinable hash agg."""
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.scd_type2(
+        orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        "version",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "n_rows",
+        "is_current",
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    groups smaller than k=5 are re-identification risks a privacy-aware
+    training pipeline must suppress or generalize before release. One
+    partial+final hash agg on the QI key — at 100 TB the QI cardinality
+    (not the row count) bounds the reducer state."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "n",
+            (F.col("n") >= F.lit(5)).alias("k_anon"),
+        )
+    )
+
+
+def q_agg_skew_twophase(spark, sf_dir):
+    """Two-phase salted aggregation (relational.salted_agg): per-language
+    totals where phase 1 spreads each language over 16 salt buckets and
+    phase 2 merges the partials — the reducer-skew twin of join_salted
+    (oracle = the plain GROUP BY, because the two plans are value-
+    identical by construction). Needed at 100 TB when one group key
+    dominates (one language is most of the corpus) and its final-agg
+    partials still land on a single task."""
+    docs = _t(spark, sf_dir, "documents")
+    out = relational.salted_agg(
+        docs,
+        ["lang"],
+        [
+            (F.sum("n_chars"), "sum", "total_chars"),
+            (F.count(F.lit(1)), "sum", "n_docs"),
+        ],
+        salt=16,
+        salt_src="doc_id",
+    )
+    return out.select(
+        "lang",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semantic_near_dups,
+    arXiv:2303.09540): blocking key = LEARNED cluster assignment (the
+    deterministic _ivf_centroids stand-in, same as the ann_ivf oracle),
+    a vector is a duplicate iff a lower-id vector in its cell has
+    rounded cosine >= 0.3. Value-level oracle: the assignment replays in
+    SQL exactly like ann_ivf, then the within-cell pair filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_near_dups(
+        emb, _ivf_centroids(emb), threshold=0.3
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF(n_probe=2) path against brute-force ground
+    truth, per query — the measure-don't-guess operator: an ANN index
+    without a recall harness is a guess. Both legs are the engine's own
+    oracle-checked queries (ann_ivf_search, knn semantics); the recall
+    join is on (query_id, vec_id). Scale shape: ground truth runs on a
+    SAMPLE of queries (3 here = the fixed query set) — recall estimation
+    never needs the full query load."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    assigned = search.ivf_assign(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    approx = search.ivf_search(
+        assigned, centroids, queries, k=5, n_probe=2
+    ).select("query_id", "vec_id")
+    scored = emb.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_rounded("embedding", "query_embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = truth.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the supplier↔customer trade graph (edges from
+    lineitem⋈orders, symmetrized so no node dangles), 3 unrolled rounds
+    of integer fixed-point power iteration (operators.graph.pagerank).
+    The representative fixed-iteration message-passing algorithm: each
+    round is one keyed hash agg after an equi-join — no driver loop, no
+    collect, plan stays lazy."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from .operators import graph as G
+
+    return G.pagerank(edges, iters=3, damping_pct=85)
+
+
+QUERIES["scd_type2"] = q_scd_type2
+QUERIES["k_anonymity"] = q_k_anonymity
+QUERIES["agg_skew_twophase"] = q_agg_skew_twophase
+QUERIES["dedup_semantic"] = q_dedup_semantic
+QUERIES["ann_recall"] = q_ann_recall
+QUERIES["graph_pagerank"] = q_graph_pagerank
+
+ORACLE["scd_type2"] = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), runs AS (
+      SELECT *,
+             sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                      THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run
+      FROM seq
+    ), grouped AS (
+      SELECT o_custkey, run, o_orderpriority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, o_orderpriority,
+           CAST(run AS BIGINT) AS version,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY run)) AS BIGINT) AS valid_to_us,
+           n_rows,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run)
+               IS NULL AS is_current
+    FROM grouped
+"""
+
+ORACLE["k_anonymity"] = """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           count(*) >= 5 AS k_anon
+    FROM documents GROUP BY lang, source
+"""
+
+ORACLE["agg_skew_twophase"] = """
+    SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+"""
+
+ORACLE["dedup_semantic"] = f"""
+    WITH cent AS (
+        SELECT label AS centroid_id, embedding AS centroid FROM (
+            SELECT label, embedding,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                   AS rn
+            FROM embeddings) WHERE rn = 1
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+                                DESC, c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+    ), owners AS (
+        SELECT b.vec_id AS b_id, CAST(min(a.vec_id) AS BIGINT) AS dup_of
+        FROM assigned a JOIN assigned b USING (centroid_id)
+        WHERE a.vec_id < b.vec_id
+          AND {_SQL_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.centroid_id, o.dup_of, o.dup_of IS NULL AS keep
+    FROM assigned s LEFT JOIN owners o ON s.vec_id = o.b_id
+"""
+
+ORACLE["ann_recall"] = f"""
+    WITH cent AS (
+        SELECT label AS centroid_id, embedding AS centroid FROM (
+            SELECT label, embedding,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                   AS rn
+            FROM embeddings) WHERE rn = 1
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+                                DESC, c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 3
+    ), probes AS (
+        SELECT query_id, qe, centroid_id FROM (
+            SELECT q.query_id, q.qe, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")}
+                                DESC, c.centroid_id) AS prk
+            FROM q CROSS JOIN cent c) WHERE prk <= 2
+    ), approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_SQL_COS.format(a="a.embedding", b="p.qe")}
+                                DESC, a.vec_id) AS rk
+            FROM assigned a JOIN probes p USING (centroid_id)
+        ) WHERE rk <= 5
+    ), truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="q.qe")}
+                                DESC, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rk <= 5
+    ), hits AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM truth t JOIN approx x
+          ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+        GROUP BY t.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+ORACLE["graph_pagerank"] = """
+    WITH fwd AS (
+        SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS _n FROM nodes
+    ), outdeg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, CAST(1000000000000 // _n AS BIGINT) AS rank_scaled
+        FROM nodes CROSS JOIN nn
+    ), m1 AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_scaled // d.outdeg) AS BIGINT) AS msum
+        FROM r0 r JOIN outdeg d ON r.node = d.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    ), r1 AS (
+        SELECT n.node,
+               CAST(150000000000 // _n
+                    + (85 * coalesce(m.msum, 0)) // 100 AS BIGINT)
+                   AS rank_scaled
+        FROM nodes n LEFT JOIN m1 m ON n.node = m.node CROSS JOIN nn
+    ), m2 AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_scaled // d.outdeg) AS BIGINT) AS msum
+        FROM r1 r JOIN outdeg d ON r.node = d.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT n.node,
+               CAST(150000000000 // _n
+                    + (85 * coalesce(m.msum, 0)) // 100 AS BIGINT)
+                   AS rank_scaled
+        FROM nodes n LEFT JOIN m2 m ON n.node = m.node CROSS JOIN nn
+    ), m3 AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_scaled // d.outdeg) AS BIGINT) AS msum
+        FROM r2 r JOIN outdeg d ON r.node = d.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    ), r3 AS (
+        SELECT n.node,
+               CAST(150000000000 // _n
+                    + (85 * coalesce(m.msum, 0)) // 100 AS BIGINT)
+                   AS rank_scaled
+        FROM nodes n LEFT JOIN m3 m ON n.node = m.node CROSS JOIN nn
+    )
+    SELECT node, rank_scaled,
+           round(rank_scaled / 1000000000000.0, 9) AS rank
+    FROM r3
+"""
