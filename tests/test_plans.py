@@ -371,3 +371,25 @@ def test_graph_pagerank_keyed_aggs_lazy(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_late_interaction_two_hash_aggs_broadcast_query(spark):
+    """MaxSim: the 3-row query-token side broadcasts; per-(doc, q_tok)
+    max and per-doc sum are both partial+final hash aggs, so raw token
+    scores never shuffle."""
+    df = QUERIES["late_interaction_search"](spark, SF)
+    plan = explain_str(df)
+    assert "Broadcast" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_index_incremental_pushes_batch_filter(spark):
+    """Incremental IVF: the new-batch side scans with the vec_id
+    predicate pushed to parquet (at scale: only the arriving partition),
+    centroids broadcast."""
+    df = QUERIES["ann_index_incremental"](spark, SF)
+    assert_pushed_filters(df, "vec_id")
+    plan = explain_str(df)
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -5261,3 +5261,89 @@ ORACLE["graph_pagerank"] = """
            round(rank_scaled / 1000000000000.0, 9) AS rank
     FROM r3
 """
+
+
+def q_late_interaction_search(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (MaxSim; Khattab &
+    Zaharia 2020, arXiv:2004.12832): the query is a BAG of token vectors
+    (vec_id 0-2 here), each document a bag of token vectors (label =
+    document, its member vectors = tokens), and
+    score(doc) = Σ_{q_tok} max_{d_tok ∈ doc} cos(q_tok, d_tok).
+
+    Unlike single-vector retrieval (knn_*), relevance is computed
+    per-token and aggregated — the operator the reference's one-vector
+    search cannot express. Plan shape: 3-row query side broadcast onto
+    the corpus scan, then TWO map-side-combinable hash aggs (per-(doc,
+    q_tok) max, per-doc sum) — the corpus shuffles only aggregated
+    (doc × q_tok) partials, never raw token scores. The per-token max
+    and the final sum run in DECIMAL(10,6) so 3-term addition order
+    cannot flip the hash. Final ranking is a row_number over the
+    |docs|-row aggregate (tiny by construction — it is post-agg)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qtoks = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_tok"),
+        F.col("embedding").alias("q_vec"),
+    )
+    per_tok = (
+        emb.crossJoin(F.broadcast(qtoks))
+        .withColumn("sim", cosine_rounded("embedding", "q_vec"))
+        .groupBy(F.col("label"), F.col("q_tok"))
+        .agg(F.max(F.col("sim").cast("decimal(10,6)")).alias("m"))
+    )
+    scored = per_tok.groupBy("label").agg(
+        F.sum("m").cast("decimal(12,6)").alias("score_dec")
+    )
+    w = Window.orderBy(F.desc("score_dec"), F.asc("label"))
+    return scored.select(
+        "label",
+        F.col("score_dec").cast("double").alias("score"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+def q_ann_index_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance: with fixed centroids the coarse
+    assignment is per-row, so indexing a NEW batch (vec_id >= 400) and
+    unioning with the existing store (vec_id < 400) is value-identical
+    to a full rebuild — which is exactly what the oracle asserts (the
+    ann_ivf SQL over all embeddings). The plan scans the new batch with
+    a pushed vec_id filter and never re-assigns the existing store; at
+    100 TB this composes with layout.upsert_partitions (dynamic
+    partition overwrite keyed on centroid_id) so only the cells the new
+    batch touches are rewritten — tests/test_layout.py pins untouched
+    partitions byte-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    existing = search.ivf_assign(
+        emb.filter(F.col("vec_id") < 400), centroids
+    ).select("vec_id", "label", "centroid_id")
+    new_batch = search.ivf_assign(
+        emb.filter(F.col("vec_id") >= 400), centroids
+    ).select("vec_id", "label", "centroid_id")
+    return existing.unionByName(new_batch)
+
+
+QUERIES["late_interaction_search"] = q_late_interaction_search
+QUERIES["ann_index_incremental"] = q_ann_index_incremental
+
+ORACLE["late_interaction_search"] = f"""
+    WITH q AS (
+        SELECT vec_id AS q_tok, embedding AS q_vec FROM embeddings
+        WHERE vec_id < 3
+    ), per_tok AS (
+        SELECT e.label, q.q_tok,
+               max(CAST({_SQL_COS.format(a="e.embedding", b="q.q_vec")}
+                   AS DECIMAL(10,6))) AS m
+        FROM embeddings e CROSS JOIN q
+        GROUP BY e.label, q.q_tok
+    ), scored AS (
+        SELECT label, CAST(sum(m) AS DECIMAL(12,6)) AS score_dec
+        FROM per_tok GROUP BY label
+    )
+    SELECT label, CAST(score_dec AS DOUBLE) AS score,
+           CAST(row_number() OVER (ORDER BY score_dec DESC, label)
+                AS INTEGER) AS rk
+    FROM scored
+"""
+
+ORACLE["ann_index_incremental"] = ORACLE["ann_ivf"]
