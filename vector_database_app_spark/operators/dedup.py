@@ -783,28 +783,70 @@ def semantic_near_dups(
     centroid_id. Real deployments additionally cap |cell| (re-split
     oversized cells); uncapped here because the oracle must replay the
     exact pair set.
+
+    Skew: pairwise work is QUADRATIC in |cell|, so one oversized cell
+    would own most of the compute while the join key (centroid_id) pins
+    it to a single task. The pair enumeration is therefore GRID-BLOCKED:
+    each vector gets a bucket p = hash(id) mod `grid`; the a-side
+    replicates each row over partner buckets q, the b-side over partner
+    buckets p, and the join keys on (cell, p, q) — every unordered pair
+    lands in exactly one of grid² sub-blocks, spreading a hot cell over
+    grid² tasks for a `grid`× shuffle-replication cost. Result pairs are
+    IDENTICAL (the grid only re-buckets work), so the oracle is
+    unaffected.
     """
     from .search import ivf_assign  # local import: avoid module cycle
 
-    from ..functions.vector import cosine_rounded
+    from ..functions.vector import dot, l2_norm
 
+    grid = 8
     assigned = ivf_assign(
         emb.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     ).select(id_col, vec_col, "centroid_id")
-    a = assigned.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
-        "centroid_id",
+    # Precompute the double cast + norm ONCE per vector before the pair
+    # join (N ops instead of 2·P — the embedding_near_dups lesson), and
+    # pin the build side's parallelism: the pair stage is per-row COMPUTE
+    # bound, which AQE (planning by bytes) would otherwise coalesce onto
+    # too few tasks (PERF.md lesson #9).
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    partners = F.array(*[F.lit(i) for i in range(grid)])
+    base = (
+        assigned.repartition(n_parts, "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("bkt", F.pmod(F.xxhash64(id_col), F.lit(grid)))
     )
-    b = assigned.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
+    a = base.select(
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
         "centroid_id",
+        F.col("bkt").alias("pb"),
+        F.explode(partners).alias("qb"),
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+        "centroid_id",
+        F.explode(partners).alias("pb"),
+        F.col("bkt").alias("qb"),
     )
     owners = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "pb", "qb"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine_rounded("a_vec", "b_vec") >= F.lit(threshold))
+        .filter(
+            F.round(
+                dot(F.col("a_v"), F.col("b_v"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
     )
