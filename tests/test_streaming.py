@@ -338,3 +338,62 @@ def test_view_click_join_stream_equals_batch(spark, batch_events):
     want = {tuple(r) for r in SW.view_click_join(batch_events).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_index_update_converges_to_full_rebuild(spark, tmp_path):
+    """Continuous ANN index maintenance (SW.run_stream_index_update):
+    vectors arriving over 3 micro-batches, each coarse-assigned and
+    merged into the centroid_id-partitioned store via read-merge-write
+    dynamic partition overwrite. The cumulative store must equal the
+    one-shot full-rebuild assignment (the ann_index_incremental
+    invariant, now through the streaming path)."""
+    from vector_database_app_spark.operators import search as S
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, SF, "embeddings")
+    src = tmp_path / "vec_arrivals"
+    src.mkdir()
+    # three arrival files with disjoint vec_id ranges
+    for lo, hi in [(0, 150), (150, 330), (330, 10_000)]:
+        (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    centroids = (
+        emb.groupBy("label")
+        .agg(F.min_by("embedding", "vec_id").alias("centroid"))
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "ivf_store")
+    SW.run_stream_index_update(
+        stream, centroids, out, str(tmp_path / "ckpt")
+    )
+    got = (
+        spark.read.parquet(out)
+        .select("vec_id", "label", "centroid_id")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        S.ivf_assign(emb, centroids)
+        .select("vec_id", "label", "centroid_id")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == emb.count()
+    assert (got["centroid_id"].values == want["centroid_id"].values).all()
+    # the store is physically partitioned by cell -> DPP-prunable probes
+    import os as _os
+
+    assert any(
+        d.startswith("centroid_id=") for d in _os.listdir(out)
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -411,3 +411,62 @@ def view_click_join(
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
+
+
+def run_stream_index_update(
+    vector_stream: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous ANN index maintenance: each micro-batch of arriving
+    vectors is coarse-assigned against the FIXED broadcast centroids
+    (operators.search.ivf_assign — per-row, so incremental == full
+    rebuild, the ann_index_incremental invariant) and upserted into the
+    centroid_id-partitioned store via dynamic partition overwrite — only
+    the cells the batch touches are rewritten, and the DPP-pruned probe
+    (tests/test_layout.py) reads the store unchanged.
+
+    Because dynamic partition overwrite REPLACES a touched cell, growth
+    is read-merge-write: each batch unions the existing content of ONLY
+    the cells it touches (a DPP-pruned semi-join read — untouched cells
+    are neither read nor written) before overwriting them. vec_id-level
+    idempotence comes from a dedup on the merged cell (a replayed
+    micro-batch re-merges the same rows to the same state).
+    """
+    from ..operators.search import ivf_assign
+    from ..sources.layout import upsert_partitions
+
+    spark = vector_stream.sparkSession
+
+    def _index(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign(batch_df, centroids).select(
+            "vec_id", "label", "centroid_id"
+        )
+        try:
+            existing = spark.read.parquet(out_dir).join(
+                assigned.select("centroid_id").distinct(),
+                "centroid_id",
+                "left_semi",
+            )
+            merged = existing.select(
+                "vec_id", "label", "centroid_id"
+            ).unionByName(assigned)
+        except Exception:  # first batch: store does not exist yet
+            merged = assigned
+        w = Window.partitionBy("vec_id").orderBy("centroid_id")
+        merged = (
+            merged.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1")
+            .drop("_rk")
+        )
+        upsert_partitions(merged, out_dir, partition_cols=["centroid_id"])
+
+    q = (
+        vector_stream.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
