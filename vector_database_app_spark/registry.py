@@ -5347,3 +5347,59 @@ ORACLE["late_interaction_search"] = f"""
 """
 
 ORACLE["ann_index_incremental"] = ORACLE["ann_ivf"]
+
+
+def q_events_rolling_active(spark, sf_dir):
+    """Rolling distinct actives (DAU → trailing-7-day WAU): per day, the
+    distinct-user count that day and over the trailing week. Rolling
+    COUNT DISTINCT has no window-function form (state is a set, not an
+    aggregate), so the scalable shape is: dedup to (day, user) grain
+    first — the only pass over the raw stream — then a day×day
+    range-join on the TINY day-grain frame and a distinct-count per
+    anchor day. At 100 TB the self-join touches |days|·7·avg_DAU rows,
+    independent of the event count."""
+    ev = _t(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = day_user.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    days = day_user.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            day_user.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+QUERIES["events_rolling_active"] = q_events_rolling_active
+
+ORACLE["events_rolling_active"] = """
+    WITH day_user AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM day_user GROUP BY day
+    ), wau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM day_user) d
+      JOIN day_user u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT CAST(epoch_us(dau.day) AS BIGINT) AS day_us, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+"""
