@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_planner_indexed",
     "decontaminate",
     "ann_matryoshka",
+    "late_interaction_search",
 ]
 
 

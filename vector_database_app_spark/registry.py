@@ -5403,3 +5403,91 @@ ORACLE["events_rolling_active"] = """
     SELECT CAST(epoch_us(dau.day) AS BIGINT) AS day_us, dau.dau, wau.wau
     FROM dau JOIN wau ON dau.day = wau.day
 """
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff — the pipeline-regression primitive: compare the
+    current table against the previous run's snapshot and classify every
+    key as added / removed / changed / same via FULL OUTER join on the
+    key plus a row-content hash (md5 over a canonical column encoding;
+    comparing hashes moves the wide-row compare to one 32-char equality).
+    The "old" snapshot is derived deterministically from the fixture so
+    the oracle replays it: doc_id%17==3 rows absent from old (→ added),
+    shifted doc_id+1000000 copies for doc_id%23==1 present only in old
+    (→ removed), and doc_id%11==5 rows with a different n_chars
+    (→ changed).
+
+    Scale shape: one equi-join shuffle on the key; the content hash is
+    computed scan-side (no wide-row shuffle — only key+hash move), which
+    is what makes diffing two 100 TB snapshots feasible."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def rowhash(df):
+        return F.md5(
+            F.concat_ws(
+                "|", F.col("text"), F.col("lang"), F.col("source"),
+                F.col("n_chars").cast("string"),
+            )
+        )
+
+    new = docs.select("doc_id", rowhash(docs).alias("h"))
+    old_base = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 11 == 5, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    old_extra = docs.filter(F.col("doc_id") % 23 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    old_full = old_base.unionByName(old_extra)
+    old = old_full.select("doc_id", rowhash(old_full).alias("oh"))
+    return (
+        new.join(old, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("h").isNull(), F.lit("removed"))
+            .when(F.col("h") != F.col("oh"), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("status"),
+        )
+    )
+
+
+QUERIES["table_diff"] = q_table_diff
+
+ORACLE["table_diff"] = """
+    WITH new AS (
+      SELECT doc_id,
+             md5(text || '|' || lang || '|' || source || '|' ||
+                 CAST(n_chars AS VARCHAR)) AS h
+      FROM documents
+    ), old_full AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END
+                 AS n_chars
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 23 = 1
+    ), old AS (
+      SELECT doc_id,
+             md5(text || '|' || lang || '|' || source || '|' ||
+                 CAST(n_chars AS VARCHAR)) AS oh
+      FROM old_full
+    )
+    SELECT coalesce(new.doc_id, old.doc_id) AS doc_id,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN h IS NULL THEN 'removed'
+                WHEN h <> oh THEN 'changed'
+                ELSE 'same' END AS status
+    FROM new FULL OUTER JOIN old ON new.doc_id = old.doc_id
+"""
