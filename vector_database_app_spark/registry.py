@@ -5491,3 +5491,25 @@ ORACLE["table_diff"] = """
                 ELSE 'same' END AS status
     FROM new FULL OUTER JOIN old ON new.doc_id = old.doc_id
 """
+
+
+# Oracle SQL for two previously rows-only queries — both were always
+# SQL-expressible; value-level checks are strictly stronger.
+ORACLE["knn_filtered"] = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COS_EB_Q} AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND e.vec_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+    ORDER BY sim DESC, e.vec_id LIMIT 5
+"""
+
+ORACLE["knn_range_search"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 3
+    )
+    SELECT q.query_id, e.vec_id, e.label, {_COS_EB_Q} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id >= 3 AND {_COS_EB_Q} >= 0.3
+"""
