@@ -393,3 +393,11 @@ def test_ann_index_incremental_pushes_batch_filter(spark):
     plan = explain_str(df)
     assert "Broadcast" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_semantic_grid_spreads_cells(spark):
+    """The pairwise join must key on (centroid_id, pb, qb) — the grid
+    sub-block keys that spread an oversized cell over grid² tasks."""
+    df = QUERIES["dedup_semantic"](spark, SF)
+    plan = explain_str(df)
+    assert "pb" in plan and "qb" in plan, plan

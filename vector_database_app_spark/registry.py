@@ -5513,3 +5513,48 @@ ORACLE["knn_range_search"] = f"""
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id >= 3 AND {_COS_EB_Q} >= 0.3
 """
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Classifier evaluation harness — the text twin of ann_recall: the
+    confusion matrix of the n-gram language identifier against the
+    fixture's true lang labels, plus per-true-class precision inputs
+    (n and the matched count). An operator pipeline that FILTERS by a
+    predicted label must know the classifier's error structure; this is
+    the one-scan aggregate that measures it (never a collect — the
+    matrix is |langs|² rows regardless of corpus size)."""
+    pred = textops.language_id(_t(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "n_true",
+            F.sum("n").over(Window.partitionBy("lang")).cast("bigint"),
+        )
+        .withColumn("hit", F.col("lang") == F.col("lang_pred"))
+    )
+
+
+QUERIES["lang_id_confusion"] = q_lang_id_confusion
+
+ORACLE["lang_id_confusion"] = """
+    WITH base AS (
+      SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN contains(t, ' the ') OR contains(t, ' and ') OR contains(t, ' of ') THEN 'en'
+                  WHEN contains(t, ' le ') OR contains(t, ' la ') OR contains(t, ' et ') THEN 'fr'
+                  WHEN contains(t, ' el ') OR contains(t, ' los ') OR contains(t, ' y ') THEN 'es'
+                  WHEN contains(t, ' der ') OR contains(t, ' und ') OR contains(t, ' die ') THEN 'de'
+                  WHEN contains(t, '的') OR contains(t, '是') OR contains(t, '了') THEN 'zh'
+                  ELSE 'und' END AS lang_pred
+      FROM base
+    ), cm AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+           lang = lang_pred AS hit
+    FROM cm
+"""
