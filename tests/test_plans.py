@@ -401,3 +401,14 @@ def test_dedup_semantic_grid_spreads_cells(spark):
     df = QUERIES["dedup_semantic"](spark, SF)
     plan = explain_str(df)
     assert "pb" in plan and "qb" in plan, plan
+
+
+def test_curriculum_order_avoids_single_partition_data_window(spark):
+    """global_rank: the DATA window partitions by bucket (parallel); the
+    only global-ordered window runs over the |buckets|-row count frame.
+    Concretely: at least one Window partitioned by the bucket key, and
+    the bucket-offset frame enters the final join as a broadcast."""
+    df = QUERIES["curriculum_order"](spark, SF)
+    plan = explain_str(df)
+    assert "hashpartitioning(_bkt" in plan, plan
+    assert "Broadcast" in plan, plan

@@ -262,3 +262,69 @@ def scd_type2(
         .withColumn("version", F.col("_run").cast("bigint"))
         .drop("_run")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak: str,
+    *,
+    descending: bool = True,
+    n_buckets: int = 64,
+    bucket_lo: float = 0.0,
+    bucket_hi: float = 1.0,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Total ordering rank WITHOUT a SinglePartition window — the
+    curriculum-ordering primitive (sort the whole corpus by a quality
+    score to emit training shards easiest-/cleanest-first).
+
+    A naive `row_number() OVER (ORDER BY score)` collapses the whole
+    dataset onto one task. This is the scalable two-phase shape (the
+    pack_sequences prefix-sum pattern applied to ranking):
+
+      1. bucket every row by a FIXED value-range split of [bucket_lo,
+         bucket_hi] (deterministic, data-independent — unlike ntile or
+         range-partitioner sampling, so the oracle replays it);
+      2. rank within each bucket (parallel windows, one shuffle);
+      3. offset each bucket's ranks by the total count of rows in all
+         better buckets — a |buckets|-row prefix table, window over ≤
+         `n_buckets` rows, broadcast back.
+
+    Equal ranks never occur (tiebreak column must be unique). The result
+    is IDENTICAL to the single-window form, which is what the oracle
+    asserts. At 100 TB: per-bucket skew follows the score distribution;
+    pick bucket edges from a prior profile (`profile_table` quantiles)
+    when scores are not uniform."""
+    width = (bucket_hi - bucket_lo) / n_buckets
+    raw = F.floor((F.col(order_col) - F.lit(bucket_lo)) / F.lit(width))
+    bkt = F.least(
+        F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)
+    ).cast("int")
+    o = [F.desc(order_col), F.asc(tiebreak)] if descending else [
+        F.asc(order_col), F.asc(tiebreak)
+    ]
+    ranked = df.withColumn("_bkt", bkt).withColumn(
+        "_brk",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy(*o)),
+    )
+    counts = ranked.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    bo = F.desc("_bkt") if descending else F.asc("_bkt")
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy(bo).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            rank_col, (F.col("_brk") + F.col("_off")).cast("bigint")
+        )
+        .drop("_bkt", "_brk", "_off")
+    )

@@ -5558,3 +5558,33 @@ ORACLE["lang_id_confusion"] = """
            lang = lang_pred AS hit
     FROM cm
 """
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering (relational.global_rank): a total rank over
+    the corpus by quality score WITHOUT a SinglePartition window — fixed
+    value-range buckets rank in parallel, then a |buckets|-row prefix
+    table offsets them. The oracle asserts the result is identical to
+    the naive `row_number() OVER (ORDER BY ...)` it replaces. Score here
+    is a deterministic integer-derived stand-in ((n_chars mod 1000)/1000
+    — exact in double on both engines); production plugs any of the
+    quality signals (gopher_quality, quality_classifier,
+    perplexity_buckets) into the same shape."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("n_chars") % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    return relational.global_rank(
+        docs, "score", "doc_id", descending=True, n_buckets=64
+    )
+
+
+QUERIES["curriculum_order"] = q_curriculum_order
+
+ORACLE["curriculum_order"] = """
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS BIGINT) AS global_rank
+    FROM (SELECT doc_id, (n_chars % 1000) / 1000.0 AS score
+          FROM documents)
+"""
