@@ -95,8 +95,12 @@ def pagerank(
                 ).cast("bigint").alias("rank_scaled"),
             )
         )
+    # no round(): rank_scaled/SCALE is one correctly-rounded double op,
+    # bit-identical across engines, whereas round(x, 9) can land exactly
+    # on a half (…5) where Spark rounds half-up and DuckDB half-even
+    # (observed at sf0.1: 1.59255e-5 → 1.5926e-5 vs 1.5925e-5).
     return ranks.select(
         "node",
         "rank_scaled",
-        F.round(F.col("rank_scaled") / F.lit(float(SCALE)), 9).alias("rank"),
+        (F.col("rank_scaled") / F.lit(float(SCALE))).alias("rank"),
     )

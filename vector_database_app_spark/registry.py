@@ -5258,7 +5258,7 @@ ORACLE["graph_pagerank"] = """
         FROM nodes n LEFT JOIN m3 m ON n.node = m.node CROSS JOIN nn
     )
     SELECT node, rank_scaled,
-           round(rank_scaled / 1000000000000.0, 9) AS rank
+           rank_scaled / 1000000000000.0 AS rank
     FROM r3
 """
 
