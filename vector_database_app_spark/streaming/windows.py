@@ -443,7 +443,11 @@ def run_stream_index_update(
         assigned = ivf_assign(batch_df, centroids).select(
             "vec_id", "label", "centroid_id"
         )
-        try:
+        # Existence check, NOT try/except around the read: a failed read
+        # of an EXISTING store (corrupt file, permissions) must abort the
+        # batch — swallowing it would silently reset the index to this
+        # batch's rows.
+        if os.path.isdir(out_dir):
             existing = spark.read.parquet(out_dir).join(
                 assigned.select("centroid_id").distinct(),
                 "centroid_id",
@@ -452,7 +456,7 @@ def run_stream_index_update(
             merged = existing.select(
                 "vec_id", "label", "centroid_id"
             ).unionByName(assigned)
-        except Exception:  # first batch: store does not exist yet
+        else:  # first batch: store does not exist yet
             merged = assigned
         w = Window.partitionBy("vec_id").orderBy("centroid_id")
         merged = (
