@@ -70,3 +70,13 @@ def test_construction_is_lazy(spark, sf_dir, warm_registry, name):
     QUERIES[name](spark, sf_dir)
     after = _total_jobs(spark)
     assert after == before, f"{name} fired {after - before} job(s) at build time"
+
+
+def test_every_oracle_has_a_query():
+    """An ORACLE entry whose QUERIES key was renamed/removed would vanish
+    silently from the sweep (the driver iterates queries()); make the
+    orphan loud instead."""
+    from vector_database_app_spark.registry import ORACLE, QUERIES
+
+    orphans = sorted(set(ORACLE) - set(QUERIES))
+    assert not orphans, f"ORACLE entries without a QUERIES entry: {orphans}"
