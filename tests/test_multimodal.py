@@ -40,3 +40,29 @@ def test_audio_features_real_slot_raises(payload):
     df = multimodal.decode_audio_features(payload, deterministic_fake=False)
     with pytest.raises(Exception, match="soundfile|librosa|ffmpeg"):
         df.collect()
+
+
+def test_resize_images_deterministic_and_real_slot_raises(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import multimodal as MM
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    payload = MM.attach_binary_payload(docs)
+    out = MM.resize_images(payload, target=(224, 224))
+    pdf = out.toPandas()
+    assert len(pdf) == 20
+    assert (pdf["target_w"] == 224).all() and (pdf["target_h"] == 224).all()
+    assert (pdf["resized_bytes"] == 224 * 224 * 3).all()
+    # deterministic: same input -> same digest across runs
+    pdf2 = MM.resize_images(payload, target=(224, 224)).toPandas()
+    assert sorted(pdf["resized_sha"]) == sorted(pdf2["resized_sha"])
+    # digest depends on the target (resize is part of the content identity)
+    pdf3 = MM.resize_images(payload, target=(64, 64)).toPandas()
+    assert set(pdf["resized_sha"]).isdisjoint(set(pdf3["resized_sha"]))
+    # the real-model slot raises exactly at the plug-in line
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real resize"):
+        MM.resize_images(payload, deterministic_fake=False).collect()

@@ -258,3 +258,66 @@ def decode_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         decode, AUDIO_FEATURES_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    target: tuple[int, int] = (224, 224),
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage — the
+    preprocessing step every vision model ingest needs (the reference
+    resizes implicitly inside its CLIP processors,
+    `rag_search/vector_db.py:480,517`; at pipeline scale it is its own
+    stage so the expensive decode+resample runs once, not per model).
+
+    STUB (same contract as decode_image_features): no image libs in this
+    container, so ``deterministic_fake=True`` emits the resized-artifact
+    METADATA (target dims, deterministic synthetic output size + content
+    digest derived from the payload), exercising batching/schema/
+    partitioning; ``deterministic_fake=False`` raises NotImplementedError
+    at the exact line PIL's ``Image.resize`` plugs in.
+    """
+    tw, th = target
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real resize requires PIL — plug Image.open(...)"
+                    ".resize((tw, th)) in here"
+                )
+            out = {
+                "doc_id": pdf[id_col],
+                "target_w": [],
+                "target_h": [],
+                "resized_bytes": [],
+                "resized_sha": [],
+            }
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                digest = hashlib.sha256(b + bytes([tw % 256, th % 256]))
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+                # synthetic size model: 3 bytes/px before entropy coding
+                out["resized_bytes"].append(tw * th * 3)
+                out["resized_sha"].append(digest.hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)

@@ -5588,3 +5588,14 @@ ORACLE["curriculum_order"] = """
     FROM (SELECT doc_id, (n_chars % 1000) / 1000.0 AS score
           FROM documents)
 """
+
+
+def q_image_resize(spark, sf_dir):
+    """rows-only: image resize preprocessing slot (Arrow mapInPandas,
+    deterministic fake — multimodal.resize_images); scalar-only output
+    for the driver canonicalizer."""
+    payload = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(payload)
+
+
+QUERIES["image_resize"] = q_image_resize
