@@ -242,3 +242,24 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     got = spark.read.parquet(store).filter(F.col("day") == "1")
     rows = {(r.id, r.val) for r in got.collect()}
     assert rows == {(i * 3 + 1, "v2") for i in range(5)}, rows
+
+
+def test_snapshot_versioning_roundtrip_and_diffability(spark, tmp_path):
+    """write_snapshot/read_snapshot: monotone versions, immutable history,
+    latest-by-default reads, and version-addressed time travel."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.sources import layout
+
+    base = str(tmp_path / "store")
+    df1 = spark.range(0, 100).select("id", (F.col("id") * 2).alias("x"))
+    df2 = spark.range(0, 120).select("id", (F.col("id") * 3).alias("x"))
+    assert layout.latest_version(base) is None
+    assert layout.write_snapshot(df1, base) == 1
+    assert layout.write_snapshot(df2, base) == 2
+    assert layout.latest_version(base) == 2
+    assert layout.read_snapshot(spark, base).count() == 120
+    v1 = layout.read_snapshot(spark, base, 1)
+    assert v1.count() == 100
+    # history is immutable: v1 content unchanged after the v2 write
+    assert v1.agg(F.sum("x")).first()[0] == sum(2 * i for i in range(100))

@@ -179,3 +179,50 @@ def upsert_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_snapshot(df: DataFrame, base_path: str) -> int:
+    """Versioned store write (plain-parquet time travel): each call lands
+    a complete snapshot under ``base_path/v=<n>`` with n = 1 + the
+    highest existing version, and returns n. Immutable snapshots make
+    reproducible pipeline runs and `table_diff`-style run-over-run
+    regression checks trivial without a table format dependency; pair
+    with a retention sweep that drops old ``v=`` directories.
+
+    Concurrency: version allocation is list-directory-then-write —
+    single-writer (one pipeline owns a store), the same assumption Delta
+    enforces with a commit log. The write is atomic per snapshot because
+    readers only address explicit ``v=<n>`` paths and ``latest_version``
+    ignores in-flight directories without _SUCCESS."""
+    import os
+
+    n = (latest_version(base_path) or 0) + 1
+    out = os.path.join(base_path, f"v={n}")
+    df.write.mode("errorifexists").parquet(out)
+    return n
+
+
+def latest_version(base_path: str) -> int | None:
+    """Highest committed (_SUCCESS-marked) snapshot version, or None."""
+    import os
+
+    if not os.path.isdir(base_path):
+        return None
+    versions = []
+    for d in os.listdir(base_path):
+        if d.startswith("v=") and d[2:].isdigit():
+            if os.path.exists(os.path.join(base_path, d, "_SUCCESS")):
+                versions.append(int(d[2:]))
+    return max(versions) if versions else None
+
+
+def read_snapshot(
+    spark: SparkSession, base_path: str, version: int | None = None
+) -> DataFrame:
+    """Read snapshot `version` (default: latest committed)."""
+    import os
+
+    v = latest_version(base_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshots under {base_path}")
+    return spark.read.parquet(os.path.join(base_path, f"v={v}"))
