@@ -953,16 +953,18 @@ _SQL_Q13 = """
 #: distinct (l_partkey, l_suppkey) pairs with an exact-decimal unit-cost
 #: stand-in (min observed unit price) and availability stand-in (total
 #: shipped quantity). Deliberate, documented adaptation — the
-#: join/subquery shapes are the originals'. Both stand-ins go through
-#: DECIMAL so the per-pair agg is order-independent across engines.
+#: join/subquery shapes are the originals'. The cost stand-in is FLOOR-
+#: quantized to 4 dp (floor has no half-way case; round() diverged
+#: half-up vs half-even at sf0.1 — the graph_pagerank lesson) and min()
+#: is order-independent; availqty sums in DECIMAL.
 #: At 100 TB this CTE is one map-side-combinable agg over the fact scan,
 #: shuffled once on the (partkey, suppkey) pair — every consumer below
 #: joins it on one of those keys, reusing the partitioning.
 _SQL_PARTSUPP = """partsupp AS (
       SELECT l_partkey  AS ps_partkey,
              l_suppkey  AS ps_suppkey,
-             CAST(min(CAST(round(l_extendedprice / l_quantity, 4)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS ps_supplycost,
+             CAST(min(CAST(floor(l_extendedprice / l_quantity * 1e4)
+                           AS BIGINT)) / 1e4 AS DOUBLE) AS ps_supplycost,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                AS ps_availqty
       FROM lineitem
@@ -1004,13 +1006,13 @@ _SQL_Q11 = f"""
     WITH {_SQL_PARTSUPP},
     scoped AS (
       SELECT ps.ps_partkey,
-             CAST(round(ps.ps_supplycost * ps.ps_availqty, 2)
-                  AS DECIMAL(18,2)) AS v
+             CAST(floor(ps.ps_supplycost * ps.ps_availqty * 1e2)
+                  AS BIGINT) AS v
       FROM partsupp ps
       JOIN supplier s ON s.s_suppkey   = ps.ps_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_3', 'NATION_7'))
-    SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+    SELECT ps_partkey, CAST(sum(v) AS DOUBLE) / 1e2 AS part_value
     FROM scoped
     GROUP BY ps_partkey
     HAVING CAST(sum(v) AS DOUBLE) >
