@@ -1,0 +1,85 @@
+"""WARC ingestion (sources/warc.py): synthetic archives round-trip through
+the binaryFile → Arrow-parse path, gzipped and plain, with HTTP header
+stripping, record-type filtering, torn-tail tolerance, and the
+HTML→text extraction stage."""
+
+from __future__ import annotations
+
+import gzip
+
+from vector_database_app_spark.sources import warc as W
+
+
+def _record(rtype: str, uri: str, payload: bytes, rid: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n".encode()
+        + body
+    )
+
+
+HTML_A = b"<html><head><style>p{color:red}</style></head><body><h1>Fast Spark</h1><p>join merge sort</p><script>var x=1;</script></body></html>"
+HTML_B = b"<html><body>window batch <b>stream</b></body></html>"
+
+
+def _archive() -> bytes:
+    return (
+        _record("warcinfo", "", b"software: synthetic\r\n", "info-1")
+        + _record("response", "http://a.example/x", _http(HTML_A), "a-1")
+        + _record("response", "http://b.example/y", _http(HTML_B, 301), "b-1")
+        + _record("request", "http://a.example/x", b"GET /x HTTP/1.1\r\n", "req-1")
+    )
+
+
+def test_parse_warc_records_plain_and_gzip():
+    recs = list(W.parse_warc_records(_archive()))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "response", "request",
+    ]
+    assert recs[1]["target_uri"] == "http://a.example/x"
+    assert recs[1]["http_status"] == 200
+    assert recs[2]["http_status"] == 301
+    assert recs[1]["payload"] == HTML_A  # HTTP headers stripped
+    # multi-member gzip (per-record members, the Common Crawl layout)
+    gz = b"".join(
+        gzip.compress(_record("response", f"http://m{i}.example", _http(HTML_B), f"m-{i}"))
+        for i in range(3)
+    )
+    assert len(list(W.parse_warc_records(gz))) == 3
+
+
+def test_parse_tolerates_torn_tail():
+    data = _archive() + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\ntruncated"
+    recs = list(W.parse_warc_records(data))
+    assert len(recs) == 4  # torn record dropped, earlier ones kept
+
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "part-0.warc").write_bytes(_archive())
+    (tmp_path / "crawl" / "part-1.warc.gz").write_bytes(
+        gzip.compress(_record("response", "http://c.example/z", _http(HTML_A), "c-1"))
+    )
+    df = W.read_warc(spark, str(tmp_path / "crawl"))
+    pdf = W.warc_text(df).toPandas()
+    assert len(pdf) == 3  # responses only; warcinfo/request filtered
+    assert set(pdf["target_uri"]) == {
+        "http://a.example/x", "http://b.example/y", "http://c.example/z",
+    }
+    a = pdf[pdf["target_uri"] == "http://a.example/x"].iloc[0]
+    assert a["text"] == "Fast Spark join merge sort"  # style+script dropped
+    b = pdf[pdf["target_uri"] == "http://b.example/y"].iloc[0]
+    assert b["text"] == "window batch stream"
+    assert (pdf["http_status"].isin([200, 301])).all()
