@@ -83,3 +83,31 @@ def test_read_warc_end_to_end(spark, tmp_path):
     b = pdf[pdf["target_uri"] == "http://b.example/y"].iloc[0]
     assert b["text"] == "window batch stream"
     assert (pdf["http_status"].isin([200, 301])).all()
+
+
+def test_warc_to_corpus_pipeline_composes(spark, tmp_path):
+    """Crawl → text → language-ID composes directly: warc_text output
+    plugs into the textops surface with a doc_id stamped from the record
+    id — the first mile of the corpus admission DAG runs off a WARC
+    directory unchanged."""
+    import gzip as _gz
+
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import textops
+
+    (tmp_path / "crawl").mkdir()
+    body = b"<html><body>the fast join and the sort of the merge</body></html>"
+    (tmp_path / "crawl" / "p.warc.gz").write_bytes(
+        _gz.compress(_record("response", "http://en.example/", _http(body), "en-1"))
+    )
+    docs = (
+        W.warc_text(W.read_warc(spark, str(tmp_path / "crawl")))
+        .select(
+            F.xxhash64("record_id").alias("doc_id"),
+            "text",
+        )
+    )
+    out = textops.language_id(docs).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["lang_pred"] == "en"

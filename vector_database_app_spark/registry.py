@@ -5601,3 +5601,49 @@ def q_image_resize(spark, sf_dir):
 
 
 QUERIES["image_resize"] = q_image_resize
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning harness: pair counts per similarity decile
+    (floor-quantized — no half-way rounding case) plus the cumulative
+    count at-or-above each decile, from ONE pass over the label-blocked
+    pair set. Picking a near-dup threshold is a precision/volume
+    trade-off; this is the curve that decision reads, computed without
+    re-running the pair join per candidate threshold. The cumulative
+    window runs over ≤20 decile rows — post-aggregation tiny."""
+    pairs = dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=-1.0
+    )
+    per_bucket = (
+        pairs.withColumn(
+            "decile", F.floor(F.col("sim") * 10).cast("bigint")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.withColumn(
+        "n_at_or_above", F.sum("n_pairs").over(w).cast("bigint")
+    )
+
+
+QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+
+ORACLE["dedup_threshold_sweep"] = f"""
+    WITH pairs AS (
+      SELECT {_COS_AB} AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ), per_bucket AS (
+      SELECT CAST(floor(sim * 10) AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT decile, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_or_above
+    FROM per_bucket
+"""
