@@ -111,3 +111,28 @@ def test_warc_to_corpus_pipeline_composes(spark, tmp_path):
     out = textops.language_id(docs).toPandas()
     assert len(out) == 1
     assert out.iloc[0]["lang_pred"] == "en"
+
+
+def test_warc_stream_incremental(spark, tmp_path):
+    """Streaming twin: archives arriving over two triggers land in the
+    parquet store incrementally; a re-run with the same checkpoint adds
+    nothing (file-source exactly-once over unchanged inputs)."""
+    import gzip as _gz
+
+    src = tmp_path / "arrivals"; src.mkdir()
+    store = str(tmp_path / "store"); ckpt = str(tmp_path / "ckpt")
+    (src / "a.warc").write_bytes(
+        _record("response", "http://a.example/", _http(HTML_A), "a-1")
+    )
+    W.warc_stream(spark, str(src), store, ckpt)
+    assert spark.read.parquet(store).count() == 1
+    (src / "b.warc.gz").write_bytes(
+        _gz.compress(_record("response", "http://b.example/", _http(HTML_B), "b-1"))
+    )
+    W.warc_stream(spark, str(src), store, ckpt)
+    pdf = spark.read.parquet(store).toPandas()
+    assert sorted(pdf["target_uri"]) == ["http://a.example/", "http://b.example/"]
+    assert "text" in pdf.columns
+    # unchanged inputs -> third run is a no-op
+    W.warc_stream(spark, str(src), store, ckpt)
+    assert spark.read.parquet(store).count() == 2

@@ -99,29 +99,13 @@ def read_warc(
     """binaryFile scan over WARC(.gz) files → one row per record of the
     requested types. Same quarantine philosophy as sources/ingest.py:
     malformed records are skipped by the tolerant parser, never fatal."""
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select("path", "content")
     )
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_records(bytes(content)):
-                    if rec["warc_type"] in record_types:
-                        rec["warc_file"] = path_
-                        rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
-
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return _parse_files_to_records(files, record_types)
 
 
 def warc_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -137,3 +121,70 @@ def warc_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn(
         "text", F.trim(F.regexp_replace(no_tags, r"\s+", " "))
     )
+
+
+def _parse_files_to_records(files_df: DataFrame, record_types: tuple) -> DataFrame:
+    """The shared binaryFile → WARC-record stage (batch and streaming
+    input frames both accept the same mapInPandas)."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_records(bytes(content)):
+                    if rec["warc_type"] in record_types:
+                        rec["warc_file"] = path_
+                        rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return files_df.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_stream(
+    spark: SparkSession,
+    folder: str,
+    store_path: str,
+    checkpoint_path: str,
+    *,
+    record_types: tuple = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous crawl ingestion: the streaming twin of `read_warc` —
+    WARC files ARRIVING in `folder` parse incrementally (file-source
+    checkpoint remembers processed archives; `max_files_per_trigger` is
+    the backpressure valve) and records append to the parquet store with
+    the extracted text column. Same parse stage as batch (one code path,
+    two execution modes — the engine-wide streaming rule). Replayed
+    micro-batches re-append the same records; dedup downstream on
+    record_id (content identity), as with ingest_stream."""
+    # streaming sources require an explicit schema: binaryFile's is fixed
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(folder)
+    records = warc_text(_parse_files_to_records(files, record_types))
+    q = (
+        records.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
