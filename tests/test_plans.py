@@ -412,3 +412,13 @@ def test_curriculum_order_avoids_single_partition_data_window(spark):
     plan = explain_str(df)
     assert "hashpartitioning(_bkt" in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_doc_winnow_is_shuffle_free(spark):
+    """Winnowing is row-local array math: scan + project only — no
+    Exchange, no Window, no Python anywhere in the plan."""
+    df = QUERIES["doc_winnow"](spark, SF)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan

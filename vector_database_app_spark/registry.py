@@ -5647,3 +5647,92 @@ ORACLE["dedup_threshold_sweep"] = f"""
                 AS BIGINT) AS n_at_or_above
     FROM per_bucket
 """
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): md5 each word-3-gram, then keep the MINIMUM hash of
+    every sliding window of 4 consecutive shingle hashes; the distinct
+    mins are the document's fingerprints. Winnowing guarantees any
+    shared substring of >= w+n-1 words yields a shared fingerprint —
+    position-robust sub-document matching, where `doc_fingerprint`'s
+    global min is one fingerprint per doc.
+
+    Scale shape: the whole computation is ROW-LOCAL array math (split →
+    shingle → hash → windowed min → distinct), zero shuffles — scan +
+    project, embarrassingly parallel at any corpus size. Value-level
+    oracle: md5 + lexicographic string min replay exactly in DuckDB.
+    Interpreted-HOF note: per-doc output is a handful of scalars, so the
+    fold cost is bounded; the exploded+codegen form (PERF lesson #4)
+    only pays when fingerprints fan out to a join."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("w")).withColumn(
+        "s_cnt", F.greatest(F.size("w") - F.lit(2), F.lit(0))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.col("s_cnt")),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", i + F.lit(1)),
+                F.element_at("w", i + F.lit(2)),
+            )
+        ),
+    )
+    d = d.withColumn("h", F.when(F.col("s_cnt") > 0, sh).otherwise(
+        F.array().cast("array<string>")
+    ))
+    n_win = F.when(
+        F.col("s_cnt") >= 4, F.col("s_cnt") - F.lit(3)
+    ).otherwise(F.least(F.col("s_cnt"), F.lit(1)))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice("h", i, 4)),
+    )
+    d = d.withColumn(
+        "fp", F.when(n_win > 0, F.array_distinct(mins)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("s_cnt").cast("bigint").alias("n_shingles"),
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+    )
+
+
+QUERIES["doc_winnow"] = q_doc_winnow
+
+ORACLE["doc_winnow"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, greatest(len(w) - 2, 0) AS s_cnt,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 2 + 1),
+                 i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [] END AS h
+      FROM base
+    ), fp AS (
+      SELECT doc_id, s_cnt,
+             CASE WHEN s_cnt >= 4 THEN
+               list_distinct(list_transform(range(1, s_cnt - 3 + 1),
+                 i -> list_aggregate(h[i:i+3], 'min')))
+             WHEN s_cnt >= 1 THEN
+               list_distinct([list_aggregate(h, 'min')])
+             ELSE [] END AS fps
+      FROM sh
+    )
+    SELECT doc_id, CAST(s_cnt AS BIGINT) AS n_shingles,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CASE WHEN len(fps) > 0 THEN list_aggregate(fps, 'min') END
+               AS min_fp
+    FROM fp
+"""
