@@ -5736,3 +5736,97 @@ ORACLE["doc_winnow"] = """
                AS min_fp
     FROM fp
 """
+
+
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing-based near-dup candidates — what the fingerprints exist
+    FOR (MOSS): compute winnow fingerprints in EXPLODED + codegen form
+    (posexplode tokens → lead-window shingles → md5 → windowed min; PERF
+    lesson #4 — the array-HOF form that q_doc_winnow uses row-locally
+    re-evaluates its giant interpreted expression per join reference and
+    ran 50× slower here), drop stop-fingerprints (df > 50 — boilerplate
+    shingles would make one hot key quadratic, the minhash
+    max_bucket_size guard), equi-join on fingerprint, score pairs by
+    shared-fingerprint count, keep >= 2. All joins keyed; never
+    all-pairs; one doc-keyed shuffle feeds both window stages."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    t = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        t.withColumn("w1", F.lead("word", 1).over(wo))
+        .withColumn("w2", F.lead("word", 2).over(wo))
+        .filter(F.col("w2").isNotNull())
+        .withColumn(
+            "h", F.md5(F.concat_ws(" ", "word", "w1", "w2"))
+        )
+    )
+    fp_rows = (
+        sh.withColumn("s_cnt", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("spos", F.row_number().over(wo))
+        .withColumn(
+            "win_min",
+            F.min("h").over(wo.rowsBetween(0, 3)),
+        )
+        .filter(
+            F.col("spos") <= F.greatest(F.col("s_cnt") - F.lit(3), F.lit(1))
+        )
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    rare = fp_rows.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") <= 50).select("fp")
+    kept = fp_rows.join(rare, "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+QUERIES["dedup_winnow"] = q_dedup_winnow
+
+ORACLE["dedup_winnow"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, greatest(len(w) - 2, 0) AS s_cnt,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 2 + 1),
+                 i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [] END AS h
+      FROM base
+    ), fps AS (
+      SELECT doc_id,
+             CASE WHEN s_cnt >= 4 THEN
+               list_distinct(list_transform(range(1, s_cnt - 3 + 1),
+                 i -> list_aggregate(h[i:i+3], 'min')))
+             WHEN s_cnt >= 1 THEN
+               list_distinct([list_aggregate(h, 'min')])
+             ELSE [] END AS fp_arr
+      FROM sh
+    ), doc_fp AS (
+      SELECT doc_id, unnest(fp_arr) AS fp FROM fps
+    ), rare AS (
+      SELECT fp FROM doc_fp GROUP BY fp HAVING count(*) <= 50
+    ), kept AS (
+      SELECT doc_fp.doc_id, doc_fp.fp FROM doc_fp JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
