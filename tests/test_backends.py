@@ -125,3 +125,53 @@ def test_gen_real_backend_raises_at_model_boundary(prompts):
     df = rag.answer_prompts(prompts, backend="openai-gpt-4o")
     with pytest.raises(Exception, match="openai"):
         df.collect()
+
+
+def test_word2vec_backend_trains_and_embeds_end_to_end(spark):
+    """The one backend that runs a REAL model in-container: MLlib
+    Word2Vec fit on the fixture corpus, embedding through the standard
+    Arrow UDF slot. Unit norms, declared dim, per-doc determinism across
+    two invocations, and the space tag guards cross-space use."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.functions import backends as B
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    be = B.make_word2vec_backend(spark, docs, dim=16, min_count=2, seed=7)
+    assert be.space == "w2v-16" and be.dim == 16
+    out = docs.limit(50).select(
+        "doc_id", be("text").alias("embedding")
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    mat = np.vstack(pdf["embedding"].values)
+    assert mat.shape == (50, 16)
+    norms = np.linalg.norm(mat, axis=1)
+    # every fixture doc has in-vocab words -> all unit-normalized
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    pdf2 = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf1 = pdf.sort_values("doc_id").reset_index(drop=True)
+    for a, b in zip(pdf1["embedding"], pdf2["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_word2vec_backend_plan_matches_hash_backend(spark):
+    """Backend swap leaves the physical plan shape identical: one
+    ArrowEvalPython stage over the scan, same as the hash backend."""
+    from vector_database_app_spark.functions import backends as B
+    from vector_database_app_spark.plans.explain import explain_str
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w2v = B.make_word2vec_backend(spark, docs, dim=16)
+    hashb = B.resolve_text_backend("hash")
+    p1 = explain_str(docs.select(w2v("text").alias("e")))
+    p2 = explain_str(docs.select(hashb("text").alias("e")))
+    assert p1.count("ArrowEvalPython") >= 1
+    assert p1.count("ArrowEvalPython") == p2.count("ArrowEvalPython")
+    # identical operator skeleton either way: scan -> arrow udf -> project
+    skel1 = [l for l in p1.splitlines() if l.startswith(("*", "+-", "   +-"))]
+    skel2 = [l for l in p2.splitlines() if l.startswith(("*", "+-", "   +-"))]
+    assert skel1 == skel2

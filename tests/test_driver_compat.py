@@ -37,6 +37,7 @@ def test_output_schema_is_scalar_only(spark, sf_dir, name):
 #: runs until a convergence count reaches zero.
 _EAGER_BY_DESIGN = {
     "ann_kmeans_train",
+    "embed_word2vec",  # Word2Vec.fit: iterative MLlib training job
     "dedup_clusters",
     "ann_pq_search",
     "ann_ivfpq_search",

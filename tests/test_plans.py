@@ -422,3 +422,14 @@ def test_doc_winnow_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_dedup_winnow_codegen_and_keyed_joins(spark):
+    """dedup_winnow must stay in the exploded+codegen form: no Python
+    operators, no cartesian; shingle/min stages are Window over the doc
+    key; pair stage is a fingerprint equi-join."""
+    df = QUERIES["dedup_winnow"](spark, SF)
+    plan = explain_str(df)
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan

@@ -168,3 +168,76 @@ def from_conf(spark: SparkSession) -> TextEmbedBackend:
     """Config-selected backend (default: the deterministic hash embedder —
     the only backend on the correctness path)."""
     return resolve_text_backend(spark.conf.get(BACKEND_CONF_KEY, "hash"))
+
+
+def make_word2vec_backend(
+    spark: SparkSession,
+    corpus,
+    *,
+    text_col: str = "text",
+    dim: int = 32,
+    min_count: int = 2,
+    seed: int = 7,
+) -> TextEmbedBackend:
+    """A REAL trainable local model behind the same slot — MLlib Word2Vec
+    fit on the given corpus, no external libraries. Unlike the
+    sentence-transformers/OpenAI backends (whose libs are absent here and
+    which raise at the plug-in line), this one runs end-to-end
+    in-container: reference F1/F2 parity with an actually-executable
+    model.
+
+    Shape: training is ONE batch MLlib job (eager by design, like
+    kmeans_train); the fitted word vectors are EXPORTED (vocab × dim —
+    small by construction, bounded via min_count; cap vocab for web-scale
+    corpora) and broadcast into the standard Arrow pandas UDF, which
+    embeds a document as the L2-normalized mean of its word vectors —
+    the classic bag-of-vectors document embedding, and exactly the
+    "broadcast weights into a batch UDF" pattern the heavyweight
+    backends use with torch weights. OOV-only documents embed to the
+    zero vector (passed through un-normalized, the zero-safe convention
+    of functions.vector).
+
+    The returned backend carries its own space tag (`w2v-<dim>`), so the
+    engine's cross-space guard keeps Word2Vec vectors from being dotted
+    against hash-64 or CLIP-space vectors."""
+    from pyspark.ml.feature import Tokenizer, Word2Vec
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    words = tok.transform(corpus.select(text_col))
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        seed=seed,
+        inputCol="_words",
+        outputCol="_vec",
+        numPartitions=1,
+    )
+    model = w2v.fit(words)
+    vecs = {
+        r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)
+        for r in model.getVectors().collect()
+    }
+    bc = spark.sparkContext.broadcast(vecs)
+
+    def factory():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<float>")
+        def embed(s: pd.Series) -> pd.Series:
+            table = bc.value
+            out = []
+            for text in s:
+                toks = [w for w in (text or "").lower().split() if w]
+                hit = [table[w] for w in toks if w in table]
+                if hit:
+                    v = np.mean(hit, axis=0)
+                    n = np.linalg.norm(v)
+                    v = (v / n if n > 0 else v).astype(np.float32)
+                else:
+                    v = np.zeros(len(next(iter(table.values()))), np.float32)
+                out.append(v)
+            return pd.Series(out)
+
+        return embed
+
+    return TextEmbedBackend(f"word2vec-{dim}", f"w2v-{dim}", dim, factory)

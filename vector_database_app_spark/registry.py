@@ -5830,3 +5830,33 @@ ORACLE["dedup_winnow"] = """
     GROUP BY 1, 2
     HAVING count(*) >= 2
 """
+
+
+def q_embed_word2vec(spark, sf_dir):
+    """rows-only, eager by design (Word2Vec.fit is an iterative MLlib
+    job, like ann_kmeans_train): the one REAL trainable model that runs
+    end-to-end in-container — MLlib Word2Vec fit on the corpus, docs
+    embedded as normalized mean word vectors through the standard Arrow
+    backend slot (functions.backends.make_word2vec_backend). Scalar
+    projection for the driver canonicalizer: dim + unit-norm audit +
+    content digest instead of the raw vector."""
+    from .functions import backends as B
+
+    docs = _t(spark, sf_dir, "documents")
+    be = B.make_word2vec_backend(spark, docs, dim=16, min_count=2, seed=7)
+    out = docs.select("doc_id", be("text").alias("embedding"))
+    vd = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 4).alias("l2_norm"),
+        F.xxhash64(F.col("embedding").cast("array<float>")).alias(
+            "emb_hash64"
+        ),
+    )
+
+
+QUERIES["embed_word2vec"] = q_embed_word2vec
