@@ -5860,3 +5860,29 @@ def q_embed_word2vec(spark, sf_dir):
 
 
 QUERIES["embed_word2vec"] = q_embed_word2vec
+
+
+ORACLE["rrf_fusion"] = f"""
+    WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+    top_a AS (
+        SELECT e.vec_id, {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM embeddings e, q0 q WHERE e.vec_id >= 2
+        ORDER BY sim DESC, e.vec_id LIMIT 10
+    ), top_b AS (
+        SELECT e.vec_id, {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM embeddings e, q1 q WHERE e.vec_id >= 2
+        ORDER BY sim DESC, e.vec_id LIMIT 10
+    ), ranked AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+        FROM top_a
+        UNION ALL
+        SELECT vec_id,
+               row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+        FROM top_b
+    )
+    SELECT vec_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM ranked GROUP BY vec_id
+"""
