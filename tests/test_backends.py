@@ -175,3 +175,28 @@ def test_word2vec_backend_plan_matches_hash_backend(spark):
     skel1 = [l for l in p1.splitlines() if l.startswith(("*", "+-", "   +-"))]
     skel2 = [l for l in p2.splitlines() if l.startswith(("*", "+-", "   +-"))]
     assert skel1 == skel2
+
+
+def test_word2vec_backend_empty_vocab_raises_actionable(spark):
+    """min_count above every token frequency -> MLlib's opaque
+    IllegalArgumentException becomes an actionable ValueError naming
+    min_count at TRAINING time (not a StopIteration inside the UDF
+    later); OOV docs against a non-empty vocab embed to zeros."""
+    import numpy as np
+
+    from vector_database_app_spark.functions import backends as B
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="min_count"):
+        B.make_word2vec_backend(spark, docs, dim=8, min_count=99)
+    # OOV path: vocab from repeated tokens only; an all-OOV doc -> zeros
+    docs2 = spark.createDataFrame(
+        [(1, "common common common"), (2, "rare words only")],
+        "doc_id long, text string",
+    )
+    be = B.make_word2vec_backend(spark, docs2, dim=8, min_count=2)
+    pdf = docs2.select("doc_id", be("text").alias("e")).toPandas()
+    oov = np.asarray(pdf[pdf["doc_id"] == 2]["e"].iloc[0])
+    assert oov.shape == (8,) and not oov.any()

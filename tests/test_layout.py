@@ -263,3 +263,22 @@ def test_snapshot_versioning_roundtrip_and_diffability(spark, tmp_path):
     assert v1.count() == 100
     # history is immutable: v1 content unchanged after the v2 write
     assert v1.agg(F.sum("x")).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_snapshot_write_skips_abandoned_uncommitted_dir(spark, tmp_path):
+    """A crashed write (v=N dir without _SUCCESS) must not wedge the
+    store: the next write allocates past it; reads keep ignoring it."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vector_database_app_spark.sources import layout
+
+    base = str(tmp_path / "store")
+    layout.write_snapshot(spark.range(0, 10), base)
+    # simulate a torn v=2: directory exists, no _SUCCESS
+    os.makedirs(os.path.join(base, "v=2"))
+    n = layout.write_snapshot(spark.range(0, 20), base)
+    assert n == 3
+    assert layout.latest_version(base) == 3
+    assert layout.read_snapshot(spark, base).count() == 20

@@ -549,3 +549,52 @@ def test_semantic_dedup_keep_set_is_consistent(spark):
     # The hard invariant we pin: every dup_of id exists in the output.
     all_ids = set(pdf["vec_id"])
     assert set(dropped["dup_of"]).issubset(all_ids)
+
+
+def test_scd_type2_null_attribute_runs(spark):
+    """NULL attribute values form their own runs (null-safe change
+    detection): [A, NULL, A] yields three versions, one current row."""
+    import datetime as dt
+
+    from vector_database_app_spark.operators.relational import scd_type2
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10, "A"),
+        (1, dt.datetime(2024, 1, 2), 11, None),
+        (1, dt.datetime(2024, 1, 3), 12, None),
+        (1, dt.datetime(2024, 1, 4), 13, "A"),
+    ]
+    df = spark.createDataFrame(rows, "k int, d timestamp, id int, attr string")
+    out = scd_type2(df, "k", "attr", "d", "id").toPandas()
+    out = out.sort_values("version").reset_index(drop=True)
+    assert list(out["version"]) == [1, 2, 3]
+    assert [a if a == a and a is not None else None for a in out["attr"]] == [
+        "A", None, "A",
+    ]
+    assert list(out["n_rows"]) == [1, 2, 1]
+    assert int(out["is_current"].sum()) == 1
+
+
+def test_global_rank_null_scores_rank_last_not_dropped(spark):
+    """NULL order values must still appear in the output (own bucket),
+    ranked at the worst end, tie-broken deterministically."""
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.1), (4, None)], "id long, score double"
+    )
+    out = (
+        global_rank(df, "score", "id", descending=True, n_buckets=4)
+        .toPandas()
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # nothing vanished
+    assert list(out["id"]) == [1, 3, 2, 4]  # NULLs last, id tiebreak
+    assert list(out["global_rank"]) == [1, 2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_hi"):
+        global_rank(df, "score", "id", bucket_lo=1.0, bucket_hi=1.0)

@@ -136,3 +136,15 @@ def test_warc_stream_incremental(spark, tmp_path):
     # unchanged inputs -> third run is a no-op
     W.warc_stream(spark, str(src), store, ckpt)
     assert spark.read.parquet(store).count() == 2
+
+
+def test_parse_salvages_torn_gzip_member():
+    """A partially-uploaded .warc.gz degrades to its intact gzip members
+    instead of aborting (EOFError/BadGzipFile would fail the whole
+    ingest task)."""
+    import gzip as _gz
+
+    good = _gz.compress(_record("response", "http://ok.example/", _http(HTML_B), "ok-1"))
+    torn = _gz.compress(_record("response", "http://torn.example/", _http(HTML_A), "t-1"))[:40]
+    recs = list(W.parse_warc_records(good + torn))
+    assert [r["target_uri"] for r in recs] == ["http://ok.example/"]

@@ -212,7 +212,18 @@ def make_word2vec_backend(
         outputCol="_vec",
         numPartitions=1,
     )
-    model = w2v.fit(words)
+    try:
+        model = w2v.fit(words)
+    except Exception as e:
+        # MLlib raises an opaque IllegalArgumentException when nothing in
+        # the corpus met min_count; surface the actionable cause.
+        if "vocabulary size" in str(e).lower():
+            raise ValueError(
+                f"Word2Vec vocabulary is empty: no token appeared >= "
+                f"min_count ({min_count}) times in the corpus — lower "
+                "min_count or check the text column"
+            ) from e
+        raise
     vecs = {
         r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)
         for r in model.getVectors().collect()
@@ -234,7 +245,10 @@ def make_word2vec_backend(
                     n = np.linalg.norm(v)
                     v = (v / n if n > 0 else v).astype(np.float32)
                 else:
-                    v = np.zeros(len(next(iter(table.values()))), np.float32)
+                    # dim from closure, NOT from the vector table — an
+                    # empty vocabulary (nothing met min_count) must embed
+                    # everything to zeros, not StopIteration in the UDF
+                    v = np.zeros(dim, np.float32)
                 out.append(v)
             return pd.Series(out)
 

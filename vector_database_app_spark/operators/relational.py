@@ -236,12 +236,20 @@ def scd_type2(
     inside its partition.
     """
     w = Window.partitionBy(key).orderBy(order_col, tiebreak)
+    # Null-SAFE change detection: `prev != attr` is NULL when either side
+    # is NULL, which `when()` treats as no-change — a NULL attribute run
+    # would silently fuse into its predecessor (duplicate versions,
+    # multiple is_current rows). eqNullSafe treats NULL as a value, so
+    # NULL runs version like any other; first row (prev NULL vs non-NULL
+    # attr) still opens run 1.
     runs = (
         df.withColumn("_prev", F.lag(attr).over(w))
         .withColumn(
             "_chg",
             F.when(
-                F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)), 1
+                F.row_number().over(w) == 1, 1
+            ).when(
+                ~F.col("_prev").eqNullSafe(F.col(attr)), 1
             ).otherwise(0),
         )
         .withColumn(
@@ -296,10 +304,20 @@ def global_rank(
     asserts. At 100 TB: per-bucket skew follows the score distribution;
     pick bucket edges from a prior profile (`profile_table` quantiles)
     when scores are not uniform."""
+    if bucket_hi <= bucket_lo:
+        raise ValueError(
+            f"bucket_hi ({bucket_hi}) must exceed bucket_lo ({bucket_lo})"
+        )
     width = (bucket_hi - bucket_lo) / n_buckets
     raw = F.floor((F.col(order_col) - F.lit(bucket_lo)) / F.lit(width))
-    bkt = F.least(
-        F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)
+    # NULL scores get their own bucket (-1) instead of a NULL key — a
+    # NULL _bkt would never match the offsets join and the rows would
+    # silently VANISH from a total-ordering operator. Spark's default
+    # null ordering (desc → last, asc → first) agrees with where bucket
+    # -1 falls in the bucket traversal either way, so NULLs rank
+    # deterministically at the worst end.
+    bkt = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
     ).cast("int")
     o = [F.desc(order_col), F.asc(tiebreak)] if descending else [
         F.asc(order_col), F.asc(tiebreak)

@@ -2959,6 +2959,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _COS_EB_Q = _SQL_COS.format(a="e.embedding", b="q.qe")
+
+#: Shared IVF coarse-assignment CTE (cent + assigned) — the SAME text
+#: feeds ann_ivf, ann_ivf_search, dedup_semantic, and ann_recall so the
+#: assignment tie-break can never silently diverge between their oracles
+#: (the _SQL_PARTSUPP pattern).
+_SQL_IVF_CENT_ASSIGN = f"""cent AS (
+        SELECT label AS centroid_id, embedding AS centroid FROM (
+            SELECT label, embedding,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                   AS rn
+            FROM embeddings) WHERE rn = 1
+    ), assigned AS (
+        SELECT vec_id, embedding, label, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+                                DESC, c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+    )"""
 _COS_AB = _SQL_COS.format(a="a.embedding", b="b.embedding")
 
 ORACLE: dict[str, str] = {
@@ -3502,37 +3522,11 @@ ORACLE: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
     "ann_ivf": f"""
-        WITH cent AS (
-            SELECT label AS centroid_id, embedding AS centroid FROM (
-                SELECT label, embedding,
-                       row_number() OVER (PARTITION BY label ORDER BY vec_id)
-                       AS rn
-                FROM embeddings) WHERE rn = 1
-        )
-        SELECT vec_id, label, centroid_id FROM (
-            SELECT e.vec_id, e.label, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
-                                DESC, c.centroid_id) AS rk
-            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
+        WITH {_SQL_IVF_CENT_ASSIGN}
+        SELECT vec_id, label, centroid_id FROM assigned
     """,
     "ann_ivf_search": f"""
-        WITH cent AS (
-            SELECT label AS centroid_id, embedding AS centroid FROM (
-                SELECT label, embedding,
-                       row_number() OVER (PARTITION BY label ORDER BY vec_id)
-                       AS rn
-                FROM embeddings) WHERE rn = 1
-        ), assigned AS (
-            SELECT vec_id, embedding, label, centroid_id FROM (
-                SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
-                                    DESC, c.centroid_id) AS rk
-                FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
-        ), q AS (
+        WITH {_SQL_IVF_CENT_ASSIGN}, q AS (
             SELECT vec_id AS query_id, embedding AS qe FROM embeddings
             WHERE vec_id < 3
         ), probes AS (
@@ -5081,11 +5075,14 @@ ORACLE["scd_type2"] = """
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ) AS prev
+             ) AS prev,
+             row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
       FROM orders
     ), runs AS (
       SELECT *,
-             sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+             sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority
                       THEN 1 ELSE 0 END) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -5121,21 +5118,7 @@ ORACLE["agg_skew_twophase"] = """
 """
 
 ORACLE["dedup_semantic"] = f"""
-    WITH cent AS (
-        SELECT label AS centroid_id, embedding AS centroid FROM (
-            SELECT label, embedding,
-                   row_number() OVER (PARTITION BY label ORDER BY vec_id)
-                   AS rn
-            FROM embeddings) WHERE rn = 1
-    ), assigned AS (
-        SELECT vec_id, embedding, centroid_id FROM (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
-                                DESC, c.centroid_id) AS rk
-            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
-    ), owners AS (
+    WITH {_SQL_IVF_CENT_ASSIGN}, owners AS (
         SELECT b.vec_id AS b_id, CAST(min(a.vec_id) AS BIGINT) AS dup_of
         FROM assigned a JOIN assigned b USING (centroid_id)
         WHERE a.vec_id < b.vec_id
@@ -5147,21 +5130,7 @@ ORACLE["dedup_semantic"] = f"""
 """
 
 ORACLE["ann_recall"] = f"""
-    WITH cent AS (
-        SELECT label AS centroid_id, embedding AS centroid FROM (
-            SELECT label, embedding,
-                   row_number() OVER (PARTITION BY label ORDER BY vec_id)
-                   AS rn
-            FROM embeddings) WHERE rn = 1
-    ), assigned AS (
-        SELECT vec_id, embedding, centroid_id FROM (
-            SELECT e.vec_id, e.embedding, c.centroid_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")}
-                                DESC, c.centroid_id) AS rk
-            FROM embeddings e CROSS JOIN cent c) WHERE rk = 1
-    ), q AS (
+    WITH {_SQL_IVF_CENT_ASSIGN}, q AS (
         SELECT vec_id AS query_id, embedding AS qe FROM embeddings
         WHERE vec_id < 3
     ), probes AS (
@@ -5424,13 +5393,18 @@ def q_table_diff(spark, sf_dir):
     is what makes diffing two 100 TB snapshots feasible."""
     docs = _t(spark, sf_dir, "documents")
 
-    def rowhash(df):
-        return F.md5(
-            F.concat_ws(
-                "|", F.col("text"), F.col("lang"), F.col("source"),
-                F.col("n_chars").cast("string"),
-            )
-        )
+    # Unit-separator (0x1f) delimiter + explicit NULL sentinel: '|' in a
+    # field would let ('a|b','c') collide with ('a','b|c'), and
+    # concat_ws SKIPS nulls on the Spark side while the oracle's ||
+    # chain nulls the whole hash — both would misclassify rows the first
+    # time a field carries the delimiter or a NULL.
+    def rowhash(_):
+        sep = "\u001f"
+        enc = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u2400"))
+            for c in ("text", "lang", "source", "n_chars")
+        ]
+        return F.md5(F.concat_ws(sep, *enc))
 
     new = docs.select("doc_id", rowhash(docs).alias("h"))
     old_base = docs.filter(F.col("doc_id") % 17 != 3).select(
@@ -5469,8 +5443,10 @@ QUERIES["table_diff"] = q_table_diff
 ORACLE["table_diff"] = """
     WITH new AS (
       SELECT doc_id,
-             md5(text || '|' || lang || '|' || source || '|' ||
-                 CAST(n_chars AS VARCHAR)) AS h
+             md5(coalesce(text, chr(9216)) || chr(31) ||
+                 coalesce(lang, chr(9216)) || chr(31) ||
+                 coalesce(source, chr(9216)) || chr(31) ||
+                 coalesce(CAST(n_chars AS VARCHAR), chr(9216))) AS h
       FROM documents
     ), old_full AS (
       SELECT doc_id, text, lang, source,
@@ -5482,8 +5458,10 @@ ORACLE["table_diff"] = """
       FROM documents WHERE doc_id % 23 = 1
     ), old AS (
       SELECT doc_id,
-             md5(text || '|' || lang || '|' || source || '|' ||
-                 CAST(n_chars AS VARCHAR)) AS oh
+             md5(coalesce(text, chr(9216)) || chr(31) ||
+                 coalesce(lang, chr(9216)) || chr(31) ||
+                 coalesce(source, chr(9216)) || chr(31) ||
+                 coalesce(CAST(n_chars AS VARCHAR), chr(9216))) AS oh
       FROM old_full
     )
     SELECT coalesce(new.doc_id, old.doc_id) AS doc_id,

@@ -193,10 +193,19 @@ def write_snapshot(df: DataFrame, base_path: str) -> int:
     single-writer (one pipeline owns a store), the same assumption Delta
     enforces with a commit log. The write is atomic per snapshot because
     readers only address explicit ``v=<n>`` paths and ``latest_version``
-    ignores in-flight directories without _SUCCESS."""
+    ignores directories without _SUCCESS. Crash recovery: allocation
+    skips over UNCOMMITTED directories too (a writer that died mid-v=N
+    leaves an abandoned dir, and the next write lands in v=N+1 — it must
+    not collide with the wreck and wedge the store); abandoned dirs are
+    garbage for the retention sweep."""
     import os
 
-    n = (latest_version(base_path) or 0) + 1
+    versions = [0]
+    if os.path.isdir(base_path):
+        for d in os.listdir(base_path):
+            if d.startswith("v=") and d[2:].isdigit():
+                versions.append(int(d[2:]))
+    n = max(versions) + 1
     out = os.path.join(base_path, f"v={n}")
     df.write.mode("errorifexists").parquet(out)
     return n

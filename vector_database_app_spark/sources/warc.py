@@ -41,12 +41,37 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream, SALVAGING the
+    complete members before any torn/corrupt one — a partially-uploaded
+    .warc.gz must degrade to its intact prefix, not abort the job."""
+    import zlib
+
+    out, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[pos:]))
+            while not d.eof and d.unconsumed_tail:
+                out.append(d.decompress(d.unconsumed_tail))
+        except zlib.error:
+            break  # torn member: keep what decompressed so far
+        if not d.eof:
+            break  # stream ended mid-member
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Yield one dict per WARC record. Tolerant of trailing garbage and
-    truncated tails (a torn record ends the file, it does not raise —
-    crawl dumps contain them; quarantine-by-skip mirrors ingest.py)."""
+    truncated tails (a torn record OR torn gzip member ends the file, it
+    does not raise — crawl dumps contain both; quarantine-by-skip
+    mirrors ingest.py)."""
     if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member)
-        data = gzip.decompress(data)
+        data = _gunzip_members(data)
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs

@@ -431,8 +431,17 @@ def run_stream_index_update(
     is read-merge-write: each batch unions the existing content of ONLY
     the cells it touches (a DPP-pruned semi-join read — untouched cells
     are neither read nor written) before overwriting them. vec_id-level
-    idempotence comes from a dedup on the merged cell (a replayed
-    micro-batch re-merges the same rows to the same state).
+    idempotence comes from a dedup on the merged cell in which the NEW
+    batch's assignment wins (a replayed micro-batch re-merges to the
+    same state; a re-delivered vector with a changed embedding updates
+    its row in the touched cell).
+
+    KNOWN LIMIT (append/replay workloads are the contract here): if a
+    re-delivered vector MOVES cells (embedding change flips its nearest
+    centroid), the old cell is not in the touched set and its stale row
+    survives until a compaction pass (layout.compact over the store with
+    a vec_id-latest dedup) — removing it inline would require a
+    store-wide read per batch, defeating the pruned-write design.
     """
     from ..operators.search import ivf_assign
     from ..sources.layout import upsert_partitions
@@ -443,26 +452,39 @@ def run_stream_index_update(
         assigned = ivf_assign(batch_df, centroids).select(
             "vec_id", "label", "centroid_id"
         )
-        # Existence check, NOT try/except around the read: a failed read
-        # of an EXISTING store (corrupt file, permissions) must abort the
-        # batch — swallowing it would silently reset the index to this
-        # batch's rows.
-        if os.path.isdir(out_dir):
-            existing = spark.read.parquet(out_dir).join(
+        # Store-existence probe must work for ANY filesystem the session
+        # can address (hdfs://, s3a://) — os.path.isdir is driver-LOCAL
+        # and would route every batch down the first-batch branch on a
+        # remote store, silently resetting touched cells. Read and catch
+        # ONLY the path-not-found analysis error; any other failure
+        # (corruption, permissions) aborts the batch.
+        try:
+            store = spark.read.parquet(out_dir)
+        except Exception as e:  # noqa: BLE001 - filtered below
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            store = None
+        if store is not None:
+            existing = store.join(
                 assigned.select("centroid_id").distinct(),
                 "centroid_id",
                 "left_semi",
             )
             merged = existing.select(
-                "vec_id", "label", "centroid_id"
-            ).unionByName(assigned)
+                "vec_id", "label", "centroid_id", F.lit(0).alias("_new")
+            ).unionByName(
+                assigned.withColumn("_new", F.lit(1))
+            )
         else:  # first batch: store does not exist yet
-            merged = assigned
-        w = Window.partitionBy("vec_id").orderBy("centroid_id")
+            merged = assigned.withColumn("_new", F.lit(1))
+        # newest assignment wins (not lowest centroid_id): _new desc
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("_new"), F.asc("centroid_id")
+        )
         merged = (
             merged.withColumn("_rk", F.row_number().over(w))
             .filter("_rk = 1")
-            .drop("_rk")
+            .drop("_rk", "_new")
         )
         upsert_partitions(merged, out_dir, partition_cols=["centroid_id"])
 
