@@ -61,6 +61,10 @@ def test_resize_images_deterministic_and_real_slot_raises(spark):
     # digest depends on the target (resize is part of the content identity)
     pdf3 = MM.resize_images(payload, target=(64, 64)).toPandas()
     assert set(pdf["resized_sha"]).isdisjoint(set(pdf3["resized_sha"]))
+    # full dims feed the digest: targets 256px apart must NOT collide
+    # (a mod-256 fold made (224,224) and (480,224) identical — advisor)
+    pdf4 = MM.resize_images(payload, target=(480, 224)).toPandas()
+    assert set(pdf["resized_sha"]).isdisjoint(set(pdf4["resized_sha"]))
     # the real-model slot raises exactly at the plug-in line
     import pytest as _pytest
 

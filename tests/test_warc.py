@@ -148,3 +148,23 @@ def test_parse_salvages_torn_gzip_member():
     torn = _gz.compress(_record("response", "http://torn.example/", _http(HTML_A), "t-1"))[:40]
     recs = list(W.parse_warc_records(good + torn))
     assert [r["target_uri"] for r in recs] == ["http://ok.example/"]
+
+
+def test_parse_rejects_negative_content_length():
+    """A negative Content-Length must END parsing (torn/adversarial
+    record), not move the cursor backwards: length == -(header+4) makes
+    `pos = head_end + 4 + length` land back on the record start, and the
+    generator would re-yield the same record forever (advisor repro)."""
+    good = _record("response", "http://a.example/x", _http(HTML_A), "a-1")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:neg-1>\r\n"
+    )
+    # craft length so head_end + 4 + length == record start (infinite loop
+    # pre-fix); any negative value must stop the parse
+    base = len(head) + len(b"Content-Length: -12345") + 4  # header + CRLFCRLF
+    evil = head + (b"Content-Length: -%05d\r\n\r\n" % base)
+    recs = list(W.parse_warc_records(good + evil))
+    # parse terminates, keeping the intact record before the malformed one
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:a-1>"]

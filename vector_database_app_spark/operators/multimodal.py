@@ -296,6 +296,7 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
         for pdf in batches:
             if not deterministic_fake:
@@ -312,7 +313,9 @@ def resize_images(
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload)
-                digest = hashlib.sha256(b + bytes([tw % 256, th % 256]))
+                # full 32-bit dims in the digest: a modulo-256 fold would
+                # collide targets 256px apart, e.g. (224,224) vs (480,224)
+                digest = hashlib.sha256(b + struct.pack(">II", tw, th))
                 out["target_w"].append(tw)
                 out["target_h"].append(th)
                 # synthetic size model: 3 bytes/px before entropy coding

@@ -51,9 +51,10 @@ def _gunzip_members(data: bytes) -> bytes:
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         try:
+            # one unbounded decompress() consumes the whole member
+            # (unconsumed_tail only populates under max_length-bounded
+            # calls, so no drain loop is needed)
             out.append(d.decompress(data[pos:]))
-            while not d.eof and d.unconsumed_tail:
-                out.append(d.decompress(d.unconsumed_tail))
         except zlib.error:
             break  # torn member: keep what decompressed so far
         if not d.eof:
@@ -93,6 +94,11 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         try:
             length = int(hdr.get("content-length", ""))
         except ValueError:
+            return
+        if length < 0:
+            # negative Content-Length would move the cursor BACKWARDS
+            # (pos = head_end + 4 + length) and re-parse the same record
+            # forever — treat like any other malformed record: stop here
             return
         payload = data[head_end + 4 : head_end + 4 + length]
         if len(payload) < length:  # torn tail

@@ -455,15 +455,15 @@ def run_stream_index_update(
         # Store-existence probe must work for ANY filesystem the session
         # can address (hdfs://, s3a://) — os.path.isdir is driver-LOCAL
         # and would route every batch down the first-batch branch on a
-        # remote store, silently resetting touched cells. Read and catch
-        # ONLY the path-not-found analysis error; any other failure
+        # remote store, silently resetting touched cells. Probe through
+        # the Hadoop FileSystem API for out_dir's scheme (NOT by
+        # substring-matching the reader's error text, which varies by
+        # Spark version/locale); any read failure after a positive probe
         # (corruption, permissions) aborts the batch.
-        try:
-            store = spark.read.parquet(out_dir)
-        except Exception as e:  # noqa: BLE001 - filtered below
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            store = None
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        store = spark.read.parquet(out_dir) if fs.exists(hpath) else None
         if store is not None:
             existing = store.join(
                 assigned.select("centroid_id").distinct(),
