@@ -72,20 +72,31 @@ def text_search(
     top_n: int = 5,
     search_location: str | None = None,
     text_dim: int = 64,
+    text_backend=None,
 ) -> DataFrame:
     """Reference `run_text_search` (vector_db.py:698-713): embed the query
     text, P1-filter, exact top-k over TEXT rows (content_type != 'image',
     the reference's P2 split). Space safety: only rows tagged with the text
     space are scanned — the filter composes with partition pruning when the
-    store is partitioned by content/modality."""
-    space = embedding_space_tag(text_dim)
+    store is partitioned by content/modality.
+
+    `text_backend` (a `functions.backends.TextEmbedBackend`) swaps BOTH
+    the query embedder and the space filter, so a store ingested with a
+    real model (Word2Vec/BGE/OpenAI) is searched in ITS space — the
+    default stays the deterministic hash embedder."""
+    if text_backend is not None:
+        space = text_backend.space
+        query_embed = text_backend(F.lit(query_text))
+    else:
+        space = embedding_space_tag(text_dim)
+        query_embed = embed_query_text(query_text, text_dim)
     corpus = (
         search_range_filter(chunks, search_location)
         .filter(F.col("content_type") != "image")
         .filter(F.col("embedding_space") == space)
         .withColumn("chunk_uid", _chunk_uid())
     )
-    q = _one_row_query(chunks, embed_query_text(query_text, text_dim), space)
+    q = _one_row_query(chunks, query_embed, space)
     return knn_batch(
         corpus,
         q.select(F.lit(0).alias("query_id"), "query_embedding"),
@@ -210,6 +221,7 @@ def run_search(
     query_images: DataFrame | None = None,
     top_n: int = 5,
     search_location: str | None = None,
+    text_backend=None,
 ) -> DataFrame:
     """The flagship lifecycle (reference `run_search`, vector_db.py:615-671):
     mode dispatch → text search → cross-modal search → image search →
@@ -233,7 +245,11 @@ def run_search(
     if query_text is not None:
         t = (
             text_search(
-                chunks, query_text, top_n=top_n, search_location=search_location
+                chunks,
+                query_text,
+                top_n=top_n,
+                search_location=search_location,
+                text_backend=text_backend,
             )
             .withColumn("query_id", F.lit(TEXT_QUERY_ID))
             .withColumn("search_reference", F.lit(query_text))
@@ -413,20 +429,35 @@ def hybrid_search(
     )
 
     def _norm(col: str, mn: str, mx: str) -> Column:
-        return F.when(
-            F.col(mx) > F.col(mn),
-            F.round((F.col(col) - F.col(mn)) / (F.col(mx) - F.col(mn)), 6),
-        ).otherwise(F.lit(0.0))
+        # rounded to 6 dp then cast to DECIMAL so the convex combination
+        # below is EXACT: w*nb + (1-w)*nc of two 6-dp values has 7+ decimal
+        # digits and lands precisely on round-half boundaries — in binary
+        # doubles the engines disagree on the flip (observed at sf0.01:
+        # 0.7200665 → 0.720066 vs 0.720067); decimal half-up is identical
+        # on Spark and DuckDB.
+        return (
+            F.when(
+                F.col(mx) > F.col(mn),
+                F.round((F.col(col) - F.col(mn)) / (F.col(mx) - F.col(mn)), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
 
+    from decimal import Decimal  # noqa: PLC0415
+
+    w_dec = Decimal(str(w_lex)).quantize(Decimal("0.000001"))
     fused = joined.crossJoin(F.broadcast(stats)).select(
         id_col,
         "bm25",
         "cos_sim",
         F.round(
-            F.lit(w_lex) * _norm("bm25", "_mnb", "_mxb")
-            + F.lit(1.0 - w_lex) * _norm("cos_sim", "_mnc", "_mxc"),
+            F.lit(w_dec) * _norm("bm25", "_mnb", "_mxb")
+            + F.lit(Decimal(1) - w_dec) * _norm("cos_sim", "_mnc", "_mxc"),
             6,
-        ).alias("fused"),
+        )
+        .cast("double")
+        .alias("fused"),
     )
     return (
         fused.orderBy(F.desc("fused"), F.asc(id_col))

@@ -4562,14 +4562,20 @@ ORACLE["hybrid_search"] = f"""
              min(cos_sim) AS mnc, max(cos_sim) AS mxc
       FROM joined
     ), fused AS (
+      -- exact-decimal convex combination (mirrors rag.hybrid_search):
+      -- the average of two 6-dp values hits round-half boundaries that
+      -- binary doubles flip inconsistently; DECIMAL half-up matches Spark
       SELECT j.doc_id, j.bm25, j.cos_sim,
-             round(
-               0.5e0 * (CASE WHEN s.mxb > s.mnb
+             CAST(round(
+               CAST(0.5 AS DECIMAL(8,6))
+                 * CAST(CASE WHEN s.mxb > s.mnb
                              THEN round((j.bm25 - s.mnb) / (s.mxb - s.mnb), 6)
-                             ELSE 0.0e0 END)
-               + 0.5e0 * (CASE WHEN s.mxc > s.mnc
-                               THEN round((j.cos_sim - s.mnc) / (s.mxc - s.mnc), 6)
-                               ELSE 0.0e0 END), 6) AS fused
+                             ELSE 0.0e0 END AS DECIMAL(18,6))
+               + CAST(0.5 AS DECIMAL(8,6))
+                 * CAST(CASE WHEN s.mxc > s.mnc
+                             THEN round((j.cos_sim - s.mnc) / (s.mxc - s.mnc), 6)
+                             ELSE 0.0e0 END AS DECIMAL(18,6)), 6)
+             AS DOUBLE) AS fused
       FROM joined j CROSS JOIN stats s
     )
     SELECT doc_id, bm25, cos_sim, fused,
