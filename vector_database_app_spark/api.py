@@ -45,6 +45,11 @@ TEXT_EMBED_MODELS = {
     "local-hash-64": None,  # deterministic default (embed_chunks)
     "openai-text-embedding-3-small": "openai-text-embedding-3-small",
     "local-bge-base": "local-bge-base",
+    # the one REAL trainable model that runs end-to-end in-container:
+    # MLlib Word2Vec, fit on the FIRST ingested batch and frozen (word
+    # vectors persist under save_dir — a re-opened store embeds queries
+    # in the same space without retraining)
+    "local-word2vec": "local-word2vec",
 }
 
 
@@ -76,7 +81,56 @@ class VectorDatabase:
         self.text_embedding_model = text_embedding_model
         self.response_model = response_model
         self.dim = dim
+        #: persisted Word2Vec model file (only for 'local-word2vec'):
+        #: vocab × dim word vectors, written once on first ingest
+        self.w2v_path = os.path.join(save_dir, "w2v_vectors.json")
         os.makedirs(save_dir, exist_ok=True)
+
+    # -- embedding-model routing ------------------------------------------
+
+    def _w2v_backend_factory(self, parsed):
+        """Factory handed to `ingest.ingest_folder`: load the frozen model
+        if one was already trained for this store, else fit Word2Vec on
+        THIS batch's parsed text chunks and persist the vectors — later
+        batches and query embedding reuse the frozen space."""
+        from .functions import backends as B
+
+        if os.path.exists(self.w2v_path):
+            vecs = B.load_word2vec_vectors(self.w2v_path)
+        else:
+            corpus = parsed.filter(
+                F.col("content_type") == "text_chunk"
+            ).select(F.col("content_raw").alias("text"))
+            vecs = B.train_word2vec_vectors(
+                self.spark, corpus, dim=self.dim, min_count=2, seed=7
+            )
+            B.save_word2vec_vectors(vecs, self.w2v_path)
+        return B.word2vec_backend_from_vectors(self.spark, vecs, self.dim)
+
+    def _ingest_text_backend(self):
+        """What `embed_chunks` should use for this facade's model: None
+        (hash default), a registry backend name, or the Word2Vec factory."""
+        if self.text_embedding_model == "local-word2vec":
+            return self._w2v_backend_factory
+        return TEXT_EMBED_MODELS[self.text_embedding_model]
+
+    def _query_text_backend(self):
+        """Backend for embedding SEARCH queries in the store's space (None
+        = deterministic hash default)."""
+        from .functions import backends as B
+
+        if self.text_embedding_model == "local-word2vec":
+            if not os.path.exists(self.w2v_path):
+                raise RuntimeError(
+                    "no trained Word2Vec model in this store — ingest "
+                    "first (the model is fit on the first batch)"
+                )
+            vecs = B.load_word2vec_vectors(self.w2v_path)
+            return B.word2vec_backend_from_vectors(
+                self.spark, vecs, self.dim
+            )
+        name = TEXT_EMBED_MODELS[self.text_embedding_model]
+        return None if name is None else B.resolve_text_backend(name)
 
     # -- ingestion (reference vectorize_file / vectorize_folder) ----------
 
@@ -91,7 +145,11 @@ class VectorDatabase:
         scan, per-file quarantine instead of swallowed exceptions, ONE
         batched Spark pipeline instead of a serial per-file loop."""
         new_rows = ingest.ingest_folder(
-            self.spark, str(folder_path), self.store_path, dim=self.dim
+            self.spark,
+            str(folder_path),
+            self.store_path,
+            dim=self.dim,
+            text_backend=self._ingest_text_backend(),
         )
         return new_rows.count()
 
@@ -138,6 +196,7 @@ class VectorDatabase:
             query_images=query_images,
             top_n=top_n,
             search_location=search_location,
+            text_backend=self._query_text_backend(),
         )
         # the reference produces ONE summary over the fused text+image hits
         # (:666-668) — collapse all modalities into a single prompt

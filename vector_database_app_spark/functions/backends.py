@@ -170,6 +170,115 @@ def from_conf(spark: SparkSession) -> TextEmbedBackend:
     return resolve_text_backend(spark.conf.get(BACKEND_CONF_KEY, "hash"))
 
 
+def train_word2vec_vectors(
+    spark: SparkSession,
+    corpus,
+    *,
+    text_col: str = "text",
+    dim: int = 32,
+    min_count: int = 2,
+    seed: int = 7,
+) -> dict:
+    """Fit MLlib Word2Vec on `corpus[text_col]` and export the fitted word
+    vectors as a plain ``{word: np.ndarray}`` dict (vocab × dim — small by
+    construction, bounded via min_count). The training job is eager (one
+    iterative MLlib fit); the exported dict is what
+    `word2vec_backend_from_vectors` broadcasts into the Arrow UDF, and
+    what `save_word2vec_vectors` persists so a re-opened store embeds
+    queries in the SAME space without retraining."""
+    from pyspark.ml.feature import Tokenizer, Word2Vec
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    words = tok.transform(corpus.select(text_col))
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        seed=seed,
+        inputCol="_words",
+        outputCol="_vec",
+        numPartitions=1,
+    )
+    try:
+        model = w2v.fit(words)
+    except Exception as e:
+        # MLlib raises an opaque IllegalArgumentException when nothing in
+        # the corpus met min_count; surface the actionable cause.
+        if "vocabulary size" in str(e).lower():
+            raise ValueError(
+                f"Word2Vec vocabulary is empty: no token appeared >= "
+                f"min_count ({min_count}) times in the corpus — lower "
+                "min_count or check the text column"
+            ) from e
+        raise
+    return {
+        r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)
+        for r in model.getVectors().collect()
+    }
+
+
+def save_word2vec_vectors(vecs: dict, path: str) -> None:
+    """Persist trained word vectors as JSON (vocab × dim floats — tiny by
+    construction; the facade's model file under save_dir). Written
+    atomically (temp file + rename) so a crashed save never leaves a
+    torn model that silently changes the embedding space."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({w: [float(x) for x in v] for w, v in vecs.items()}, f)
+    os.replace(tmp, path)
+
+
+def load_word2vec_vectors(path: str) -> dict:
+    """Inverse of `save_word2vec_vectors`."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {w: np.asarray(v, dtype=np.float64) for w, v in raw.items()}
+
+
+def word2vec_backend_from_vectors(
+    spark: SparkSession, vecs: dict, dim: int
+) -> TextEmbedBackend:
+    """Build the Word2Vec `TextEmbedBackend` from an exported word-vector
+    dict (trained now via `train_word2vec_vectors` or loaded from a saved
+    model via `load_word2vec_vectors`) — the broadcast-weights-into-a-
+    batch-UDF pattern shared with the heavyweight backends. Documents
+    embed as the L2-normalized mean of their word vectors; OOV-only
+    documents embed to the zero vector (the zero-safe convention of
+    functions.vector). Space tag `w2v-<dim>` keeps the cross-space guard
+    effective regardless of how the vectors were obtained."""
+    bc = spark.sparkContext.broadcast(vecs)
+
+    def factory():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<float>")
+        def embed(s: pd.Series) -> pd.Series:
+            table = bc.value
+            out = []
+            for text in s:
+                toks = [w for w in (text or "").lower().split() if w]
+                hit = [table[w] for w in toks if w in table]
+                if hit:
+                    v = np.mean(hit, axis=0)
+                    n = np.linalg.norm(v)
+                    v = (v / n if n > 0 else v).astype(np.float32)
+                else:
+                    # dim from the argument, NOT from the vector table —
+                    # an empty vocabulary (nothing met min_count) must
+                    # embed everything to zeros, not StopIteration
+                    v = np.zeros(dim, np.float32)
+                out.append(v)
+            return pd.Series(out)
+
+        return embed
+
+    return TextEmbedBackend(f"word2vec-{dim}", f"w2v-{dim}", dim, factory)
+
+
 def make_word2vec_backend(
     spark: SparkSession,
     corpus,
@@ -200,58 +309,12 @@ def make_word2vec_backend(
     The returned backend carries its own space tag (`w2v-<dim>`), so the
     engine's cross-space guard keeps Word2Vec vectors from being dotted
     against hash-64 or CLIP-space vectors."""
-    from pyspark.ml.feature import Tokenizer, Word2Vec
-
-    tok = Tokenizer(inputCol=text_col, outputCol="_words")
-    words = tok.transform(corpus.select(text_col))
-    w2v = Word2Vec(
-        vectorSize=dim,
-        minCount=min_count,
+    vecs = train_word2vec_vectors(
+        spark,
+        corpus,
+        text_col=text_col,
+        dim=dim,
+        min_count=min_count,
         seed=seed,
-        inputCol="_words",
-        outputCol="_vec",
-        numPartitions=1,
     )
-    try:
-        model = w2v.fit(words)
-    except Exception as e:
-        # MLlib raises an opaque IllegalArgumentException when nothing in
-        # the corpus met min_count; surface the actionable cause.
-        if "vocabulary size" in str(e).lower():
-            raise ValueError(
-                f"Word2Vec vocabulary is empty: no token appeared >= "
-                f"min_count ({min_count}) times in the corpus — lower "
-                "min_count or check the text column"
-            ) from e
-        raise
-    vecs = {
-        r["word"]: np.asarray(r["vector"].toArray(), dtype=np.float64)
-        for r in model.getVectors().collect()
-    }
-    bc = spark.sparkContext.broadcast(vecs)
-
-    def factory():
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("array<float>")
-        def embed(s: pd.Series) -> pd.Series:
-            table = bc.value
-            out = []
-            for text in s:
-                toks = [w for w in (text or "").lower().split() if w]
-                hit = [table[w] for w in toks if w in table]
-                if hit:
-                    v = np.mean(hit, axis=0)
-                    n = np.linalg.norm(v)
-                    v = (v / n if n > 0 else v).astype(np.float32)
-                else:
-                    # dim from closure, NOT from the vector table — an
-                    # empty vocabulary (nothing met min_count) must embed
-                    # everything to zeros, not StopIteration in the UDF
-                    v = np.zeros(dim, np.float32)
-                out.append(v)
-            return pd.Series(out)
-
-        return embed
-
-    return TextEmbedBackend(f"word2vec-{dim}", f"w2v-{dim}", dim, factory)
+    return word2vec_backend_from_vectors(spark, vecs, dim)

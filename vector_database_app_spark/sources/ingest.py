@@ -160,8 +160,8 @@ def _parse_pdf(doc_name: str, data: bytes) -> Iterator[dict]:
                         "bbox": None,
                     }
         return
-    doc = fitz.open(stream=data, filetype="pdf")  # pragma: no cover
-    for page_num, page in enumerate(doc):  # pragma: no cover
+    doc = fitz.open(stream=data, filetype="pdf")
+    for page_num, page in enumerate(doc):
         for block in page.get_text("blocks"):
             x0, y0, x1, y1, text, block_no = block[:6]
             if text.strip():
@@ -206,8 +206,8 @@ def _parse_pptx(doc_name: str, data: bytes) -> Iterator[dict]:
 
         yield from fallback_parsers.pptx_shapes(data)
         return
-    prs = Presentation(io.BytesIO(data))  # pragma: no cover
-    for slide_num, slide in enumerate(prs.slides):  # pragma: no cover
+    prs = Presentation(io.BytesIO(data))
+    for slide_num, slide in enumerate(prs.slides):
         for shape in slide.shapes:
             bbox = [
                 float(shape.left or 0),
@@ -346,7 +346,7 @@ def dedup_against_store(files: DataFrame, existing: DataFrame) -> DataFrame:
 
 
 def embed_chunks(
-    chunks: DataFrame, dim: int = 64, text_backend: str | None = None
+    chunks: DataFrame, dim: int = 64, text_backend=None
 ) -> DataFrame:
     """Attach embeddings at write time (normalized — the engine's
     cosine==dot invariant): text rows via the selected text backend
@@ -359,16 +359,25 @@ def embed_chunks(
 
     `text_backend` selects a real-model slot from functions.backends
     (reference F1/F2 — 'openai-text-embedding-3-small', 'local-bge-base'):
-    same plan shape, same schema, different vectors + space tag."""
+    a registry name (str) or a ready `TextEmbedBackend` instance (e.g. a
+    corpus-trained Word2Vec backend): same plan shape, same schema,
+    different vectors + space tag."""
     is_text = F.col("content_type") == "text_chunk"
     is_image = F.col("content_type") == "image"
     if text_backend is None or text_backend == "hash":
         text_embed = hash_embed_udf(F.col("content_raw"), dim)
         text_space = embedding_space_tag(dim)
     else:
-        from ..functions.backends import resolve_text_backend
+        from ..functions.backends import (
+            TextEmbedBackend,
+            resolve_text_backend,
+        )
 
-        backend = resolve_text_backend(text_backend)
+        backend = (
+            text_backend
+            if isinstance(text_backend, TextEmbedBackend)
+            else resolve_text_backend(text_backend)
+        )
         text_embed = backend(F.col("content_raw"))
         text_space = backend.space
     return chunks.select(
@@ -415,27 +424,49 @@ def ingest_folder(
     store_path: str | None = None,
     *,
     dim: int = 64,
+    text_backend=None,
 ) -> DataFrame:
     """End-to-end ingest (reference `vectorize_folder`, vector_db.py:163-178):
     scan → meta/hash → batch dedup → anti-join vs store → parse → embed
     [→ append to store]. Returns the NEW chunk rows. Idempotent: a second
-    run over the same folder appends nothing."""
+    run over the same folder appends nothing.
+
+    `text_backend` is forwarded to `embed_chunks` (name or instance); a
+    CALLABLE that is not itself a backend is treated as a factory
+    ``parsed_chunks -> TextEmbedBackend`` — the hook corpus-trained models
+    (Word2Vec) need: the factory sees the parsed text rows, trains/loads,
+    and the returned backend embeds those same rows (which are persisted
+    around the double scan)."""
     files = dedup_within_batch(with_file_meta(scan_binary_files(spark, folder)))
     existing = load_chunks(spark, store_path) if store_path else None
     if existing is not None:
         files = dedup_against_store(files, existing)
+    parsed = parse_chunks(files)
+    pinned = False
+    from ..functions.backends import TextEmbedBackend
+
+    if callable(text_backend) and not isinstance(
+        text_backend, TextEmbedBackend
+    ):
+        # training reads the text rows, embedding reads them again —
+        # persist so the binaryFile scan + Arrow parse run once
+        parsed = parsed.persist()
+        pinned = True
+        text_backend = text_backend(parsed)
     if store_path is not None:
         # pin THIS batch's hash list before writing: the readback semi-join
         # below must not re-run the scan/parse pipeline (and a file changing
         # on disk between two scans would otherwise make the returned rows
         # disagree with what was written)
         batch_hashes = files.select("file_hash").localCheckpoint(eager=True)
-        chunks = embed_chunks(parse_chunks(files), dim)
+        chunks = embed_chunks(parsed, dim, text_backend)
         write_chunks(chunks, store_path)
+        if pinned:
+            parsed.unpersist()
         return spark.read.parquet(store_path).join(
             batch_hashes, "file_hash", "left_semi"
         )
-    return embed_chunks(parse_chunks(files), dim)
+    return embed_chunks(parsed, dim, text_backend)
 
 
 def ingest_stream(
