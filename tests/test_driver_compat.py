@@ -31,17 +31,14 @@ def test_output_schema_is_scalar_only(spark, sf_dir, name):
     )
 
 
-#: Queries whose CONSTRUCTION legitimately runs Spark jobs — iterative
-#: algorithms: Lloyd's collects k centroids per round (k·dim floats, the
-#: documented driver-side budget); connected-components label propagation
-#: runs until a convergence count reaches zero.
-_EAGER_BY_DESIGN = {
-    "ann_kmeans_train",
-    "embed_word2vec",  # Word2Vec.fit: iterative MLlib training job
-    "dedup_clusters",
-    "ann_pq_search",
-    "ann_ivfpq_search",
-}
+#: Queries whose CONSTRUCTION legitimately runs Spark jobs. EMPTY since
+#: round 3: the iterative trainers (k-means centroids, PQ codebooks,
+#: Word2Vec vectors, connected-components labels) load-or-train through
+#: plans/artifacts.py — the one-time training happens on FIRST build
+#: (covered by the warm_registry fixture below), and every later build is
+#: a lazy schema'd read / in-process memo, so the zero-jobs invariant now
+#: holds for every registry query with no exceptions.
+_EAGER_BY_DESIGN: set = set()
 
 
 def _total_jobs(spark) -> int:

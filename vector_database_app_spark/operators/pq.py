@@ -179,7 +179,7 @@ def _codebook_literal(codebooks: DataFrame) -> dict[int, list[tuple[int, list[fl
 
 def pq_encode(
     corpus: DataFrame,
-    codebooks: DataFrame,
+    codebooks,
     *,
     dim: int = 64,
     vec_col: str = "embedding",
@@ -189,8 +189,17 @@ def pq_encode(
     """Compress each vector to ``codes array<int>`` (length m): row-local
     argmin per subspace against the literal codebooks — a shuffle-free
     projection that runs at scan speed. Keep it partitioned like the
-    corpus; the float column stays behind for the re-rank pass only."""
-    books = _codebook_literal(codebooks)
+    corpus; the float column stays behind for the re-rank pass only.
+
+    `codebooks` is the pq_train DataFrame (collected here — one tiny
+    job) or the already-collected ``{subspace: [(code, centroid), ...]}``
+    dict (e.g. from the artifact store's in-process memo), which keeps
+    plan construction zero-job."""
+    books = (
+        codebooks
+        if isinstance(codebooks, dict)
+        else _codebook_literal(codebooks)
+    )
     m = len(books)
     keep = keep_cols or []
     sliced = corpus.select(

@@ -1,0 +1,136 @@
+"""Trained-artifact store: load-or-compute for iterative builders.
+
+The engine's iterative algorithms (spherical k-means centroids, PQ
+codebooks, Word2Vec vectors, connected-components labels) are the only
+operations that must run Spark actions while a registry query is being
+CONSTRUCTED — Lloyd's collects k·dim centroid floats per round, label
+propagation loops to convergence. Re-training on every query build is
+wrong twice over: a 100×-scale benchmark charges minutes of training to
+"query construction", and the driver-compat laziness gate
+(tests/test_driver_compat.py) can't hold the zero-jobs-at-build
+invariant for them.
+
+This module gives trainers the same lifecycle a real index has
+(reference parallel: the reference persists its whole store as pickles,
+`rag_search/vector_db.py:231-238` — here only the TRAINED METADATA
+persists; the data stays in the lake):
+
+- first build: run the training function, persist the result under a
+  content-addressed key (op name + params + source-file fingerprint);
+- every later build: load lazily (explicit schema ⇒ no inference job;
+  in-process memo for literal-consuming forms ⇒ zero jobs).
+
+Artifacts live under ``<repo>/spark-warehouse/ann_artifacts`` (already
+gitignored). The key fingerprints the source parquet's size+mtime, so a
+regenerated dataset invalidates stale artifacts instead of silently
+serving old centroids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: op key -> collected rows / python object, for consumers that need
+#: plan-time literals (PQ codebooks, Word2Vec vector dicts). Lives for
+#: the driver process — the second construction of the same query does
+#: not touch the cluster at all.
+_MEMO: dict[str, object] = {}
+
+
+def artifacts_root() -> str:
+    """Repo-anchored artifact directory (independent of cwd)."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), "spark-warehouse", "ann_artifacts")
+
+
+def artifact_key(sf_dir: str, op: str, params: dict, *, source: str) -> str:
+    """Content-addressed key: op + params + source parquet fingerprint
+    (size + mtime — regenerating the dataset invalidates the artifact)."""
+    fp: list = []
+    src = os.path.join(sf_dir, source)
+    try:
+        st = os.stat(src)
+        fp = [st.st_size, int(st.st_mtime)]
+    except OSError:
+        pass
+    raw = json.dumps([os.path.abspath(sf_dir), op, sorted(params.items()), fp])
+    return f"{op}-{hashlib.sha256(raw.encode()).hexdigest()[:16]}"
+
+
+def load_or_train(
+    spark: SparkSession,
+    sf_dir: str,
+    op: str,
+    params: dict,
+    train_fn: Callable[[], DataFrame],
+    schema: str,
+    *,
+    source: str = "embeddings.parquet",
+) -> DataFrame:
+    """Return the trained table as a LAZY DataFrame. On first miss,
+    ``train_fn()`` runs (actions fire — the one-time index build) and the
+    result persists; afterwards the read carries an explicit schema, so
+    construction fires zero jobs."""
+    key = artifact_key(sf_dir, op, params, source=source)
+    path = os.path.join(artifacts_root(), key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        train_fn().coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def load_or_train_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    op: str,
+    params: dict,
+    train_fn: Callable[[], DataFrame],
+    schema: str,
+    *,
+    source: str = "embeddings.parquet",
+) -> list:
+    """Same lifecycle, but returns the COLLECTED rows (for plan-time
+    literal consumers like PQ codebooks — m·k·(d/m) doubles by
+    construction), memoized in-process so repeat constructions are
+    zero-job."""
+    key = artifact_key(sf_dir, op, params, source=source)
+    if key in _MEMO:
+        return _MEMO[key]  # type: ignore[return-value]
+    rows = load_or_train(
+        spark, sf_dir, op, params, train_fn, schema, source=source
+    ).collect()
+    _MEMO[key] = rows
+    return rows
+
+
+def load_or_build_object(
+    sf_dir: str,
+    op: str,
+    params: dict,
+    build_fn: Callable[[], object],
+    *,
+    source: str = "documents.parquet",
+) -> object:
+    """Driver-side JSON artifact for non-tabular trained state (Word2Vec
+    word-vector dicts). ``build_fn()`` must return something
+    json-serializable; memoized in-process, persisted atomically."""
+    key = artifact_key(sf_dir, op, params, source=source)
+    if key in _MEMO:
+        return _MEMO[key]
+    path = os.path.join(artifacts_root(), key + ".json")
+    if os.path.exists(path):
+        with open(path) as f:
+            obj = json.load(f)
+    else:
+        obj = build_fn()
+        os.makedirs(artifacts_root(), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+    _MEMO[key] = obj
+    return obj

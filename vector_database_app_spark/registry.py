@@ -1450,9 +1450,24 @@ def q_ann_kmeans_train(spark, sf_dir):
     """rows-only: iterative (Lloyd's) — not SQL-expressible. Scalar-only
     projection for the driver canonicalizer: dim + unit-norm check + digest
     instead of the raw centroid array (full form feeds ivf_assign in
-    tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = search.kmeans_train(emb, k=10, iters=3)
+    tests).
+
+    Load-or-train through the artifact store (plans/artifacts.py): the
+    Lloyd's loop runs ONCE per (dataset, params) and persists its k·dim
+    centroids; every later construction is a lazy schema'd read — zero
+    jobs, the index-build lifecycle a real deployment has."""
+    from .plans import artifacts as ART
+
+    cents = ART.load_or_train(
+        spark,
+        sf_dir,
+        "kmeans_centroids",
+        {"k": 10, "iters": 3},
+        lambda: search.kmeans_train(
+            _t(spark, sf_dir, "embeddings"), k=10, iters=3
+        ),
+        "centroid_id int, centroid array<double>",
+    )
     cd = F.col("centroid").cast("array<double>")
     return cents.select(
         "centroid_id",
@@ -1809,11 +1824,29 @@ def q_dedup_similarity_join(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pair table → connected components: (id, min-reachable-id
     cluster) for every clustered doc — the representative-picking step of
-    a corpus dedup pipeline."""
-    edges = dedup.similarity_join(
-        _docs_parallel(spark, sf_dir), threshold=0.5, prefix_filter=True
+    a corpus dedup pipeline.
+
+    The label-propagation loop runs once per (dataset, params) through
+    the artifact store — the cluster table IS a dedup index a real
+    pipeline builds once and serves; repeat constructions are a lazy
+    schema'd read (zero jobs)."""
+    from .plans import artifacts as ART
+
+    def _compute():
+        edges = dedup.similarity_join(
+            _docs_parallel(spark, sf_dir), threshold=0.5, prefix_filter=True
+        )
+        return dedup.connected_components(edges)
+
+    return ART.load_or_train(
+        spark,
+        sf_dir,
+        "dedup_cc_labels",
+        {"threshold": 0.5, "prefix_filter": True},
+        _compute,
+        "id bigint, cluster bigint",
+        source="documents.parquet",
     )
-    return dedup.connected_components(edges)
 
 
 def q_agg_approx(spark, sf_dir):
@@ -2022,19 +2055,47 @@ def q_ingest_chunks(spark, sf_dir):
 # ANN scale path (rows-only: LSH internals are engine-specific)
 # ---------------------------------------------------------------------------
 
+_PQ_PARAMS = {"m": 8, "k": 16, "iters": 2}
+_PQ_SCHEMA = "subspace int, code int, centroid array<double>"
+
+
+def _pq_codebooks(spark, sf_dir):
+    """PQ codebooks in pq_encode's literal-dict form, through the artifact
+    store's in-process memo — zero jobs on repeat constructions."""
+    from .operators import pq as PQ
+    from .plans import artifacts as ART
+
+    rows = ART.load_or_train_rows(
+        spark, sf_dir, "pq_codebooks", _PQ_PARAMS,
+        lambda: PQ.pq_train(_t(spark, sf_dir, "embeddings"), **_PQ_PARAMS),
+        _PQ_SCHEMA,
+    )
+    books: dict = {}
+    for r in rows:
+        books.setdefault(r.subspace, []).append((r.code, list(r.centroid)))
+    return {s: sorted(v) for s, v in books.items()}
+
 
 def q_ann_pq_search(spark, sf_dir):
     """rows-only: product quantization end-to-end (train → encode → ADC →
-    exact re-rank; operators/pq.py). Iterative Lloyd's training makes
-    construction eager by design (like ann_kmeans_train). The compressed
-    scan reads m one-byte codes per vector instead of the float array —
-    the 100 TB first-pass layout; the re-rank touches only the
-    shortlist's floats."""
+    exact re-rank; operators/pq.py). The compressed scan reads m one-byte
+    codes per vector instead of the float array — the 100 TB first-pass
+    layout; the re-rank touches only the shortlist's floats.
+
+    Codebooks come from the artifact store: trained once per (dataset,
+    params), then served as in-process literal rows (pq_encode) + a lazy
+    schema'd read (pq_search's broadcast table) — construction is
+    zero-job after the one-time build."""
     from .operators import pq as PQ
+    from .plans import artifacts as ART
 
     emb = _t(spark, sf_dir, "embeddings")
-    codebooks = PQ.pq_train(emb, m=8, k=16, iters=2)
-    codes = PQ.pq_encode(emb, codebooks)
+    books = _pq_codebooks(spark, sf_dir)
+    codebooks = ART.load_or_train(
+        spark, sf_dir, "pq_codebooks", _PQ_PARAMS,
+        lambda: PQ.pq_train(emb, **_PQ_PARAMS), _PQ_SCHEMA,
+    )
+    codes = PQ.pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
@@ -2151,19 +2212,25 @@ def q_ann_ivf_search(spark, sf_dir):
 def q_ann_ivfpq_search(spark, sf_dir):
     """rows-only: IVF-PQ (FAISS IVFADC system) end-to-end — coarse cells
     prune the search, ADC scores PQ codes inside probed cells, exact
-    re-rank on the shortlist floats (operators/pq.ivfpq_search; eager by
-    design: pq_train's Lloyd's loop, like ann_pq_search).
+    re-rank on the shortlist floats (operators/pq.ivfpq_search).
+    Codebooks load-or-train through the artifact store (shared key with
+    ann_pq_search — one training pays for both).
     tests/test_pq.py pins the exactness invariant: with a
     cover-everything shortlist the composite returns EXACTLY
     ann_ivf_search's oracle-checked answer."""
     from .operators import pq as PQ
+    from .plans import artifacts as ART
 
     emb = _t(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(emb)
-    codebooks = PQ.pq_train(emb, m=8, k=16, iters=2)
+    books = _pq_codebooks(spark, sf_dir)
+    codebooks = ART.load_or_train(
+        spark, sf_dir, "pq_codebooks", _PQ_PARAMS,
+        lambda: PQ.pq_train(emb, **_PQ_PARAMS), _PQ_SCHEMA,
+    )
     assigned_codes = search.ivf_assign(emb, centroids).select(
         "vec_id", "centroid_id"
-    ).join(PQ.pq_encode(emb, codebooks), "vec_id")
+    ).join(PQ.pq_encode(emb, books), "vec_id")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
@@ -5817,17 +5884,33 @@ ORACLE["dedup_winnow"] = """
 
 
 def q_embed_word2vec(spark, sf_dir):
-    """rows-only, eager by design (Word2Vec.fit is an iterative MLlib
-    job, like ann_kmeans_train): the one REAL trainable model that runs
-    end-to-end in-container — MLlib Word2Vec fit on the corpus, docs
-    embedded as normalized mean word vectors through the standard Arrow
-    backend slot (functions.backends.make_word2vec_backend). Scalar
+    """rows-only: the one REAL trainable model that runs end-to-end
+    in-container — MLlib Word2Vec fit on the corpus, docs embedded as
+    normalized mean word vectors through the standard Arrow backend slot
+    (functions.backends). The fitted word vectors persist through the
+    artifact store (Word2Vec.fit runs once per dataset; repeat
+    constructions broadcast the cached vectors — zero jobs). Scalar
     projection for the driver canonicalizer: dim + unit-norm audit +
     content digest instead of the raw vector."""
+    import numpy as np
+
     from .functions import backends as B
+    from .plans import artifacts as ART
 
     docs = _t(spark, sf_dir, "documents")
-    be = B.make_word2vec_backend(spark, docs, dim=16, min_count=2, seed=7)
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "word2vec_vectors",
+        {"dim": 16, "min_count": 2, "seed": 7},
+        lambda: {
+            w: [float(x) for x in v]
+            for w, v in B.train_word2vec_vectors(
+                spark, docs, dim=16, min_count=2, seed=7
+            ).items()
+        },
+    )
+    vecs = {w: np.asarray(v, dtype=np.float64) for w, v in raw.items()}
+    be = B.word2vec_backend_from_vectors(spark, vecs, 16)
     out = docs.select("doc_id", be("text").alias("embedding"))
     vd = F.col("embedding").cast("array<double>")
     norm = F.sqrt(
