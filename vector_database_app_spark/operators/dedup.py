@@ -752,10 +752,121 @@ def connected_components(
         labels = new
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        "graph diameter exceeds the near-dup assumption; raise max_iters "
-        "or switch to large-star/small-star"
+    # High-diameter graph (chain-shaped duplicates): min-label propagation
+    # needs diameter rounds; switch to the O(log^2 n)-round alternating
+    # star algorithm instead of failing the job.
+    return connected_components_star(
+        edges, id_a=id_a, id_b=id_b
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — converges in O(log² n) ROUNDS regardless of
+    graph diameter, the fallback `connected_components` switches to when
+    min-label propagation (≤ diameter rounds, ideal for the tiny
+    cliques/chains near-dup graphs usually are) fails to converge.
+
+    Per round, both stars are one keyed min-aggregate plus one equi-join
+    (no neighbor lists are ever materialized, so degree skew stays in the
+    hash aggregate's partial buffers):
+
+    - large-star: every neighbor v > u re-points to m(u) = min(Γ(u) ∪ u)
+    - small-star: with edges oriented large→small, every small neighbor
+      (and u itself) re-points to u's minimum small neighbor
+
+    Convergence = the oriented edge set's (count, hash-sum) checksum is
+    stable, at which point edges form stars (v → component-min root).
+    Returns the same (id, cluster) contract as `connected_components`."""
+    verts = (
+        edges.select(F.col(id_a).alias("id"))
+        .union(edges.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # decimal(38,0) accumulator: a long sum of xxhash64 values
+                # overflows (ANSI mode raises)
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        attach = oriented.join(mins, "src")
+        out = attach.select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        return (
+            out.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+
+    sig = _checksum(cur)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nsig = _checksum(nxt)
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize in {max_rounds} "
+            "rounds — O(log^2 n) bound exceeded; the edge table is "
+            "pathological (check for hash collisions in id generation)"
+        )
+    star = cur.select(
+        F.col("src").alias("id"), F.col("dst").alias("cluster")
+    )
+    return verts.join(star, "id", "left").select(
+        "id", F.coalesce("cluster", F.col("id")).alias("cluster")
     )
 
 
