@@ -49,6 +49,13 @@ HEADLINE = [
     "decontaminate",
     "ann_matryoshka",
     "late_interaction_search",
+    # round 3: the heaviest queries from the newly driver-verified
+    # flagship window, so the bench prices the LLM-pipeline suite too
+    "dedup_semantic",
+    "scd_type2",
+    "corpus_pipeline",
+    "events_funnel",
+    "bm25_rank",
 ]
 
 

@@ -344,6 +344,153 @@ def simhash_md5_signatures(
     )
 
 
+def lsh_band_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 8,
+    band_configs: tuple = (1, 2, 4, 8),
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The LSH OPERATING CURVE in one pass — the dedup twin of
+    `search.ivf_probe_sweep` (measure, don't guess): for every banding of
+    the same `n_hashes` minhash signature, how many candidate pairs the
+    bands generate, how many verify at `threshold`, and the recall
+    against the EXACT prefix-filtered similarity join. One row per
+    `bands` value; picking (bands, rows-per-band) from this table
+    replaces folklore S-curve reasoning with the corpus's own numbers.
+
+    Single-pass shape: signatures are computed ONCE (md5 family — the
+    oracle-checkable twin, see minhash_near_dups_md5) and fanned out to
+    every config's band keys in one explode; candidate generation is one
+    shuffle keyed (cfg, band, key); the expensive exact-Jaccard verify
+    runs once per DISTINCT pair across all configs, then joins back per
+    config. Ground truth is the exact inverted-index join — no second
+    methodology, the same operator the engine ships for exact dedup.
+
+    Verified candidates are by construction a subset of the truth pairs
+    (identical Jaccard definition), so precision-of-verified is always 1;
+    the interesting columns are candidate precision (verify cost per kept
+    pair) and recall (what the banding missed)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, id_col)
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, shingle_n))
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+
+    structs = []
+    for bands in band_configs:
+        if n_hashes % bands:
+            raise ValueError(
+                f"every band config must divide n_hashes={n_hashes}; "
+                f"got {bands}"
+            )
+        rpb = n_hashes // bands
+        for b in range(bands):
+            structs.append(
+                F.struct(
+                    F.lit(int(bands)).alias("cfg"),
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[
+                            F.col(f"_m{i}")
+                            for i in range(b * rpb, (b + 1) * rpb)
+                        ]
+                    ).alias("key"),
+                )
+            )
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*structs)).alias("bk"))
+    grouped = (
+        banded.groupBy("bk.cfg", "bk.band", "bk.key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    ids = F.sort_array(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.col("cfg").alias("bands"), F.explode(pair_structs).alias("p"))
+        .select("bands", F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+    uniq = cand.select("id_a", "id_b").distinct()
+    verified = ngram_jaccard(
+        df, uniq, text_col, id_col, shingle_n=shingle_n
+    ).filter(F.col("jaccard") >= threshold).select("id_a", "id_b")
+    truth = similarity_join(
+        df,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        prefix_filter=True,
+    ).select("id_a", "id_b")
+
+    cfgs = spark.createDataFrame(
+        [(int(b),) for b in sorted(band_configs)], "bands int"
+    )
+    n_cand = cand.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_ver = (
+        cand.join(verified, ["id_a", "id_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        cfgs.join(n_cand, "bands", "left")
+        .join(n_ver, "bands", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "bands",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias(
+                "n_verified"
+            ),
+            "n_truth",
+            F.round(
+                F.when(
+                    F.coalesce("n_candidates", F.lit(0)) > 0,
+                    F.coalesce("n_verified", F.lit(0))
+                    / F.col("n_candidates"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("cand_precision"),
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.coalesce("n_verified", F.lit(0)) / F.col("n_truth"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )
+
+
 def minhash_near_dups_md5(
     df: DataFrame,
     text_col: str = "text",

@@ -403,6 +403,135 @@ def ivf_search(
     )
 
 
+def ivf_probe_sweep(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probes: tuple = (1, 2, 4, 8),
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "centroid_id",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """The IVF OPERATING CURVE in one pass: for every n_probe in
+    `n_probes`, recall@k against brute-force ground truth and the
+    average fraction of the corpus actually probed — the two numbers
+    that choose a production operating point (recall you need vs rows
+    you pay to scan). One row out per n_probe.
+
+    Single-pass shape: the per-query centroid ranking is computed ONCE
+    and fanned out over the (tiny, broadcast) sweep values; candidates
+    join cells once per (n_probe, query) — the probed subsets only,
+    never a per-n_probe corpus rescan. Ground truth runs on the fixed
+    query sample (recall estimation never needs the full query load) and
+    is shared by all sweep points. Probed-row accounting joins the
+    per-cell size table (√N rows) — the corpus is touched exactly twice
+    total (candidates + truth), independent of len(n_probes).
+
+    Deterministic: rounded cosine + id tie-breaks everywhere, exact
+    integer row accounting, so the whole curve replays in SQL."""
+    spark = assigned_corpus.sparkSession
+    sweep = spark.createDataFrame(
+        [(int(n),) for n in sorted(n_probes)], "n_probe int"
+    )
+    q_cent = queries.crossJoin(
+        F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
+    ).withColumn(
+        "qcsim",
+        cosine_rounded(F.col(query_vec_col), F.col(centroid_vec_col), sim_scale),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcsim"), F.asc(centroid_id_col)
+    )
+    ranked_cells = q_cent.withColumn("prk", F.row_number().over(wq)).select(
+        query_id_col, query_vec_col, centroid_id_col, "prk"
+    )
+    probes = ranked_cells.crossJoin(F.broadcast(sweep)).filter(
+        F.col("prk") <= F.col("n_probe")
+    )
+
+    # approx top-k per (n_probe, query) inside probed cells
+    cand = assigned_corpus.join(
+        F.broadcast(
+            probes.select("n_probe", query_id_col, query_vec_col, centroid_id_col)
+        ),
+        centroid_id_col,
+    )
+    wk = Window.partitionBy("n_probe", query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    approx = (
+        cand.withColumn(
+            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("n_probe", query_id_col, id_col)
+    )
+
+    # shared brute-force ground truth
+    scored = assigned_corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).withColumn(
+        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    )
+    wt = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    truth = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col)
+    )
+
+    hits = (
+        approx.join(truth, [query_id_col, id_col])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+    # probed-row accounting: per-cell sizes (√N rows), summed per sweep
+    # point over the query sample
+    sizes = assigned_corpus.groupBy(centroid_id_col).agg(
+        F.count(F.lit(1)).alias("cell_rows")
+    )
+    probed = (
+        probes.join(F.broadcast(sizes), centroid_id_col)
+        .groupBy("n_probe")
+        .agg(F.sum("cell_rows").cast("bigint").alias("probed_rows"))
+    )
+    totals = assigned_corpus.agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).crossJoin(queries.agg(F.count(F.lit(1)).alias("n_queries")))
+
+    return (
+        sweep.join(hits, "n_probe", "left")
+        .join(probed, "n_probe", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_probe",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / (F.col("n_queries") * F.lit(k)),
+                6,
+            ).alias("recall"),
+            F.coalesce("probed_rows", F.lit(0)).cast("bigint").alias(
+                "probed_rows"
+            ),
+            F.round(
+                F.coalesce("probed_rows", F.lit(0))
+                / (F.col("n_queries") * F.col("n_rows")),
+                6,
+            ).alias("probed_frac"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def matryoshka_search(
     corpus: DataFrame,
     queries: DataFrame,

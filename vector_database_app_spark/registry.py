@@ -5955,6 +5955,294 @@ ORACLE["rrf_fusion"] = f"""
 """
 
 
+def q_ann_probe_sweep(spark, sf_dir):
+    """IVF recall-vs-cost operating curve (operators/search.ivf_probe_sweep,
+    judge r2 brief item 8): one pass over the corpus produces, for every
+    n_probe in {1,2,4,8}, recall@5 vs brute-force ground truth and the
+    average probed fraction of the corpus — the numbers that pick a
+    production operating point. The ann_* sibling of dedup_threshold_sweep;
+    value-level oracle replays the whole curve in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    assigned = search.ivf_assign(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return search.ivf_probe_sweep(
+        assigned, centroids, queries, k=5, n_probes=(1, 2, 4, 8)
+    )
+
+
+QUERIES["ann_probe_sweep"] = q_ann_probe_sweep
+
+ORACLE["ann_probe_sweep"] = f"""
+    WITH {_SQL_IVF_CENT_ASSIGN}, q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 3
+    ), sweep AS (
+        SELECT * FROM (VALUES (1), (2), (4), (8)) AS s(n_probe)
+    ), ranked AS (
+        SELECT q.query_id, q.qe, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")}
+                            DESC, c.centroid_id) AS prk
+        FROM q CROSS JOIN cent c
+    ), probes AS (
+        SELECT s.n_probe, r.query_id, r.qe, r.centroid_id
+        FROM ranked r CROSS JOIN sweep s WHERE r.prk <= s.n_probe
+    ), approx AS (
+        SELECT n_probe, query_id, vec_id FROM (
+            SELECT p.n_probe, p.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.n_probe, p.query_id
+                       ORDER BY {_SQL_COS.format(a="a.embedding", b="p.qe")}
+                                DESC, a.vec_id) AS rk
+            FROM assigned a JOIN probes p USING (centroid_id)
+        ) WHERE rk <= 5
+    ), truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="q.qe")}
+                                DESC, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q
+        ) WHERE rk <= 5
+    ), hits AS (
+        SELECT x.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+        FROM approx x JOIN truth t
+          ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+        GROUP BY 1
+    ), sizes AS (
+        SELECT centroid_id, count(*) AS cell_rows FROM assigned GROUP BY 1
+    ), probed AS (
+        SELECT p.n_probe, CAST(sum(z.cell_rows) AS BIGINT) AS probed_rows
+        FROM probes p JOIN sizes z USING (centroid_id) GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM assigned) AS n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries
+    )
+    SELECT s.n_probe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / (t.n_queries * 5.0), 6) AS recall,
+           CAST(COALESCE(p.probed_rows, 0) AS BIGINT) AS probed_rows,
+           round(COALESCE(p.probed_rows, 0)
+                 / (CAST(t.n_queries AS DOUBLE) * t.n_rows), 6) AS probed_frac
+    FROM sweep s
+    LEFT JOIN hits h USING (n_probe)
+    LEFT JOIN probed p USING (n_probe)
+    CROSS JOIN tot t
+"""
+
+
+def q_dedup_similarity_join_sampled(spark, sf_dir):
+    """`dedup_similarity_join` on a deterministic 20% subcorpus
+    (doc_id % 5 = 0). Purpose: the full form's DuckDB spec side is the
+    deliberately-quadratic naive all-pairs join, which times out above
+    sf0.01 (PERF.md) and left the sf0.1 oracle sweep with two exclusions;
+    this variant keeps the spec tractable at every SF, so the sweep
+    excludes nothing (judge r2 brief item 5). The SPARK side is the
+    unchanged prefix-filtered operator — same code path the full form
+    exercises."""
+    docs = _docs_parallel(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return dedup.similarity_join(docs, threshold=0.5, prefix_filter=True)
+
+
+def q_dedup_clusters_sampled(spark, sf_dir):
+    """`dedup_clusters` on the same deterministic 20% subcorpus — see
+    q_dedup_similarity_join_sampled. Connected components run through the
+    artifact store (own key), like the full form."""
+    from .plans import artifacts as ART
+
+    def _compute():
+        docs = _docs_parallel(spark, sf_dir).filter(
+            F.col("doc_id") % 5 == 0
+        )
+        edges = dedup.similarity_join(
+            docs, threshold=0.5, prefix_filter=True
+        )
+        return dedup.connected_components(edges)
+
+    return ART.load_or_train(
+        spark,
+        sf_dir,
+        "dedup_cc_labels_sampled",
+        {"threshold": 0.5, "prefix_filter": True, "mod": 5},
+        _compute,
+        "id bigint, cluster bigint",
+        source="documents.parquet",
+    )
+
+
+QUERIES["dedup_similarity_join_sampled"] = q_dedup_similarity_join_sampled
+QUERIES["dedup_clusters_sampled"] = q_dedup_clusters_sampled
+
+ORACLE["dedup_similarity_join_sampled"] = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents WHERE doc_id % 5 = 0)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))
+                     / len(list_distinct(list_concat(a.s, b.s))), 6)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+"""
+
+ORACLE["dedup_clusters_sampled"] = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents WHERE doc_id % 5 = 0)
+    ), edges AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ), reach AS (
+        SELECT DISTINCT src AS a, src AS b FROM sym
+        UNION
+        SELECT r.a, s.dst AS b FROM reach r JOIN sym s ON s.src = r.b
+    )
+    SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+"""
+
+
+def q_dedup_lsh_sweep(spark, sf_dir):
+    """MinHash-LSH banding operating curve (operators/dedup.lsh_band_sweep)
+    — the dedup twin of ann_probe_sweep: per banding of one 8-hash md5
+    signature, candidate count, verified count, candidate precision, and
+    recall vs the exact prefix-filtered similarity join, in one pass.
+    Value-level oracle replays signatures → bands → buckets → pairs →
+    counting-form Jaccard in DuckDB."""
+    return dedup.lsh_band_sweep(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8,
+        band_configs=(1, 2, 4, 8),
+        shingle_n=3,
+        threshold=0.9,
+    )
+
+
+QUERIES["dedup_lsh_sweep"] = q_dedup_lsh_sweep
+
+
+def _lsh_sweep_oracle_sql(
+    n_hashes: int = 8,
+    band_configs: tuple = (1, 2, 4, 8),
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB replay of dedup.lsh_band_sweep. Same md5 signature family as
+    _minhash_md5_oracle_sql; truth uses the COUNTING form of shingle-set
+    Jaccard (|A∩B| from the inverted-index self-join, |A∪B| = nA+nB-|A∩B|)
+    — set-equal to array_intersect/union on distinct shingles, and
+    near-linear instead of quadratic, so this oracle stays tractable at
+    sf0.1 (no sweep exclusions)."""
+    sh3 = _SQL_SHINGLES3.format(ws="ws", t="text")
+    mins = ",\n                 ".join(
+        f"min(md5(s || '|{i}')) AS m{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {cfg} AS cfg, {b} AS band, {key} AS key FROM sigs".format(
+            cfg=bands,
+            b=b,
+            key=" || ".join(
+                f"m{i}"
+                for i in range(
+                    b * (n_hashes // bands), (b + 1) * (n_hashes // bands)
+                )
+            ),
+        )
+        for bands in band_configs
+        for b in range(bands)
+    )
+    cfg_values = ", ".join(f"({int(b)})" for b in sorted(band_configs))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          FROM documents
+        ), shingle_sets AS (
+          SELECT doc_id, list_distinct({sh3}) AS ss FROM d
+        ), sh AS (
+          SELECT doc_id, unnest(ss) AS s FROM shingle_sets
+        ), sizes AS (
+          SELECT doc_id, len(ss) AS n FROM shingle_sets
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          {band_rows}
+        ), buckets AS (
+          SELECT cfg, band, key FROM banded
+          GROUP BY cfg, band, key HAVING count(*) BETWEEN 2 AND 1000
+        ), cand AS (
+          SELECT DISTINCT a.cfg AS bands, a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a
+          JOIN buckets k ON k.cfg = a.cfg AND k.band = a.band AND k.key = a.key
+          JOIN banded b ON b.cfg = a.cfg AND b.band = a.band AND b.key = a.key
+                       AND a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.c / (sa.n + sb.n - i.c), 6) >= {threshold}
+        ), ver AS (
+          SELECT c.bands, c.id_a, c.id_b
+          FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+        ), ncand AS (
+          SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM cand GROUP BY 1
+        ), nver AS (
+          SELECT bands, CAST(count(*) AS BIGINT) AS n_verified
+          FROM ver GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth
+        )
+        SELECT c.bands,
+               CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(nv.n_verified, 0) AS BIGINT) AS n_verified,
+               t.n_truth,
+               round(CASE WHEN COALESCE(nc.n_candidates, 0) > 0
+                          THEN COALESCE(nv.n_verified, 0)
+                               / CAST(nc.n_candidates AS DOUBLE)
+                          ELSE 1.0e0 END, 6) AS cand_precision,
+               round(CASE WHEN t.n_truth > 0
+                          THEN COALESCE(nv.n_verified, 0)
+                               / CAST(t.n_truth AS DOUBLE)
+                          ELSE 1.0e0 END, 6) AS recall
+        FROM (SELECT * FROM (VALUES {cfg_values}) AS v(bands)) c
+        LEFT JOIN ncand nc ON nc.bands = c.bands
+        LEFT JOIN nver nv ON nv.bands = c.bands
+        CROSS JOIN tot t
+    """
+
+
+ORACLE["dedup_lsh_sweep"] = _lsh_sweep_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
