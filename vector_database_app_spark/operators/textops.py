@@ -791,6 +791,118 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """`decontaminate`'s MEASURED sibling: instead of a binary flag, report
+    per doc its own distinct n-gram count, the benchmark hits, the overlap
+    FRACTION, and a severity bucket (clean / low / medium / high) — the
+    numbers a pipeline owner needs to choose between dropping a doc and
+    span-level scrubbing (the GPT-3 appendix's distinction between
+    removing documents and removing spans).
+
+    Same scale shape as decontaminate: benchmark grams built once and
+    BROADCAST, corpus side one scan with row-local shingling, no
+    gram-keyed corpus shuffle."""
+    n_parts = (
+        partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(TX.shingles(text_col, n))).alias("ngram")
+        )
+        .distinct()
+    )
+    per_doc = corpus.repartition(n_parts, id_col).select(
+        F.col(id_col),
+        F.array_distinct(TX.shingles(text_col, n)).alias("_g"),
+    )
+    totals = per_doc.select(
+        id_col, F.size("_g").cast("bigint").alias("n_grams")
+    )
+    hits = (
+        per_doc.select(F.col(id_col), F.explode("_g").alias("ngram"))
+        .join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    frac = F.round(
+        F.coalesce("n_hits", F.lit(0))
+        / F.greatest(F.col("n_grams"), F.lit(1)),
+        6,
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            frac.alias("overlap_frac"),
+            F.when(frac >= 0.5, "high")
+            .when(frac >= 0.1, "medium")
+            .when(frac > 0, "low")
+            .otherwise("clean")
+            .alias("severity"),
+        )
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture PLANNING — the step before `sample_mixture`
+    samples anything: given target mixture weights and a total token
+    budget, compare each group's AVAILABLE tokens against its target
+    share and emit the sampling rate the sampler should use plus a
+    deficit flag for groups that cannot fill their quota (the "we want
+    30% code but only have 12%" report every pre-training data recipe
+    starts from).
+
+    One groupBy on the mixing key; targets are plan-time literals from
+    the weights dict (no count() at construction); groups absent from
+    `weights` get target 0 (explicitly excluded, never silently
+    re-weighted)."""
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
+    avail = docs.groupBy(group_col).agg(
+        F.sum(toks).cast("bigint").alias("avail_tokens")
+    )
+    target = F.lit(0).cast("bigint")
+    for g, wgt in sorted(weights.items()):
+        target = F.when(
+            F.col(group_col) == g,
+            F.lit(int(budget_tokens * wgt)).cast("bigint"),
+        ).otherwise(target)
+    return avail.select(
+        group_col,
+        "avail_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.least(
+                    F.lit(1.0), target / F.col("avail_tokens")
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("sample_rate"),
+        F.least(F.col("avail_tokens"), target).alias("planned_tokens"),
+        (F.col("avail_tokens") < target).cast("int").alias("deficit"),
+    )
+
+
 def profile_columns(
     df: DataFrame, cols: list[str], *, id_hint: str | None = None
 ) -> DataFrame:

@@ -6243,6 +6243,218 @@ def _lsh_sweep_oracle_sql(
 ORACLE["dedup_lsh_sweep"] = _lsh_sweep_oracle_sql()
 
 
+def q_contamination_report(spark, sf_dir):
+    """Span-level contamination severity report
+    (operators/textops.contamination_report): the measured sibling of
+    `decontaminate` — per corpus doc its distinct-3-gram count, benchmark
+    hits, overlap fraction, and a severity bucket. Same staged benchmark
+    (every 97th doc) and broadcast shape as q_decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.contamination_report(corpus, bench, n=3)
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning (operators/textops.mixture_plan):
+    available vs target tokens per language for a 100k-token budget at
+    fixed mixture weights; emits the sampling rate + deficit flag the
+    sampler consumes. The planning stage ahead of sample_mixture."""
+    return textops.mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.1, "es": 0.15, "fr": 0.1, "zh": 0.15},
+        budget_tokens=100_000,
+        group_col="lang",
+    )
+
+
+def q_dedup_prune(spark, sf_dir):
+    """The dedup pipeline CLOSED: md5-MinHash LSH candidates → exact
+    verify at 0.9 → connected components → one kept representative (min
+    doc_id) per near-dup cluster — the (doc_id, cluster, kept) table a
+    corpus prune actually applies. CC labels go through the artifact
+    store (own key) so construction stays lazy; the whole trajectory
+    (signatures, bands, buckets, verify, reachability, prune) replays
+    value-for-value in the DuckDB oracle."""
+    from .plans import artifacts as ART
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _compute():
+        edges = dedup.minhash_near_dups_md5(
+            _docs_parallel(spark, sf_dir), shingle_n=3, threshold=0.9
+        )
+        return dedup.connected_components(edges.select("id_a", "id_b"))
+
+    labels = ART.load_or_train(
+        spark,
+        sf_dir,
+        "dedup_prune_labels",
+        {"threshold": 0.9, "n_hashes": 8, "bands": 4, "shingle_n": 3},
+        _compute,
+        "id bigint, cluster bigint",
+        source="documents.parquet",
+    )
+    return docs.join(
+        labels, docs["doc_id"] == labels["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        (
+            F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+QUERIES["contamination_report"] = q_contamination_report
+QUERIES["mixture_plan"] = q_mixture_plan
+QUERIES["dedup_prune"] = q_dedup_prune
+
+ORACLE["contamination_report"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+      FROM documents WHERE doc_id % 97 <> 0
+    ), bench_d AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+      FROM documents WHERE doc_id % 97 = 0
+    ), bench AS (
+      SELECT DISTINCT unnest(
+          list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")})
+      ) AS ngram FROM bench_d
+    ), docs_g AS (
+      SELECT doc_id,
+             list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS g
+      FROM corpus
+    ), tot AS (
+      SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM docs_g
+    ), hits AS (
+      SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM (SELECT doc_id, unnest(g) AS ngram FROM docs_g) e
+      JOIN bench b USING (ngram)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_hits, overlap_frac,
+           CASE WHEN overlap_frac >= 0.5 THEN 'high'
+                WHEN overlap_frac >= 0.1 THEN 'medium'
+                WHEN overlap_frac > 0 THEN 'low'
+                ELSE 'clean' END AS severity
+    FROM (
+      SELECT t.doc_id, t.n_grams,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             round(COALESCE(h.n_hits, 0)
+                   / CAST(greatest(t.n_grams, 1) AS DOUBLE), 6)
+                 AS overlap_frac
+      FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    )
+"""
+
+ORACLE["mixture_plan"] = """
+    WITH avail AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                       w -> w <> ''))) AS BIGINT)
+                 AS avail_tokens
+      FROM documents GROUP BY lang
+    ), tgt AS (
+      SELECT lang, avail_tokens,
+             CAST(CASE lang
+                  WHEN 'en' THEN 50000 WHEN 'de' THEN 10000
+                  WHEN 'es' THEN 15000 WHEN 'fr' THEN 10000
+                  WHEN 'zh' THEN 15000 ELSE 0 END AS BIGINT)
+                 AS target_tokens
+      FROM avail
+    )
+    SELECT lang, avail_tokens, target_tokens,
+           round(CASE WHEN avail_tokens > 0
+                      THEN least(1.0e0, target_tokens
+                                 / CAST(avail_tokens AS DOUBLE))
+                      ELSE 0.0e0 END, 6) AS sample_rate,
+           least(avail_tokens, target_tokens) AS planned_tokens,
+           CAST(avail_tokens < target_tokens AS INT) AS deficit
+    FROM tgt
+"""
+
+
+def _dedup_prune_oracle_sql(
+    n_hashes: int = 8, bands: int = 4, threshold: float = 0.9
+) -> str:
+    """DuckDB replay of q_dedup_prune: the md5 LSH band pipeline (same
+    family as _minhash_md5_oracle_sql), counting-form exact-Jaccard
+    verify (near-linear — sweeps clean at sf0.1), recursive reachability
+    for connected components, min-reachable-id prune."""
+    rpb = n_hashes // bands
+    sh3 = _SQL_SHINGLES3.format(ws="ws", t="text")
+    mins = ",\n                 ".join(
+        f"min(md5(s || '|{i}')) AS m{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+          FROM documents
+        ), shingle_sets AS (
+          SELECT doc_id, list_distinct({sh3}) AS ss FROM d
+        ), sh AS (
+          SELECT doc_id, unnest(ss) AS s FROM shingle_sets
+        ), sizes AS (
+          SELECT doc_id, len(ss) AS n FROM shingle_sets
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM sh GROUP BY doc_id
+        ), banded AS (
+          {band_rows}
+        ), buckets AS (
+          SELECT band, key FROM banded
+          GROUP BY band, key HAVING count(*) BETWEEN 2 AND 1000
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a
+          JOIN buckets k ON k.band = a.band AND k.key = a.key
+          JOIN banded b ON b.band = a.band AND b.key = a.key
+                       AND a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS cnt
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.cnt / (sa.n + sb.n - i.cnt), 6) >= {threshold}
+        ), sym AS (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL
+          SELECT id_b, id_a FROM edges
+        ), reach AS (
+          SELECT DISTINCT src AS a, src AS b FROM sym
+          UNION
+          SELECT r.a, s.dst AS b FROM reach r JOIN sym s ON s.src = r.b
+        ), labels AS (
+          SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a
+        )
+        SELECT doc.doc_id,
+               COALESCE(l.cluster, doc.doc_id) AS cluster,
+               CAST((l.cluster IS NULL OR l.cluster = doc.doc_id) AS INT)
+                   AS kept
+        FROM documents doc LEFT JOIN labels l ON l.id = doc.doc_id
+    """
+
+
+ORACLE["dedup_prune"] = _dedup_prune_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
