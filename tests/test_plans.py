@@ -433,3 +433,54 @@ def test_dedup_winnow_codegen_and_keyed_joins(spark):
     assert "Python" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_probe_sweep_candidate_join_is_broadcast_equijoin(spark):
+    """ann_probe_sweep: candidate generation is a broadcast equi-join on
+    centroid_id; the only nested-loop joins are Cross over tiny literal/
+    broadcast frames (query×centroid ranking, ×sweep values, ×totals) —
+    never an unkeyed corpus×corpus product."""
+    df = QUERIES["ann_probe_sweep"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # every BNLJ in this plan must be the Cross form (tiny build side),
+    # never Inner/Outer (which would mean a real join lost its keys)
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) in ("Cross", "BuildRight", "BuildLeft"), plan[
+            m.start() : m.start() + 80
+        ]
+
+
+def test_lsh_sweep_signature_tower_runs_once(spark):
+    """dedup_lsh_sweep: the expensive signature aggregation (shingle
+    explode → md5-min ObjectHashAggregate) must appear ONCE in the plan —
+    the candidate table has a single consumer (the one flagged hashagg);
+    a distinct-pairs verify leg was measured executing it three times."""
+    df = QUERIES["dedup_lsh_sweep"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    # detail section lists each physical node once: count sig towers by
+    # their ObjectHashAggregate pairs (partial+final per tower)
+    towers = plan.count("ObjectHashAggregate")
+    assert towers <= 4, f"signature tower duplicated: {towers} OHA nodes"
+
+
+def test_dedup_prune_no_cartesian(spark):
+    df = QUERIES["dedup_prune"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_plan_single_agg_no_join(spark):
+    """mixture_plan: one partial+final hash aggregation on the mixing key;
+    targets are literals (no second scan, no join of any kind)."""
+    df = QUERIES["mixture_plan"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    # exactly one shuffle: the partial->final exchange of the group agg
+    # (the detail section repeats each node, so count the tree lines)
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Exchange") == 1, plan

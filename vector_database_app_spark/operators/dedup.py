@@ -366,10 +366,14 @@ def lsh_band_sweep(
     Single-pass shape: signatures are computed ONCE (md5 family — the
     oracle-checkable twin, see minhash_near_dups_md5) and fanned out to
     every config's band keys in one explode; candidate generation is one
-    shuffle keyed (cfg, band, key); the expensive exact-Jaccard verify
-    runs once per DISTINCT pair across all configs, then joins back per
-    config. Ground truth is the exact inverted-index join — no second
-    methodology, the same operator the engine ships for exact dedup.
+    shuffle keyed (cfg, band, key). Ground truth is the exact
+    prefix-filtered inverted-index join — no second methodology, the same
+    operator the engine ships for exact dedup — and because the truth leg
+    and the verify step share one Jaccard definition, "verified
+    candidate" is exactly "candidate ∩ truth": the sweep needs NO
+    separate verify pipeline, and the whole LSH tower executes once (a
+    distinct-pairs verify leg was measured re-running the signature
+    aggregation three times via its three consumers).
 
     Verified candidates are by construction a subset of the truth pairs
     (identical Jaccard definition), so precision-of-verified is always 1;
@@ -433,10 +437,6 @@ def lsh_band_sweep(
         .distinct()
     )
 
-    uniq = cand.select("id_a", "id_b").distinct()
-    verified = ngram_jaccard(
-        df, uniq, text_col, id_col, shingle_n=shingle_n
-    ).filter(F.col("jaccard") >= threshold).select("id_a", "id_b")
     truth = similarity_join(
         df,
         threshold=threshold,
@@ -449,18 +449,19 @@ def lsh_band_sweep(
     cfgs = spark.createDataFrame(
         [(int(b),) for b in sorted(band_configs)], "bands int"
     )
-    n_cand = cand.groupBy("bands").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    # ONE pass over the candidate table computes both counters: a left
+    # join against truth flags each candidate, and a single keyed hashagg
+    # folds (n_candidates, n_verified) together.
+    flagged = cand.join(
+        truth.withColumn("_true", F.lit(1)), ["id_a", "id_b"], "left"
     )
-    n_ver = (
-        cand.join(verified, ["id_a", "id_b"])
-        .groupBy("bands")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    per_cfg = flagged.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.count("_true").cast("bigint").alias("n_verified"),
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     return (
-        cfgs.join(n_cand, "bands", "left")
-        .join(n_ver, "bands", "left")
+        cfgs.join(per_cfg, "bands", "left")
         .crossJoin(F.broadcast(n_truth))
         .select(
             "bands",

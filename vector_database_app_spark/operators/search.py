@@ -429,9 +429,11 @@ def ivf_probe_sweep(
     join cells once per (n_probe, query) — the probed subsets only,
     never a per-n_probe corpus rescan. Ground truth runs on the fixed
     query sample (recall estimation never needs the full query load) and
-    is shared by all sweep points. Probed-row accounting joins the
-    per-cell size table (√N rows) — the corpus is touched exactly twice
-    total (candidates + truth), independent of len(n_probes).
+    is shared by all sweep points. Four corpus scans total, independent
+    of len(n_probes): candidates, ground truth, and the two cheap
+    column-pruned accounting passes (per-cell sizes, total rows) — at
+    production scale the assigned corpus is a stored table, making the
+    accounting legs metadata-cheap.
 
     Deterministic: rounded cosine + id tie-breaks everywhere, exact
     integer row accounting, so the whole curve replays in SQL."""
