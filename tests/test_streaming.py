@@ -397,3 +397,56 @@ def test_stream_index_update_converges_to_full_rebuild(spark, tmp_path):
     assert any(
         d.startswith("centroid_id=") for d in _os.listdir(out)
     )
+
+
+def test_stream_dedup_probe_equals_batch(spark, tmp_path):
+    """Continuous admission-time dedup (SW.run_stream_dedup_probe): docs
+    arriving as a file stream in TWO waves are probed against the fixed
+    corpus snapshot; the union of the per-batch decisions equals the
+    batch operator run on all arrived docs at once (probing a fixed store
+    is order-insensitive across micro-batches), and a drain after a new
+    file arrival processes ONLY that file (checkpoint)."""
+    from vector_database_app_spark.operators import dedup as D
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch_docs = docs.filter("doc_id % 10 = 5")
+    store = docs.filter("doc_id % 10 <> 5")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = batch_docs.filter("doc_id < 250")
+    wave2 = batch_docs.filter("doc_id >= 250")
+    wave1.coalesce(1).write.parquet(str(arrivals / "w1"))
+
+    schema = "doc_id bigint, text string"
+    def _drain_probe():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_dedup_probe(
+            stream, store, out_dir, ckpt, shingle_n=3, threshold=0.9
+        )
+
+    _drain_probe()
+    n_after_w1 = spark.read.parquet(out_dir).count()
+    assert n_after_w1 == wave1.count()
+
+    wave2.coalesce(1).write.parquet(str(arrivals / "w2"))
+    _drain_probe()
+    got = {
+        (r.doc_id, r.dup_of, r.admit)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == batch_docs.count()  # each doc decided exactly once
+    want = {
+        (r.doc_id, r.dup_of, r.admit)
+        for r in D.incremental_dedup_probe(
+            batch_docs, store, shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    assert got == want

@@ -492,6 +492,132 @@ def lsh_band_sweep(
     )
 
 
+def md5_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, key) banded md5-minhash table — the STORED index form an
+    incremental dedup deployment keeps per corpus doc: write it once,
+    partitioned by band (and bucketed by key at scale), and admission-time
+    probes become partition-pruned equi-joins instead of corpus rescans."""
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, shingle_n))
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    rpb = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"_m{i}") for i in range(b * rpb, (b + 1) * rpb)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+
+
+def incremental_dedup_probe(
+    batch: DataFrame,
+    store: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """ADMISSION-TIME near-dup probe: decide, per incoming batch doc,
+    whether it duplicates something already IN the corpus — without
+    re-clustering anything (the cheap steady-state operation a continuous
+    ingest pipeline runs per micro-batch; reference has no incremental
+    story at all, it re-probes only exact file hashes,
+    rag_search/vector_db.py:188-190).
+
+    One row per batch doc: (id, dup_of = lowest-id verified store match
+    or NULL, admit ∈ {0,1}). Identical code runs in batch (oracle-checked
+    as `dedup_incremental`) and inside a readStream foreachBatch
+    (streaming.windows.run_stream_dedup_probe; parity-tested).
+
+    Scale shape: the BATCH side is small by nature, so its band keys
+    BROADCAST into an equi-join against the store's banded index
+    (md5_band_keys — precomputed/partitioned in production, derived here);
+    the store is never scanned per batch beyond the pruned band probe.
+    Degenerate store buckets (> max_bucket_size, e.g. the empty-doc key)
+    are excluded like everywhere else in this module. Exact-Jaccard
+    verify touches only candidate pairs. Requires disjoint id spaces
+    (same id in both frames would mean the same doc).
+
+    Emergent property the test pins: probing is ORDER-INSENSITIVE across
+    micro-batches against a FIXED store snapshot; dup-of-each-other docs
+    arriving in the same batch are both admitted (intra-batch dedup is
+    `dedup_within_batch` / minhash_near_dups' job, run before admission)."""
+    s_bands = md5_band_keys(
+        store.repartition(
+            store.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        text_col,
+        id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    ok_keys = (
+        s_bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("band", "key")
+    )
+    s_bands = s_bands.join(ok_keys, ["band", "key"], "left_semi")
+    b_bands = md5_band_keys(
+        batch, text_col, id_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+    ).withColumnRenamed(id_col, "_batch_id")
+    cand = (
+        s_bands.join(F.broadcast(b_bands), ["band", "key"])
+        .select(
+            F.col(id_col).alias("id_a"), F.col("_batch_id").alias("id_b")
+        )
+        .distinct()
+    )
+    all_docs = store.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch.select(F.col(id_col), F.col(text_col))
+    )
+    verified = ngram_jaccard(
+        all_docs, cand, text_col, id_col, shingle_n=shingle_n
+    ).filter(F.col("jaccard") >= threshold)
+    dups = verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        batch.select(id_col)
+        .join(dups, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            id_col,
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("admit"),
+        )
+    )
+
+
 def minhash_near_dups_md5(
     df: DataFrame,
     text_col: str = "text",

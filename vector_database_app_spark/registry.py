@@ -6455,6 +6455,93 @@ def _dedup_prune_oracle_sql(
 ORACLE["dedup_prune"] = _dedup_prune_oracle_sql()
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Admission-time incremental dedup probe
+    (operators/dedup.incremental_dedup_probe): docs with doc_id % 10 = 5
+    play the incoming batch, the rest the existing corpus; each batch doc
+    gets (dup_of, admit) from an md5-LSH band probe against the store's
+    banded index + exact verify at 0.9. The batch twin of
+    streaming.windows.run_stream_dedup_probe (parity-tested)."""
+    docs = _docs_parallel(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 5)
+    store = docs.filter(F.col("doc_id") % 10 != 5)
+    return dedup.incremental_dedup_probe(
+        batch, store, shingle_n=3, threshold=0.9
+    )
+
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+
+
+def _dedup_incremental_oracle_sql(
+    n_hashes: int = 8, bands: int = 4, threshold: float = 0.9
+) -> str:
+    """DuckDB replay of q_dedup_incremental: md5 band keys on both sides,
+    store-bucket size cap, band-key join, counting-form exact verify,
+    min-store-id dup_of per batch doc."""
+    rpb = n_hashes // bands
+    sh3 = _SQL_SHINGLES3.format(ws="ws", t="text")
+    mins = ",\n                 ".join(
+        f"min(md5(s || '|{i}')) AS m{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, side, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+                 CASE WHEN doc_id % 10 = 5 THEN 'batch' ELSE 'store' END
+                     AS side
+          FROM documents
+        ), shingle_sets AS (
+          SELECT doc_id, side, list_distinct({sh3}) AS ss FROM d
+        ), sh AS (
+          SELECT doc_id, side, unnest(ss) AS s FROM shingle_sets
+        ), sizes AS (
+          SELECT doc_id, len(ss) AS n FROM shingle_sets
+        ), sigs AS (
+          SELECT doc_id, side,
+                 {mins}
+          FROM sh GROUP BY doc_id, side
+        ), banded AS (
+          {band_rows}
+        ), ok_keys AS (
+          SELECT band, key FROM banded WHERE side = 'store'
+          GROUP BY band, key HAVING count(*) <= 1000
+        ), cand AS (
+          SELECT DISTINCT s.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded s
+          JOIN ok_keys k ON k.band = s.band AND k.key = s.key
+          JOIN banded b ON b.band = s.band AND b.key = s.key
+          WHERE s.side = 'store' AND b.side = 'batch'
+        ), inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS cnt
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+          GROUP BY 1, 2
+        ), dups AS (
+          SELECT i.id_b, min(i.id_a) AS dup_of
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.cnt / (sa.n + sb.n - i.cnt), 6) >= {threshold}
+          GROUP BY i.id_b
+        )
+        SELECT d.doc_id, u.dup_of,
+               CAST(u.dup_of IS NULL AS INT) AS admit
+        FROM d LEFT JOIN dups u ON u.id_b = d.doc_id
+        WHERE d.side = 'batch'
+    """
+
+
+ORACLE["dedup_incremental"] = _dedup_incremental_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

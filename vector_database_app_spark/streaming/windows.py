@@ -496,3 +496,40 @@ def run_stream_index_update(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_dedup_probe(
+    doc_stream: DataFrame,
+    store: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    **probe_kwargs,
+) -> None:
+    """Continuous ADMISSION-TIME dedup: each micro-batch of arriving
+    documents is probed against the fixed corpus snapshot with
+    `operators.dedup.incremental_dedup_probe` (md5-LSH band probe +
+    exact verify) and its (doc_id, dup_of, admit) decisions append to a
+    parquet audit table — the steady-state near-dup gate of a continuous
+    ingest pipeline, and the LSH sibling of the exact-hash gate
+    `sources.ingest.ingest_stream` already applies.
+
+    The UNCHANGED batch operator runs inside foreachBatch (the engine's
+    batch/stream twin convention — window_tumbling, stream_enrich,
+    stream_index_update all do the same), so the oracle-checked
+    `dedup_incremental` registry form IS this operator's correctness
+    evidence; the streaming test pins parity. Checkpointed file source ⇒
+    each doc is probed exactly once across restarts."""
+    from ..operators.dedup import incremental_dedup_probe
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_dedup_probe(batch_df, store, **probe_kwargs)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
