@@ -450,3 +450,49 @@ def test_stream_dedup_probe_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_admission_equals_batch(spark, tmp_path):
+    """Continuous admission (SW.run_stream_admission): two arrival waves
+    through the gate produce exactly the batch admission_gate decisions,
+    and every disposition class that the batch run emits appears."""
+    from vector_database_app_spark.operators import textops as TXO
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0")
+    batch_docs = docs.filter("doc_id % 10 = 5 AND doc_id % 97 <> 0")
+    store = docs.filter("doc_id % 10 <> 5 AND doc_id % 97 <> 0")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    batch_docs.filter("doc_id < 250").coalesce(1).write.parquet(
+        str(arrivals / "w1")
+    )
+
+    def _drain_gate():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_admission(stream, store, bench, out_dir, ckpt)
+
+    _drain_gate()
+    batch_docs.filter("doc_id >= 250").coalesce(1).write.parquet(
+        str(arrivals / "w2")
+    )
+    _drain_gate()
+
+    got = {
+        (r.doc_id, r.disposition, r.dup_of, r.n_hits, r.len_words)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.disposition, r.dup_of, r.n_hits, r.len_words)
+        for r in TXO.admission_gate(batch_docs, store, bench).collect()
+    }
+    assert got == want
+    assert len(got) == batch_docs.count()

@@ -791,6 +791,91 @@ def decontaminate(
     )
 
 
+def admission_gate(
+    batch: DataFrame,
+    store: DataFrame,
+    benchmark: DataFrame,
+    *,
+    ngram_n: int = 3,
+    min_hits: int = 2,
+    min_words: int = 20,
+    max_punct: float = 0.1,
+    langs: tuple = ("en", "fr", "es"),
+    near_dup_threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`corpus_pipeline`'s STEADY-STATE sibling: admission decisions for
+    ARRIVING docs against a fixed corpus snapshot, instead of one batch
+    re-clustering the world. Each arriving doc is gated by, first match
+    wins: (1) exact content-hash probe vs the store → 'exact_dup',
+    (2) md5-LSH near-dup probe vs the store
+    (dedup.incremental_dedup_probe) → 'near_dup', (3) benchmark n-gram
+    contamination → 'contaminated', (4) row-local quality/language
+    signals → 'low_quality', else 'admitted'. One auditable row per
+    batch doc: (id, disposition, dup_of, n_hits, len_words).
+
+    Identical code runs in batch (oracle-checked as `admission_gate`)
+    and per micro-batch inside streaming.windows.run_stream_admission
+    (parity-tested) — the full continuous-ingest gate for a training
+    corpus.
+
+    Scale shape: the batch side is small by nature; the store is touched
+    by two pruned probes (hash semi-join, banded LSH equi-join) — never
+    a rescan per arriving doc; the benchmark gram set broadcasts;
+    quality signals are row-local expressions."""
+    from .dedup import incremental_dedup_probe
+
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    probe = incremental_dedup_probe(
+        batch.select(id_col, text_col),
+        store.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=ngram_n,
+        threshold=near_dup_threshold,
+    ).select(id_col, "dup_of")
+    decon = decontaminate(
+        batch, benchmark, n=ngram_n, min_hits=min_hits,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, "n_hits")
+    store_hashes = (
+        store.select(F.sha2(F.col(text_col), 256).alias("_h"))
+        .distinct()
+        .withColumn("_exact", F.lit(1))
+    )
+    base = (
+        batch.repartition(n_parts, id_col)
+        .withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withColumn("len_words", TX.n_words(text_col).cast("bigint"))
+        .withColumn("punct_ratio", TX.punct_ratio(text_col))
+        .withColumn("lang_pred", TX.lang_id(text_col))
+    )
+    joined = (
+        base.join(store_hashes, "_h", "left")
+        .join(probe, id_col, "left")
+        .join(decon, id_col, "left")
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    low_q = (
+        (F.col("len_words") < min_words)
+        | (F.col("punct_ratio") > max_punct)
+        | (~F.col("lang_pred").isin(*langs))
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("_exact") == 1, "exact_dup")
+        .when(F.col("dup_of").isNotNull(), "near_dup")
+        .when(n_hits >= min_hits, "contaminated")
+        .when(low_q, "low_quality")
+        .otherwise("admitted")
+        .alias("disposition"),
+        "dup_of",
+        n_hits.alias("n_hits"),
+        "len_words",
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,

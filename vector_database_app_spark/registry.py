@@ -6542,6 +6542,149 @@ def _dedup_incremental_oracle_sql(
 ORACLE["dedup_incremental"] = _dedup_incremental_oracle_sql()
 
 
+def q_admission_gate(spark, sf_dir):
+    """Steady-state corpus admission (operators/textops.admission_gate):
+    docs with doc_id % 10 = 5 (minus the staged benchmark, doc_id % 97
+    = 0) arrive against the remaining corpus as the fixed store; each
+    gets a first-match-wins disposition — exact_dup / near_dup /
+    contaminated / low_quality / admitted — plus the evidence columns.
+    Batch twin of streaming.windows.run_stream_admission."""
+    docs = _docs_parallel(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 10 == 5) & (F.col("doc_id") % 97 != 0)
+    )
+    store = docs.filter(
+        (F.col("doc_id") % 10 != 5) & (F.col("doc_id") % 97 != 0)
+    )
+    return textops.admission_gate(batch, store, bench)
+
+
+QUERIES["admission_gate"] = q_admission_gate
+
+
+def _admission_gate_oracle_sql(
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+    min_hits: int = 2,
+    min_words: int = 20,
+    max_punct: float = 0.1,
+) -> str:
+    """DuckDB replay of q_admission_gate, composed from the verified
+    pieces: side staging, sha256 exact probe, the md5-LSH incremental
+    probe (counting-form verify), benchmark gram contamination, and the
+    corpus_pipeline quality/language signals."""
+    rpb = n_hashes // bands
+    sh3 = _SQL_SHINGLES3.format(ws="ws", t="text")
+    mins = ",\n                 ".join(
+        f"min(md5(s || '|{i}')) AS m{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, side, {b} AS band, {key} AS key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+                 CASE WHEN doc_id % 97 = 0 THEN 'bench'
+                      WHEN doc_id % 10 = 5 THEN 'batch'
+                      ELSE 'store' END AS side
+          FROM documents
+        ), shingle_sets AS (
+          SELECT doc_id, side, list_distinct({sh3}) AS ss FROM d
+          WHERE side <> 'bench'
+        ), sh AS (
+          SELECT doc_id, side, unnest(ss) AS s FROM shingle_sets
+        ), sizes AS (
+          SELECT doc_id, len(ss) AS n FROM shingle_sets
+        ), sigs AS (
+          SELECT doc_id, side,
+                 {mins}
+          FROM sh GROUP BY doc_id, side
+        ), banded AS (
+          {band_rows}
+        ), ok_keys AS (
+          SELECT band, key FROM banded WHERE side = 'store'
+          GROUP BY band, key HAVING count(*) <= 1000
+        ), cand AS (
+          SELECT DISTINCT s.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded s
+          JOIN ok_keys k ON k.band = s.band AND k.key = s.key
+          JOIN banded b ON b.band = s.band AND b.key = s.key
+          WHERE s.side = 'store' AND b.side = 'batch'
+        ), inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS cnt
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.id_a
+          JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+          GROUP BY 1, 2
+        ), dups AS (
+          SELECT i.id_b, min(i.id_a) AS dup_of
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.cnt / (sa.n + sb.n - i.cnt), 6) >= {threshold}
+          GROUP BY i.id_b
+        ), g AS (
+          SELECT doc_id, side,
+                 unnest(list_distinct({sh3})) AS ngram
+          FROM d
+        ), bench_grams AS (
+          SELECT DISTINCT ngram FROM g WHERE side = 'bench'
+        ), hits AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM g JOIN bench_grams USING (ngram)
+          WHERE g.side = 'batch'
+          GROUP BY g.doc_id
+        ), store_hashes AS (
+          SELECT DISTINCT sha256(text) AS h FROM d WHERE side = 'store'
+        ), scored AS (
+          SELECT doc_id, sha256(text) AS h,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS BIGINT) AS len_words,
+                 round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       / nullif(length(text), 0), 6) AS punct_ratio,
+                 CASE WHEN contains(t,' the ') OR contains(t,' and ')
+                           OR contains(t,' of ') THEN 'en'
+                      WHEN contains(t,' le ') OR contains(t,' la ')
+                           OR contains(t,' et ') THEN 'fr'
+                      WHEN contains(t,' el ') OR contains(t,' los ')
+                           OR contains(t,' y ') THEN 'es'
+                      WHEN contains(t,' der ') OR contains(t,' und ')
+                           OR contains(t,' die ') THEN 'de'
+                      WHEN contains(t,'的') OR contains(t,'是')
+                           OR contains(t,'了') THEN 'zh'
+                      ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t
+                FROM d WHERE side = 'batch')
+        )
+        SELECT s.doc_id,
+               CASE WHEN sh.h IS NOT NULL THEN 'exact_dup'
+                    WHEN u.dup_of IS NOT NULL THEN 'near_dup'
+                    WHEN coalesce(h.n_hits, 0) >= {min_hits}
+                        THEN 'contaminated'
+                    WHEN s.len_words < {min_words}
+                         OR s.punct_ratio > {max_punct}
+                         OR s.lang_pred NOT IN ('en','fr','es')
+                        THEN 'low_quality'
+                    ELSE 'admitted' END AS disposition,
+               u.dup_of,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               s.len_words
+        FROM scored s
+        LEFT JOIN store_hashes sh ON sh.h = s.h
+        LEFT JOIN dups u ON u.id_b = s.doc_id
+        LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """
+
+
+ORACLE["admission_gate"] = _admission_gate_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #

@@ -533,3 +533,41 @@ def run_stream_dedup_probe(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_admission(
+    doc_stream: DataFrame,
+    store: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    **gate_kwargs,
+) -> None:
+    """CONTINUOUS corpus admission: every micro-batch of arriving docs
+    goes through the UNCHANGED `operators.textops.admission_gate`
+    (exact-hash probe → LSH near-dup probe → contamination → quality,
+    first match wins) against a fixed store snapshot + broadcast
+    benchmark, appending one auditable disposition row per doc — the
+    streaming form of the corpus_pipeline/admission_gate batch DAG and
+    the last piece of the continuous-ingest story (files arrive →
+    ingest_stream chunks them → this decides what enters the training
+    corpus).
+
+    Same twin convention as run_stream_dedup_probe: the oracle-checked
+    `admission_gate` registry form is the correctness evidence; the
+    streaming test pins parity across arrival waves. Checkpointed file
+    source ⇒ each doc is decided exactly once across restarts."""
+    from ..operators.textops import admission_gate
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        out = admission_gate(batch_df, store, benchmark, **gate_kwargs)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
