@@ -791,6 +791,26 @@ def decontaminate(
     )
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization — the first mapper of most training
+    pipelines: lowercase, control characters → space, whitespace runs
+    collapsed, trimmed; emits before/after lengths for the shrinkage
+    audit. Pure JVM expressions in one shuffle-free scan (whole-stage
+    codegen); Unicode NFC/NFKC normalization needs ICU and belongs in an
+    Arrow UDF slot like the other library-backed stages."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
+    t = F.trim(F.regexp_replace(t, "[ \\t\\n\\r]+", " "))
+    return df.select(
+        id_col,
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        t.alias("text_norm"),
+        F.length(t).cast("bigint").alias("n_chars_norm"),
+    )
+
+
 def admission_gate(
     batch: DataFrame,
     store: DataFrame,

@@ -6685,6 +6685,28 @@ def _admission_gate_oracle_sql(
 ORACLE["admission_gate"] = _admission_gate_oracle_sql()
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (operators/textops.normalize_text):
+    lowercase + control-char scrub + whitespace collapse + trim with a
+    before/after length audit — one shuffle-free codegen scan."""
+    return textops.normalize_text(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["text_normalize"] = q_text_normalize
+
+ORACLE["text_normalize"] = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS text_norm,
+           CAST(length(trim(regexp_replace(
+               regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+               '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
