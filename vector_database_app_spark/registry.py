@@ -6721,6 +6721,24 @@ ORACLE["text_normalize"] = r"""
 # sf0.001 and the documented sf0.01 sweep.
 # ---------------------------------------------------------------------------
 
+# ROUND-4 ROTATION NOTE: after this round banks the 50 below, the
+# never-driver-verified oracle-ready remainder is 55 queries — next
+# round, replace this list with (roughly) them and the overflow waits
+# one more round: the 9 remaining sql_* shapes, rag_rerank,
+# hybrid_search, ngram_jaccard, corpus_filter[_relative],
+# dedup_edit_distance, knn_filtered/knn_range_search, events_pipeline/
+# retention, rrf_fusion, doc_fingerprint, top_terms_per_lang,
+# sample_stratified/mixture, boilerplate_ngrams, profile_table/
+# profile_embeddings, embed_quantize/centroid, join_salted/join_right,
+# rag_mmr, pyds_synthetic_docs, multimodal_meta, frame_sample,
+# stream_attribution, token_histogram, chunk_sliding, window_ntile,
+# agg_grouping_sets, timeseries_gapfill, k_anonymity,
+# agg_skew_twophase, graph_pagerank, late_interaction_search, and the
+# round-3 additions (ann_probe_sweep, dedup_lsh_sweep, dedup_prune,
+# dedup_incremental, admission_gate, contamination_report,
+# mixture_plan, text_normalize, dedup_*_sampled). Verify any new window
+# with the sf0.01 mirror BEFORE shipping the order.
+
 _DRIVER_WINDOW_R3 = [
     # dedup family (9)
     "dedup_minhash_md5",
