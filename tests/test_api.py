@@ -207,3 +207,24 @@ def test_w2v_search_before_ingest_raises(spark, tmp_path):
     )
     with pytest.raises(RuntimeError):
         vdb.run_search({"text": "anything"})
+
+
+def test_w2v_fully_oov_query_searches_without_error(w2v_db):
+    """An all-OOV query embeds to the zero vector (the documented
+    convention); cosine must score it 0.0 everywhere, NOT raise
+    DIVIDE_BY_ZERO under ANSI mode (advisor r3 finding)."""
+    out = w2v_db.run_search({"text": "qqqzzz xyzzyx wwwvvv"}, top_n=2)
+    assert isinstance(out["sources"], list)
+
+
+def test_w2v_dim_mismatch_on_reopen_raises(spark, w2v_db):
+    """Reopening a 16-dim store with the default dim=64 must raise with
+    the actionable dimension, not silently search an empty space."""
+    reopened = VectorDatabase(
+        spark,
+        w2v_db.save_dir,
+        text_embedding_model="local-word2vec",
+        dim=64,
+    )
+    with pytest.raises(ValueError, match="16"):
+        reopened.run_search({"text": "vector search"})

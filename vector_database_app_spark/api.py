@@ -88,6 +88,36 @@ class VectorDatabase:
 
     # -- embedding-model routing ------------------------------------------
 
+    def _w2v_loaded_backend(self):
+        """The frozen Word2Vec backend for this store, built at most once
+        per model-file version: re-broadcasting the vocabulary on every
+        search would leak one Spark broadcast per query (advisor r3
+        finding), so the constructed backend is memoized keyed on the
+        model file's (size, mtime_ns). Also validates the STORED model's
+        dimension against this facade's `dim` — a silent mismatch would
+        tag queries with the wrong space and return empty results."""
+        from .functions import backends as B
+
+        st = os.stat(self.w2v_path)
+        key = (st.st_size, st.st_mtime_ns)
+        cached = getattr(self, "_w2v_cache", None)
+        if cached and cached[0] == key:
+            return cached[1]
+        vecs = B.load_word2vec_vectors(self.w2v_path)
+        model_dim = len(next(iter(vecs.values()))) if vecs else self.dim
+        if model_dim != self.dim:
+            raise ValueError(
+                f"this store's Word2Vec model is {model_dim}-dimensional "
+                f"but the facade was opened with dim={self.dim} — reopen "
+                f"with dim={model_dim} (the model is frozen at training "
+                "dimension)"
+            )
+        backend = B.word2vec_backend_from_vectors(
+            self.spark, vecs, model_dim
+        )
+        self._w2v_cache = (key, backend)
+        return backend
+
     def _w2v_backend_factory(self, parsed):
         """Factory handed to `ingest.ingest_folder`: load the frozen model
         if one was already trained for this store, else fit Word2Vec on
@@ -96,15 +126,14 @@ class VectorDatabase:
         from .functions import backends as B
 
         if os.path.exists(self.w2v_path):
-            vecs = B.load_word2vec_vectors(self.w2v_path)
-        else:
-            corpus = parsed.filter(
-                F.col("content_type") == "text_chunk"
-            ).select(F.col("content_raw").alias("text"))
-            vecs = B.train_word2vec_vectors(
-                self.spark, corpus, dim=self.dim, min_count=2, seed=7
-            )
-            B.save_word2vec_vectors(vecs, self.w2v_path)
+            return self._w2v_loaded_backend()
+        corpus = parsed.filter(
+            F.col("content_type") == "text_chunk"
+        ).select(F.col("content_raw").alias("text"))
+        vecs = B.train_word2vec_vectors(
+            self.spark, corpus, dim=self.dim, min_count=2, seed=7
+        )
+        B.save_word2vec_vectors(vecs, self.w2v_path)
         return B.word2vec_backend_from_vectors(self.spark, vecs, self.dim)
 
     def _ingest_text_backend(self):
@@ -125,10 +154,7 @@ class VectorDatabase:
                     "no trained Word2Vec model in this store — ingest "
                     "first (the model is fit on the first batch)"
                 )
-            vecs = B.load_word2vec_vectors(self.w2v_path)
-            return B.word2vec_backend_from_vectors(
-                self.spark, vecs, self.dim
-            )
+            return self._w2v_loaded_backend()
         name = TEXT_EMBED_MODELS[self.text_embedding_model]
         return None if name is None else B.resolve_text_backend(name)
 

@@ -48,8 +48,18 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """cosine = dot/(||a||*||b||). For vectors normalized at write time
     (write invariant, mirroring the reference's normalize-in-every-embedder,
     `rag_search/vector_db.py:460,488,506,525,543`) this equals `dot`, but we
-    compute the full form so the operator is correct for any input."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    compute the full form so the operator is correct for any input.
+
+    Zero-safe: a zero-norm side (the engine's OOV-only Word2Vec
+    convention, quarantined rows) scores 0.0 — under Spark 4's default
+    ANSI mode a bare division would raise DIVIDE_BY_ZERO and kill the
+    whole search the first time an all-OOV query or chunk appears
+    (advisor r3 finding). Values for nonzero vectors are bit-identical
+    to the unguarded form."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > F.lit(0.0), dot(a, b) / denom).otherwise(
+        F.lit(0.0)
+    )
 
 
 def cosine_rounded(a: Column | str, b: Column | str, scale: int = 6) -> Column:

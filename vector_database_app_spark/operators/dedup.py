@@ -344,6 +344,33 @@ def simhash_md5_signatures(
     )
 
 
+def _md5_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Per-doc md5 minhash minima (columns ``_m0.._m{n-1}``) over distinct
+    word shingles — the ONE definition of the md5-family signature stage
+    shared by every consumer (lsh_band_sweep, md5_band_keys,
+    minhash_near_dups_md5), so the sweep's measured recall, the stored
+    incremental index, and the batch near-dup pipeline can never diverge
+    on hash family or shingling."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, shingle_n))
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def lsh_band_sweep(
     df: DataFrame,
     text_col: str = "text",
@@ -382,17 +409,9 @@ def lsh_band_sweep(
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     base = df.repartition(n_parts, id_col)
-    sh = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(TX.shingles(text_col, shingle_n))
-        ).alias("s"),
+    sigs = _md5_signatures(
+        base, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
 
     structs = []
     for bands in band_configs:
@@ -507,17 +526,9 @@ def md5_band_keys(
     probes become partition-pruned equi-joins instead of corpus rescans."""
     if n_hashes % bands:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(TX.shingles(text_col, shingle_n))
-        ).alias("s"),
+    sigs = _md5_signatures(
+        df, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
     rpb = n_hashes // bands
     band_structs = F.array(
         *[
@@ -647,17 +658,9 @@ def minhash_near_dups_md5(
     degenerate buckets, pair expansion never all-pairs."""
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(n_parts, id_col)
-    sh = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(TX.shingles(text_col, shingle_n))
-        ).alias("s"),
+    sigs = _md5_signatures(
+        base, text_col, id_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
     if n_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     rpb = n_hashes // bands

@@ -924,37 +924,45 @@ def contamination_report(
         )
         .distinct()
     )
-    per_doc = corpus.repartition(n_parts, id_col).select(
+    # ONE corpus scan: carry the per-doc gram count through the explode,
+    # LEFT-join the broadcast benchmark set to flag hits, and fold both
+    # counters in a single keyed aggregation (two consumers of the
+    # shingle stage would run the expensive n-gram assembly twice —
+    # advisor r3 finding). Shingles are never empty (the <n-words
+    # fallback emits the whole text), so no doc drops out of the explode.
+    exploded = corpus.repartition(n_parts, id_col).select(
         F.col(id_col),
         F.array_distinct(TX.shingles(text_col, n)).alias("_g"),
+    ).select(
+        id_col,
+        F.size("_g").cast("bigint").alias("_n_grams"),
+        F.explode("_g").alias("ngram"),
     )
-    totals = per_doc.select(
-        id_col, F.size("_g").cast("bigint").alias("n_grams")
-    )
-    hits = (
-        per_doc.select(F.col(id_col), F.explode("_g").alias("ngram"))
-        .join(F.broadcast(bench_grams), "ngram")
+    counted = (
+        exploded.join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            "ngram",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .agg(
+            F.first("_n_grams").alias("n_grams"),
+            F.count("_hit").cast("bigint").alias("n_hits"),
+        )
     )
     frac = F.round(
-        F.coalesce("n_hits", F.lit(0))
-        / F.greatest(F.col("n_grams"), F.lit(1)),
-        6,
+        F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 6
     )
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
-            frac.alias("overlap_frac"),
-            F.when(frac >= 0.5, "high")
-            .when(frac >= 0.1, "medium")
-            .when(frac > 0, "low")
-            .otherwise("clean")
-            .alias("severity"),
-        )
+    return counted.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        frac.alias("overlap_frac"),
+        F.when(frac >= 0.5, "high")
+        .when(frac >= 0.1, "medium")
+        .when(frac > 0, "low")
+        .otherwise("clean")
+        .alias("severity"),
     )
 
 
@@ -977,12 +985,20 @@ def mixture_plan(
     One groupBy on the mixing key; targets are plan-time literals from
     the weights dict (no count() at construction); groups absent from
     `weights` get target 0 (explicitly excluded, never silently
-    re-weighted)."""
+    re-weighted); groups named in `weights` but ABSENT from the corpus
+    still get a row (avail 0, deficit 1) — the worst-case shortfall must
+    be visible in the report, not missing from it (advisor r3
+    finding)."""
     toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     )
-    avail = docs.groupBy(group_col).agg(
-        F.sum(toks).cast("bigint").alias("avail_tokens")
+    wanted = docs.sparkSession.createDataFrame(
+        [(g,) for g in sorted(weights)], f"{group_col} string"
+    )
+    avail = (
+        docs.groupBy(group_col)
+        .agg(F.sum(toks).cast("bigint").alias("avail_tokens"))
+        .join(wanted, group_col, "full")
     )
     target = F.lit(0).cast("bigint")
     for g, wgt in sorted(weights.items()):
@@ -990,21 +1006,24 @@ def mixture_plan(
             F.col(group_col) == g,
             F.lit(int(budget_tokens * wgt)).cast("bigint"),
         ).otherwise(target)
+    # NULL-safe availability: for a wanted-but-absent group the full join
+    # leaves avail NULL, and bare least()/comparison would mishandle it
+    # (Spark's least skips NULLs, NULL<target is NULL — planned/deficit
+    # would silently lie for exactly the missing-group case this exists
+    # to report)
+    av = F.coalesce("avail_tokens", F.lit(0).cast("bigint"))
     return avail.select(
         group_col,
-        "avail_tokens",
+        av.alias("avail_tokens"),
         target.alias("target_tokens"),
         F.round(
-            F.when(
-                F.col("avail_tokens") > 0,
-                F.least(
-                    F.lit(1.0), target / F.col("avail_tokens")
-                ),
-            ).otherwise(F.lit(0.0)),
+            F.when(av > 0, F.least(F.lit(1.0), target / av)).otherwise(
+                F.lit(0.0)
+            ),
             6,
         ).alias("sample_rate"),
-        F.least(F.col("avail_tokens"), target).alias("planned_tokens"),
-        (F.col("avail_tokens") < target).cast("int").alias("deficit"),
+        F.least(av, target).alias("planned_tokens"),
+        (av < target).cast("int").alias("deficit"),
     )
 
 

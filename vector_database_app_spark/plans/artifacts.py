@@ -48,17 +48,28 @@ def artifacts_root() -> str:
     return os.path.join(os.path.dirname(pkg), "spark-warehouse", "ann_artifacts")
 
 
+#: Bump when a trainer's ALGORITHM changes in a value-affecting way —
+#: the key has no code-content component, so without a version bump a
+#: fixed trainer would keep serving pre-fix cached artifacts.
+FORMAT_VERSION = 1
+
+
 def artifact_key(sf_dir: str, op: str, params: dict, *, source: str) -> str:
-    """Content-addressed key: op + params + source parquet fingerprint
-    (size + mtime — regenerating the dataset invalidates the artifact)."""
-    fp: list = []
+    """Content-addressed key: format version + op + params + source
+    parquet fingerprint (size + NANOSECOND mtime — regenerating the
+    dataset invalidates the artifact even inside one second). A source
+    that cannot be stat'ed keys as 'missing' — distinct from every real
+    fingerprint, so a transient stat failure can never alias a stale
+    artifact onto the real data's key."""
     src = os.path.join(sf_dir, source)
     try:
         st = os.stat(src)
-        fp = [st.st_size, int(st.st_mtime)]
+        fp: list = [st.st_size, st.st_mtime_ns]
     except OSError:
-        pass
-    raw = json.dumps([os.path.abspath(sf_dir), op, sorted(params.items()), fp])
+        fp = ["missing"]
+    raw = json.dumps(
+        [FORMAT_VERSION, os.path.abspath(sf_dir), op, sorted(params.items()), fp]
+    )
     return f"{op}-{hashlib.sha256(raw.encode()).hexdigest()[:16]}"
 
 

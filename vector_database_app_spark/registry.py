@@ -6262,7 +6262,17 @@ def q_mixture_plan(spark, sf_dir):
     sampler consumes. The planning stage ahead of sample_mixture."""
     return textops.mixture_plan(
         _t(spark, sf_dir, "documents"),
-        {"en": 0.5, "de": 0.1, "es": 0.15, "fr": 0.1, "zh": 0.15},
+        # 'ja' is deliberately ABSENT from the corpus: the plan must
+        # surface the unfillable quota as (avail 0, deficit 1), not
+        # silently omit the row
+        {
+            "en": 0.45,
+            "de": 0.1,
+            "es": 0.15,
+            "fr": 0.1,
+            "zh": 0.15,
+            "ja": 0.05,
+        },
         budget_tokens=100_000,
         group_col="lang",
     )
@@ -6351,18 +6361,26 @@ ORACLE["contamination_report"] = f"""
 """
 
 ORACLE["mixture_plan"] = """
-    WITH avail AS (
+    WITH wanted AS (
+      SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr'), ('ja'), ('zh'))
+          AS w(lang)
+    ), raw AS (
       SELECT lang,
              CAST(sum(len(list_filter(string_split(text, ' '),
                                        w -> w <> ''))) AS BIGINT)
                  AS avail_tokens
       FROM documents GROUP BY lang
+    ), avail AS (
+      SELECT COALESCE(r.lang, w.lang) AS lang,
+             CAST(COALESCE(r.avail_tokens, 0) AS BIGINT) AS avail_tokens
+      FROM raw r FULL JOIN wanted w ON w.lang = r.lang
     ), tgt AS (
       SELECT lang, avail_tokens,
              CAST(CASE lang
-                  WHEN 'en' THEN 50000 WHEN 'de' THEN 10000
+                  WHEN 'en' THEN 45000 WHEN 'de' THEN 10000
                   WHEN 'es' THEN 15000 WHEN 'fr' THEN 10000
-                  WHEN 'zh' THEN 15000 ELSE 0 END AS BIGINT)
+                  WHEN 'zh' THEN 15000 WHEN 'ja' THEN 5000
+                  ELSE 0 END AS BIGINT)
                  AS target_tokens
       FROM avail
     )

@@ -442,27 +442,38 @@ def ingest_folder(
     if existing is not None:
         files = dedup_against_store(files, existing)
     parsed = parse_chunks(files)
-    pinned = False
     from ..functions.backends import TextEmbedBackend
 
-    if callable(text_backend) and not isinstance(
+    factory_given = callable(text_backend) and not isinstance(
         text_backend, TextEmbedBackend
-    ):
-        # training reads the text rows, embedding reads them again —
-        # persist so the binaryFile scan + Arrow parse run once
+    )
+    # Persist ONLY when a factory will train AND the pipeline
+    # materializes inside this function (store branch): training reads
+    # the text rows and the write reads them again, so the cache pays
+    # for itself and is released in the finally below. In the
+    # no-store branch the caller owns materialization — persisting here
+    # would leak cached blocks for the session (advisor r3 finding);
+    # the factory's training pass just re-parses (two scans, no leak).
+    pinned = factory_given and store_path is not None
+    if pinned:
         parsed = parsed.persist()
-        pinned = True
+    if factory_given:
         text_backend = text_backend(parsed)
     if store_path is not None:
-        # pin THIS batch's hash list before writing: the readback semi-join
-        # below must not re-run the scan/parse pipeline (and a file changing
-        # on disk between two scans would otherwise make the returned rows
-        # disagree with what was written)
-        batch_hashes = files.select("file_hash").localCheckpoint(eager=True)
-        chunks = embed_chunks(parsed, dim, text_backend)
-        write_chunks(chunks, store_path)
-        if pinned:
-            parsed.unpersist()
+        try:
+            # pin THIS batch's hash list before writing: the readback
+            # semi-join below must not re-run the scan/parse pipeline
+            # (and a file changing on disk between two scans would
+            # otherwise make the returned rows disagree with what was
+            # written)
+            batch_hashes = files.select("file_hash").localCheckpoint(
+                eager=True
+            )
+            chunks = embed_chunks(parsed, dim, text_backend)
+            write_chunks(chunks, store_path)
+        finally:
+            if pinned:
+                parsed.unpersist()
         return spark.read.parquet(store_path).join(
             batch_hashes, "file_hash", "left_semi"
         )
