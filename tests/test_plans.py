@@ -474,13 +474,18 @@ def test_dedup_prune_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_mixture_plan_single_agg_no_join(spark):
-    """mixture_plan: one partial+final hash aggregation on the mixing key;
-    targets are literals (no second scan, no join of any kind)."""
+def test_mixture_plan_one_scan_one_agg_shuffle(spark):
+    """mixture_plan: ONE corpus scan feeding one partial+final hash
+    aggregation on the mixing key; the full-outer join against the
+    wanted-groups literal frame (the advisor fix that surfaces
+    absent-group deficits) reuses the agg's partitioning on the big side
+    — the only other exchange moves the tiny literal relation. Targets
+    stay literals: no second corpus scan."""
     df = QUERIES["mixture_plan"](spark, SF)
     plan = explain_str(df)
-    assert "Join" not in plan, plan
-    # exactly one shuffle: the partial->final exchange of the group agg
-    # (the detail section repeats each node, so count the tree lines)
     tree = plan.split("(1) ")[0]
-    assert tree.count("Exchange") == 1, plan
+    assert tree.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin FullOuter" in plan, plan
+    # two exchanges max: agg partial->final + the literal frame's shuffle
+    assert tree.count("Exchange") <= 2, plan
