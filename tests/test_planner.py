@@ -125,3 +125,24 @@ def test_matryoshka_fallback_branch(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want
+
+
+def test_choose_n_probe_from_measured_sweep(spark):
+    """The planner picks the cheapest measured operating point that meets
+    the recall target, falls back to the widest probe when nothing does,
+    and to the default on an empty sweep."""
+    from vector_database_app_spark.operators import search
+    from vector_database_app_spark.plans.ann_planner import choose_n_probe
+    from vector_database_app_spark.registry import QUERIES
+
+    sweep = QUERIES["ann_probe_sweep"](spark, "/root/testdata/sf0.001")
+    n, r = choose_n_probe(sweep, target_recall=0.5)
+    rows = {int(x["n_probe"]): float(x["recall"]) for x in sweep.collect()}
+    assert r == rows[n] and r >= 0.5
+    assert all(rows[m] < 0.5 for m in rows if m < n), "not the cheapest"
+    # unreachable target -> widest probe, achieved recall reported
+    n_hi, r_hi = choose_n_probe(sweep, target_recall=1.1)
+    assert n_hi == max(rows) and r_hi == rows[n_hi]
+    # empty sweep -> default
+    empty = spark.createDataFrame([], "n_probe int, recall double")
+    assert choose_n_probe(empty, target_recall=0.9) == (2, 0.0)

@@ -117,6 +117,32 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def choose_n_probe(
+    sweep: DataFrame, *, target_recall: float, default: int = 2
+) -> tuple[int, float]:
+    """Pick the IVF operating point FROM MEASUREMENT: the smallest
+    n_probe in an `operators.search.ivf_probe_sweep` result whose
+    measured recall meets `target_recall` — the planner-side consumer of
+    the recall harness (measure, don't guess: the sweep's cost column
+    shows each extra probe's price; this picks the cheapest point that
+    meets the SLO). Returns (n_probe, achieved_recall).
+
+    Falls back to the LARGEST swept n_probe when nothing meets the
+    target (callers see the achieved recall and can widen the sweep or
+    lower the target), and to (`default`, 0.0) on an empty sweep. The
+    collect is the sweep's own output — a handful of rows."""
+    rows = sorted(
+        (int(r["n_probe"]), float(r["recall"]))
+        for r in sweep.select("n_probe", "recall").collect()
+    )
+    if not rows:
+        return default, 0.0
+    for n, r in rows:
+        if r >= target_recall:
+            return n, r
+    return rows[-1]
+
+
 def plan_topk_similarity(
     corpus: DataFrame,
     queries: DataFrame,
