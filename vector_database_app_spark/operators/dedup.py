@@ -557,6 +557,7 @@ def incremental_dedup_probe(
     shingle_n: int = 3,
     threshold: float = 0.9,
     max_bucket_size: int = 1000,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """ADMISSION-TIME near-dup probe: decide, per incoming batch doc,
     whether it duplicates something already IN the corpus — without
@@ -582,16 +583,26 @@ def incremental_dedup_probe(
     Emergent property the test pins: probing is ORDER-INSENSITIVE across
     micro-batches against a FIXED store snapshot; dup-of-each-other docs
     arriving in the same batch are both admitted (intra-batch dedup is
-    `dedup_within_batch` / minhash_near_dups' job, run before admission)."""
-    s_bands = md5_band_keys(
-        store.repartition(
-            store.sparkSession.sparkContext.defaultParallelism, id_col
-        ),
-        text_col,
-        id_col,
-        n_hashes=n_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
+    `dedup_within_batch` / minhash_near_dups' job, run before admission).
+
+    `store_bands`: pass the PRECOMPUTED `md5_band_keys(store, ...)` table
+    (same n_hashes/bands/shingle_n) to skip re-deriving the store's
+    signatures — the streaming wrappers persist it once per run so each
+    micro-batch pays only the batch-side work; production stores it as a
+    band-partitioned table."""
+    s_bands = (
+        store_bands
+        if store_bands is not None
+        else md5_band_keys(
+            store.repartition(
+                store.sparkSession.sparkContext.defaultParallelism, id_col
+            ),
+            text_col,
+            id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
     )
     ok_keys = (
         s_bands.groupBy("band", "key")

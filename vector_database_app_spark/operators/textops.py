@@ -824,6 +824,7 @@ def admission_gate(
     near_dup_threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """`corpus_pipeline`'s STEADY-STATE sibling: admission decisions for
     ARRIVING docs against a fixed corpus snapshot, instead of one batch
@@ -854,6 +855,7 @@ def admission_gate(
         id_col=id_col,
         shingle_n=ngram_n,
         threshold=near_dup_threshold,
+        store_bands=store_bands,
     ).select(id_col, "dup_of")
     decon = decontaminate(
         batch, benchmark, n=ngram_n, min_hits=min_hits,

@@ -518,11 +518,27 @@ def run_stream_dedup_probe(
     stream_index_update all do the same), so the oracle-checked
     `dedup_incremental` registry form IS this operator's correctness
     evidence; the streaming test pins parity. Checkpointed file source ⇒
-    each doc is probed exactly once across restarts."""
-    from ..operators.dedup import incremental_dedup_probe
+    each doc is probed exactly once across restarts.
+
+    The store's banded signature index is computed ONCE per run and
+    persisted (released after the drain) — without this every
+    micro-batch would re-derive the store signatures, making per-batch
+    cost scale with the store instead of the batch."""
+    from ..operators.dedup import incremental_dedup_probe, md5_band_keys
+
+    bands = md5_band_keys(
+        store,
+        probe_kwargs.get("text_col", "text"),
+        probe_kwargs.get("id_col", "doc_id"),
+        n_hashes=probe_kwargs.get("n_hashes", 8),
+        bands=probe_kwargs.get("bands", 4),
+        shingle_n=probe_kwargs.get("shingle_n", 3),
+    ).persist()
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        out = incremental_dedup_probe(batch_df, store, **probe_kwargs)
+        out = incremental_dedup_probe(
+            batch_df, store, store_bands=bands, **probe_kwargs
+        )
         out.write.mode("append").parquet(out_dir)
 
     q = (
@@ -532,7 +548,10 @@ def run_stream_dedup_probe(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        bands.unpersist()
 
 
 def run_stream_admission(
@@ -556,11 +575,26 @@ def run_stream_admission(
     Same twin convention as run_stream_dedup_probe: the oracle-checked
     `admission_gate` registry form is the correctness evidence; the
     streaming test pins parity across arrival waves. Checkpointed file
-    source ⇒ each doc is decided exactly once across restarts."""
+    source ⇒ each doc is decided exactly once across restarts. The
+    store's banded LSH index is computed once per run and persisted
+    (released after the drain), so per-batch cost scales with the batch,
+    not the store."""
+    from ..operators.dedup import md5_band_keys
     from ..operators.textops import admission_gate
 
+    bands = md5_band_keys(
+        store,
+        gate_kwargs.get("text_col", "text"),
+        gate_kwargs.get("id_col", "doc_id"),
+        n_hashes=8,
+        bands=4,
+        shingle_n=gate_kwargs.get("ngram_n", 3),
+    ).persist()
+
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        out = admission_gate(batch_df, store, benchmark, **gate_kwargs)
+        out = admission_gate(
+            batch_df, store, benchmark, store_bands=bands, **gate_kwargs
+        )
         out.write.mode("append").parquet(out_dir)
 
     q = (
@@ -570,4 +604,7 @@ def run_stream_admission(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        bands.unpersist()
