@@ -6725,6 +6725,59 @@ ORACLE["text_normalize"] = r"""
 """
 
 
+def q_corpus_release_manifest(spark, sf_dir):
+    """The corpus RELEASE MANIFEST: the audit table a training-data
+    release ships alongside its shards — doc and token counts per
+    admission disposition, per train/val/test split, and per language
+    within the kept set, in one unioned (metric, key, n_docs, n_tokens)
+    table. Composes the oracle-checked corpus_pipeline output; its own
+    oracle reuses that query's SQL as a derived table, so the manifest
+    is value-verified end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    base = textops.corpus_pipeline(docs)
+
+    def _rollup(df, metric, key_col):
+        return df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("len_words").cast("bigint").alias("n_tokens"),
+        ).select(F.lit(metric).alias("metric"), "key", "n_docs", "n_tokens")
+
+    disp = _rollup(base, "disposition", "disposition")
+    spl = _rollup(base, "split", "split")
+    kept_lang = _rollup(
+        base.filter(F.col("disposition") == "kept").join(
+            docs.select("doc_id", "lang"), "doc_id"
+        ),
+        "kept_lang",
+        "lang",
+    )
+    return disp.unionByName(spl).unionByName(kept_lang)
+
+
+QUERIES["corpus_release_manifest"] = q_corpus_release_manifest
+
+ORACLE["corpus_release_manifest"] = f"""
+    WITH base AS (
+      SELECT * FROM ({ORACLE["corpus_pipeline"]}) t
+    ), wl AS (
+      SELECT b.*, d.lang FROM base b
+      JOIN documents d USING (doc_id)
+    )
+    SELECT 'disposition' AS metric, disposition AS key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len_words) AS BIGINT) AS n_tokens
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'split', split, CAST(count(*) AS BIGINT),
+           CAST(sum(len_words) AS BIGINT)
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'kept_lang', lang, CAST(count(*) AS BIGINT),
+           CAST(sum(len_words) AS BIGINT)
+    FROM wl WHERE disposition = 'kept' GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
