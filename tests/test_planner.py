@@ -131,7 +131,6 @@ def test_choose_n_probe_from_measured_sweep(spark):
     """The planner picks the cheapest measured operating point that meets
     the recall target, falls back to the widest probe when nothing does,
     and to the default on an empty sweep."""
-    from vector_database_app_spark.operators import search
     from vector_database_app_spark.plans.ann_planner import choose_n_probe
     from vector_database_app_spark.registry import QUERIES
 

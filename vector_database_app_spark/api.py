@@ -134,7 +134,15 @@ class VectorDatabase:
             self.spark, corpus, dim=self.dim, min_count=2, seed=7
         )
         B.save_word2vec_vectors(vecs, self.w2v_path)
-        return B.word2vec_backend_from_vectors(self.spark, vecs, self.dim)
+        backend = B.word2vec_backend_from_vectors(
+            self.spark, vecs, self.dim
+        )
+        # seed the memo with the just-saved file's version so the first
+        # run_search reuses THIS broadcast instead of re-loading the JSON
+        # and broadcasting the vocabulary a second time
+        st = os.stat(self.w2v_path)
+        self._w2v_cache = ((st.st_size, st.st_mtime_ns), backend)
+        return backend
 
     def _ingest_text_backend(self):
         """What `embed_chunks` should use for this facade's model: None

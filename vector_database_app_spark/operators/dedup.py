@@ -511,19 +511,33 @@ def lsh_band_sweep(
     )
 
 
+#: The md5-LSH family's shared shape parameters — the SINGLE source of
+#: truth for every producer/consumer of banded signatures
+#: (incremental_dedup_probe, md5_band_keys, the streaming wrappers): a
+#: store index and a batch probe built from different values would
+#: band-join on structurally incompatible keys and silently admit every
+#: near-duplicate.
+MD5_LSH_DEFAULTS = {"n_hashes": 8, "bands": 4, "shingle_n": 3}
+
+
 def md5_band_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    n_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
+    n_hashes: int = MD5_LSH_DEFAULTS["n_hashes"],
+    bands: int = MD5_LSH_DEFAULTS["bands"],
+    shingle_n: int = MD5_LSH_DEFAULTS["shingle_n"],
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id, band, key) banded md5-minhash table — the STORED index form an
     incremental dedup deployment keeps per corpus doc: write it once,
     partitioned by band (and bucketed by key at scale), and admission-time
-    probes become partition-pruned equi-joins instead of corpus rescans."""
+    probes become partition-pruned equi-joins instead of corpus rescans.
+
+    Pass `max_bucket_size` to drop degenerate buckets AT BUILD TIME (a
+    store-sized aggregation that should run once per index build, not
+    once per probe — the streaming wrappers rely on this)."""
     if n_hashes % bands:
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     sigs = _md5_signatures(
@@ -541,9 +555,18 @@ def md5_band_keys(
             for b in range(bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band", "bk.key"
+    out = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    if max_bucket_size is None:
+        return out
+    ok_keys = (
+        out.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("band", "key")
     )
+    return out.join(ok_keys, ["band", "key"], "left_semi")
 
 
 def incremental_dedup_probe(
@@ -552,9 +575,9 @@ def incremental_dedup_probe(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
+    n_hashes: int = MD5_LSH_DEFAULTS["n_hashes"],
+    bands: int = MD5_LSH_DEFAULTS["bands"],
+    shingle_n: int = MD5_LSH_DEFAULTS["shingle_n"],
     threshold: float = 0.9,
     max_bucket_size: int = 1000,
     store_bands: DataFrame | None = None,
@@ -585,11 +608,14 @@ def incremental_dedup_probe(
     arriving in the same batch are both admitted (intra-batch dedup is
     `dedup_within_batch` / minhash_near_dups' job, run before admission).
 
-    `store_bands`: pass the PRECOMPUTED `md5_band_keys(store, ...)` table
-    (same n_hashes/bands/shingle_n) to skip re-deriving the store's
-    signatures — the streaming wrappers persist it once per run so each
-    micro-batch pays only the batch-side work; production stores it as a
-    band-partitioned table."""
+    `store_bands`: pass the PRECOMPUTED, ALREADY-CAPPED
+    ``md5_band_keys(store, ..., max_bucket_size=...)`` table (same
+    n_hashes/bands/shingle_n — build from `MD5_LSH_DEFAULTS` to stay in
+    lockstep) to skip re-deriving the store's index: the streaming
+    wrappers persist it once per run, so each micro-batch pays ONLY
+    batch-side work — no store-sized aggregation or semi-join per
+    trigger. When absent, the index (including the degenerate-bucket
+    cap) is derived here from `store`."""
     s_bands = (
         store_bands
         if store_bands is not None
@@ -602,15 +628,9 @@ def incremental_dedup_probe(
             n_hashes=n_hashes,
             bands=bands,
             shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
         )
     )
-    ok_keys = (
-        s_bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket_size)
-        .select("band", "key")
-    )
-    s_bands = s_bands.join(ok_keys, ["band", "key"], "left_semi")
     b_bands = md5_band_keys(
         batch, text_col, id_col,
         n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,

@@ -994,8 +994,11 @@ def mixture_plan(
     toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     )
+    # mirror the corpus's actual group-key type (hardcoding string broke
+    # integer mixing keys — advisor follow-up)
+    gtype = docs.schema[group_col].dataType.simpleString()
     wanted = docs.sparkSession.createDataFrame(
-        [(g,) for g in sorted(weights)], f"{group_col} string"
+        [(g,) for g in sorted(weights)], f"{group_col} {gtype}"
     )
     avail = (
         docs.groupBy(group_col)

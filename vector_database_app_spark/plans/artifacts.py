@@ -66,7 +66,12 @@ def artifact_key(sf_dir: str, op: str, params: dict, *, source: str) -> str:
         st = os.stat(src)
         fp: list = [st.st_size, st.st_mtime_ns]
     except OSError:
-        fp = ["missing"]
+        # CACHE BYPASS, not a shared sentinel: a fixed 'missing' marker
+        # would let two different data generations alias one key across
+        # two transient stat failures — an unverifiable source must
+        # never be served a cached artifact, so the key is unique per
+        # call (trains fresh every time until stat works again)
+        fp = ["unstat", os.urandom(8).hex()]
     raw = json.dumps(
         [FORMAT_VERSION, os.path.abspath(sf_dir), op, sorted(params.items()), fp]
     )

@@ -51,10 +51,16 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
 
 #: DuckDB strict-order cosine matching functions.vector.cosine (dot in
 #: element order on double-cast arrays, then the same norm product form).
+#: Zero-safe like functions.vector.cosine (a zero-norm side scores 0.0,
+#: the engine's OOV/quarantine convention) — the oracle must replay the
+#: recorded semantics, not divide-by-zero where the engine returns 0.
 _SQL_COS = (
+    "(CASE WHEN sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])) > 0 THEN "
     "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6) "
+    "ELSE 0.0 END)"
 )
 
 #: DuckDB word-3-gram shingles matching functions.text.shingles (lowercase,

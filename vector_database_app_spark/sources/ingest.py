@@ -435,8 +435,13 @@ def ingest_folder(
     CALLABLE that is not itself a backend is treated as a factory
     ``parsed_chunks -> TextEmbedBackend`` — the hook corpus-trained models
     (Word2Vec) need: the factory sees the parsed text rows, trains/loads,
-    and the returned backend embeds those same rows (which are persisted
-    around the double scan)."""
+    and the returned backend embeds those same rows. With a store_path
+    the parsed rows are persisted around the train+embed double scan
+    (released after the write); WITHOUT a store_path the caller owns
+    materialization, so the embed pass re-reads the source files —
+    training and embedding see the same data only while the files don't
+    change between this call and the caller's action (the caveat every
+    lazy plan over mutable files carries)."""
     files = dedup_within_batch(with_file_meta(scan_binary_files(spark, folder)))
     existing = load_chunks(spark, store_path) if store_path else None
     if existing is not None:

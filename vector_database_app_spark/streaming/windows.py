@@ -524,15 +524,24 @@ def run_stream_dedup_probe(
     persisted (released after the drain) — without this every
     micro-batch would re-derive the store signatures, making per-batch
     cost scale with the store instead of the batch."""
-    from ..operators.dedup import incremental_dedup_probe, md5_band_keys
+    from ..operators.dedup import (
+        MD5_LSH_DEFAULTS,
+        incremental_dedup_probe,
+        md5_band_keys,
+    )
 
     bands = md5_band_keys(
         store,
         probe_kwargs.get("text_col", "text"),
         probe_kwargs.get("id_col", "doc_id"),
-        n_hashes=probe_kwargs.get("n_hashes", 8),
-        bands=probe_kwargs.get("bands", 4),
-        shingle_n=probe_kwargs.get("shingle_n", 3),
+        n_hashes=probe_kwargs.get("n_hashes", MD5_LSH_DEFAULTS["n_hashes"]),
+        bands=probe_kwargs.get("bands", MD5_LSH_DEFAULTS["bands"]),
+        shingle_n=probe_kwargs.get(
+            "shingle_n", MD5_LSH_DEFAULTS["shingle_n"]
+        ),
+        # cap degenerate buckets AT BUILD TIME: the cap depends only on
+        # the store, so per-batch probes skip the store-sized aggregation
+        max_bucket_size=probe_kwargs.get("max_bucket_size", 1000),
     ).persist()
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
@@ -579,16 +588,20 @@ def run_stream_admission(
     store's banded LSH index is computed once per run and persisted
     (released after the drain), so per-batch cost scales with the batch,
     not the store."""
-    from ..operators.dedup import md5_band_keys
+    from ..operators.dedup import MD5_LSH_DEFAULTS, md5_band_keys
     from ..operators.textops import admission_gate
 
     bands = md5_band_keys(
         store,
         gate_kwargs.get("text_col", "text"),
         gate_kwargs.get("id_col", "doc_id"),
-        n_hashes=8,
-        bands=4,
+        # shape params come from the md5-LSH single source of truth so
+        # the persisted store index can never diverge from the batch
+        # side the gate builds internally
+        n_hashes=MD5_LSH_DEFAULTS["n_hashes"],
+        bands=MD5_LSH_DEFAULTS["bands"],
         shingle_n=gate_kwargs.get("ngram_n", 3),
+        max_bucket_size=1000,
     ).persist()
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
