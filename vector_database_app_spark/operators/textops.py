@@ -791,6 +791,101 @@ def decontaminate(
     )
 
 
+def quality_calibration(
+    docs: DataFrame,
+    *,
+    fracs: tuple = (0.25, 0.5, 0.75, 0.9),
+    n_buckets: int = 64,
+    logit_lo: float = -2.0,
+    logit_hi: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-threshold CALIBRATION: for each target token fraction,
+    the classifier-logit cutoff that keeps exactly the best docs summing
+    to that fraction of corpus tokens — "keep the best X% of tokens" is
+    how real corpus builds choose a quality threshold, and guessing the
+    cutoff instead of calibrating it is how they over- or under-prune.
+    One row per target: (target_frac, cutoff_logit, docs_kept,
+    tokens_kept, achieved_frac). The quality sibling of ann_probe_sweep
+    / dedup_lsh_sweep.
+
+    Scale shape: the global order-by-quality running token sum uses the
+    bucketed TWO-PHASE prefix pattern (fixed value-range buckets on the
+    logit → parallel within-bucket windows → a ≤ n_buckets-row prefix
+    table broadcast back) — no SinglePartition window, same machinery as
+    curriculum_order/pack_sequences, and the result is IDENTICAL to the
+    naive global window, which is exactly what the DuckDB oracle
+    replays. Targets fan out over the (tiny, broadcast) fracs frame."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    cls = quality_classifier(docs, text_col, id_col).select(
+        id_col, "quality_logit"
+    )
+    toks = docs.select(
+        F.col(id_col), TX.n_words(text_col).cast("bigint").alias("_nw")
+    )
+    base = cls.join(toks, id_col)
+    span = (logit_hi - logit_lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            (
+                (F.lit(logit_hi) - F.col("quality_logit")) / F.lit(span)
+            ).cast("int"),
+        ),
+    )
+    base = base.withColumn("_b", bucket)
+    win = Window.partitionBy("_b").orderBy(
+        F.desc("quality_logit"), F.asc(id_col)
+    )
+    within = base.withColumn("_rk_in", F.row_number().over(win)).withColumn(
+        "_cum_in",
+        F.sum("_nw").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    btot = base.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_nw").alias("_t")
+    )
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = btot.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_n_before"),
+        F.coalesce(F.sum("_t").over(wb), F.lit(0)).alias("_t_before"),
+    )
+    cum = within.join(F.broadcast(prefix), "_b").select(
+        id_col,
+        "quality_logit",
+        (F.col("_rk_in") + F.col("_n_before")).cast("bigint").alias("_rk"),
+        (F.col("_cum_in") + F.col("_t_before")).cast("bigint").alias("_cum"),
+    )
+    total = base.agg(F.sum("_nw").cast("bigint").alias("_total"))
+    fr = spark.createDataFrame(
+        [(float(f),) for f in sorted(fracs)], "target_frac double"
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(fr))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_cum") >= F.col("target_frac") * F.col("_total"))
+    )
+    pick = cand.groupBy("target_frac").agg(F.min("_rk").alias("docs_kept"))
+    return (
+        pick.join(cum, pick["docs_kept"] == cum["_rk"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "target_frac",
+            F.col("quality_logit").alias("cutoff_logit"),
+            "docs_kept",
+            F.col("_cum").alias("tokens_kept"),
+            F.round(F.col("_cum") / F.col("_total"), 6).alias(
+                "achieved_frac"
+            ),
+        )
+        .orderBy("target_frac")
+    )
+
+
 def normalize_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

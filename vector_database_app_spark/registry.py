@@ -6784,6 +6784,55 @@ ORACLE["corpus_release_manifest"] = f"""
 """
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Quality-threshold calibration (operators/textops.quality_calibration):
+    the classifier-logit cutoff that keeps each target fraction of corpus
+    tokens — the measured way to pick a quality gate, one row per target
+    in {0.25, 0.5, 0.75, 0.9}. Two-phase bucketed prefix sums, no
+    SinglePartition window; the oracle replays the naive global-window
+    form (result proven identical by the value match)."""
+    return textops.quality_calibration(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_calibration"] = q_quality_calibration
+
+ORACLE["quality_calibration"] = f"""
+    WITH cls AS (
+      SELECT * FROM ({ORACLE["quality_classifier"]}) t
+    ), toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS nw
+      FROM documents
+    ), seq AS (
+      SELECT c.doc_id, c.quality_logit, k.nw,
+             CAST(sum(k.nw) OVER (
+                 ORDER BY c.quality_logit DESC, c.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             CAST(row_number() OVER (
+                 ORDER BY c.quality_logit DESC, c.doc_id
+             ) AS BIGINT) AS rk
+      FROM cls c JOIN toks k USING (doc_id)
+    ), tot AS (
+      SELECT CAST(sum(nw) AS BIGINT) AS total FROM toks
+    ), fracs AS (
+      SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS f(target_frac)
+    ), pick AS (
+      SELECT f.target_frac, min(s.rk) AS docs_kept
+      FROM seq s CROSS JOIN tot t
+      JOIN fracs f ON s.cum >= f.target_frac * t.total
+      GROUP BY 1
+    )
+    SELECT p.target_frac, s.quality_logit AS cutoff_logit,
+           p.docs_kept, s.cum AS tokens_kept,
+           round(s.cum / CAST(t.total AS DOUBLE), 6) AS achieved_frac
+    FROM pick p
+    JOIN seq s ON s.rk = p.docs_kept
+    CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
