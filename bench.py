@@ -56,6 +56,8 @@ HEADLINE = [
     "corpus_pipeline",
     "events_funnel",
     "bm25_rank",
+    "corpus_release_manifest",
+    "quality_calibration",
 ]
 
 
