@@ -826,7 +826,10 @@ def quality_calibration(
     toks = docs.select(
         F.col(id_col), TX.n_words(text_col).cast("bigint").alias("_nw")
     )
-    base = cls.join(toks, id_col)
+    # persist (lazy mark): the scored-and-tokenized table feeds the
+    # within-bucket windows AND the bucket-totals aggregate — without it
+    # the classifier feature expressions run twice per execution
+    base = cls.join(toks, id_col).persist()
     span = (logit_hi - logit_lo) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),
@@ -860,7 +863,9 @@ def quality_calibration(
         (F.col("_rk_in") + F.col("_n_before")).cast("bigint").alias("_rk"),
         (F.col("_cum_in") + F.col("_t_before")).cast("bigint").alias("_cum"),
     )
-    total = base.agg(F.sum("_nw").cast("bigint").alias("_total"))
+    # classifier output is 1:1 with docs, so the total needs only the
+    # token frame — no reason to pay the cls join a third time
+    total = toks.agg(F.sum("_nw").cast("bigint").alias("_total"))
     fr = spark.createDataFrame(
         [(float(f),) for f in sorted(fracs)], "target_frac double"
     )

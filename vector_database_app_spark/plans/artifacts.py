@@ -54,24 +54,31 @@ def artifacts_root() -> str:
 FORMAT_VERSION = 1
 
 
+def _fingerprint(sf_dir: str, source: str) -> list | None:
+    """Source parquet fingerprint (size + NANOSECOND mtime — regenerating
+    the dataset invalidates artifacts even inside one second), or None
+    when the source cannot be stat'ed — the caller must then BYPASS the
+    store entirely (no read, no write): serving a cached artifact for an
+    unverifiable source risks staleness, and persisting under a made-up
+    key would orbit orphan artifacts nobody can ever address again."""
+    try:
+        st = os.stat(os.path.join(sf_dir, source))
+        return [st.st_size, st.st_mtime_ns]
+    except OSError:
+        return None
+
+
 def artifact_key(sf_dir: str, op: str, params: dict, *, source: str) -> str:
     """Content-addressed key: format version + op + params + source
-    parquet fingerprint (size + NANOSECOND mtime — regenerating the
-    dataset invalidates the artifact even inside one second). A source
-    that cannot be stat'ed keys as 'missing' — distinct from every real
-    fingerprint, so a transient stat failure can never alias a stale
-    artifact onto the real data's key."""
-    src = os.path.join(sf_dir, source)
-    try:
-        st = os.stat(src)
-        fp: list = [st.st_size, st.st_mtime_ns]
-    except OSError:
-        # CACHE BYPASS, not a shared sentinel: a fixed 'missing' marker
-        # would let two different data generations alias one key across
-        # two transient stat failures — an unverifiable source must
-        # never be served a cached artifact, so the key is unique per
-        # call (trains fresh every time until stat works again)
-        fp = ["unstat", os.urandom(8).hex()]
+    fingerprint. Raises FileNotFoundError when the source cannot be
+    stat'ed (see _fingerprint — key construction requires a verifiable
+    source; the load-or-train entry points handle that case by training
+    without touching the store)."""
+    fp = _fingerprint(sf_dir, source)
+    if fp is None:
+        raise FileNotFoundError(
+            f"cannot fingerprint {source!r} under {sf_dir!r}"
+        )
     raw = json.dumps(
         [FORMAT_VERSION, os.path.abspath(sf_dir), op, sorted(params.items()), fp]
     )
@@ -92,6 +99,10 @@ def load_or_train(
     ``train_fn()`` runs (actions fire — the one-time index build) and the
     result persists; afterwards the read carries an explicit schema, so
     construction fires zero jobs."""
+    if _fingerprint(sf_dir, source) is None:
+        # unverifiable source: bypass the store entirely (train fresh,
+        # persist nothing) — see _fingerprint
+        return train_fn()
     key = artifact_key(sf_dir, op, params, source=source)
     path = os.path.join(artifacts_root(), key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -113,6 +124,8 @@ def load_or_train_rows(
     literal consumers like PQ codebooks — m·k·(d/m) doubles by
     construction), memoized in-process so repeat constructions are
     zero-job."""
+    if _fingerprint(sf_dir, source) is None:
+        return train_fn().collect()  # bypass: no store, no memo
     key = artifact_key(sf_dir, op, params, source=source)
     if key in _MEMO:
         return _MEMO[key]  # type: ignore[return-value]
@@ -134,6 +147,8 @@ def load_or_build_object(
     """Driver-side JSON artifact for non-tabular trained state (Word2Vec
     word-vector dicts). ``build_fn()`` must return something
     json-serializable; memoized in-process, persisted atomically."""
+    if _fingerprint(sf_dir, source) is None:
+        return build_fn()  # bypass: no store, no memo
     key = artifact_key(sf_dir, op, params, source=source)
     if key in _MEMO:
         return _MEMO[key]

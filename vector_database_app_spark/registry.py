@@ -6740,7 +6740,11 @@ def q_corpus_release_manifest(spark, sf_dir):
     oracle reuses that query's SQL as a derived table, so the manifest
     is value-verified end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    base = textops.corpus_pipeline(docs)
+    # persist (lazy mark — zero jobs at build): three rollups consume the
+    # decisions table, and without it the whole admission DAG (dedup
+    # window + decontaminate gram join + quality signals) would execute
+    # three times; the cached table is one small row per doc
+    base = textops.corpus_pipeline(docs).persist()
 
     def _rollup(df, metric, key_col):
         return df.groupBy(F.col(key_col).alias("key")).agg(
@@ -6819,9 +6823,14 @@ ORACLE["quality_calibration"] = f"""
     ), fracs AS (
       SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS f(target_frac)
     ), pick AS (
+      -- CAST the frac to DOUBLE: DuckDB parses the VALUES literals as
+      -- DECIMAL and would compare the threshold in exact rational
+      -- arithmetic, while Spark multiplies doubles — an exact-boundary
+      -- cum row could then flip between engines
       SELECT f.target_frac, min(s.rk) AS docs_kept
       FROM seq s CROSS JOIN tot t
-      JOIN fracs f ON s.cum >= f.target_frac * t.total
+      JOIN fracs f
+        ON s.cum >= CAST(f.target_frac AS DOUBLE) * t.total
       GROUP BY 1
     )
     SELECT p.target_frac, s.quality_logit AS cutoff_logit,
