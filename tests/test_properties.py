@@ -7,7 +7,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from vector_database_app_spark.functions.embed import (
@@ -160,6 +160,7 @@ _pdf_safe = st.text(
 
 @given(st.lists(_pdf_safe, min_size=1, max_size=6))
 @settings(max_examples=50, deadline=None)
+@example(page_texts=["<2>"]).via("discovered failure")
 def test_pdf_fallback_roundtrips_generated_documents(page_texts):
     """Any text planted page-by-page into a structurally valid PDF comes
     back from the stdlib extractor verbatim, page-aligned — the property
@@ -169,6 +170,34 @@ def test_pdf_fallback_roundtrips_generated_documents(page_texts):
 
     pdf = _build_minimal_pdf(page_texts)
     assert FB.pdf_pages_text(pdf) == page_texts
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["lit", "hex"]), _pdf_safe),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=50, deadline=None)
+@example(tokens=[("lit", "<2>"), ("hex", "a"), ("lit", "b<3")])
+def test_pdf_fallback_preserves_show_op_order_across_string_kinds(tokens):
+    """A content stream freely mixing literal `(…) Tj` and hex `<…> Tj`
+    show operators must extract to the exact in-document concatenation —
+    each byte consumed by exactly one token class, order preserved. Guards
+    the sequential-tokenizer fix (two independent regex passes once
+    re-decoded hex-shaped substrings of literals AND emitted all literals
+    before all hex strings)."""
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    ops = []
+    for kind, text in tokens:
+        if kind == "lit":
+            ops.append(b"(" + text.encode("cp1252") + b") Tj")
+        else:
+            ops.append(b"<" + text.encode("cp1252").hex().encode() + b"> Tj")
+    stream = b"BT /F1 12 Tf 72 720 Td " + b" ".join(ops) + b" ET"
+    assert FB._text_of_content_stream(stream) == "".join(t for _, t in tokens)
 
 
 @given(st.lists(_pdf_safe, min_size=1, max_size=4))

@@ -47,8 +47,15 @@ from collections.abc import Iterator
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_LITERAL_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
-_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+# One alternation scanned left-to-right so every byte belongs to exactly
+# one token class: a `<2>` INSIDE a literal `(<2>)` is consumed by the
+# literal branch and can never re-match as a hex string, and mixed
+# `(…) Tj` / `<…> Tj` streams come out in document order. (Two separate
+# passes here once double-decoded hex-shaped substrings of literals —
+# Hypothesis counterexample ['<2>'] → ['<2> '].)
+_SHOW_TOKEN_RE = re.compile(
+    rb"(?P<lit>\((?:[^()\\]|\\.)*\))|<(?P<hex>[0-9A-Fa-f\s]+)>"
+)
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 _PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
@@ -113,18 +120,17 @@ def _stream_bytes(body: bytes) -> bytes | None:
 def _text_of_content_stream(cs: bytes) -> str:
     parts: list[str] = []
     for bt in _BT_ET_RE.finditer(cs):
-        seg = bt.group(1)
-        for sm in _LITERAL_RE.finditer(seg):
-            t = _decode_literal(sm.group(0)[1:-1])
-            if _mostly_printable(t):
-                parts.append(t)
-        for hm in _HEX_RE.finditer(seg):
-            hx = re.sub(rb"\s", b"", hm.group(1))
-            if len(hx) % 2:
-                hx += b"0"
-            t = bytes.fromhex(hx.decode("ascii")).decode(
-                "cp1252", errors="replace"
-            )
+        for tok in _SHOW_TOKEN_RE.finditer(bt.group(1)):
+            lit = tok.group("lit")
+            if lit is not None:
+                t = _decode_literal(lit[1:-1])
+            else:
+                hx = re.sub(rb"\s", b"", tok.group("hex"))
+                if len(hx) % 2:
+                    hx += b"0"
+                t = bytes.fromhex(hx.decode("ascii")).decode(
+                    "cp1252", errors="replace"
+                )
             if _mostly_printable(t):
                 parts.append(t)
     return "".join(parts)
