@@ -6847,101 +6847,101 @@ ORACLE["quality_calibration"] = f"""
 #
 # The external driver sweeps the FIRST 50 registry queries (insertion
 # order) against DuckDB at sf0.01 each round. Rounds 1-2 banked green
-# rows for the relational/SQL/scalar-function block (65 distinct
-# queries); round 3 rotates the window onto the flagship LLM-data-
-# pipeline suite that has never had a driver row: dedup family, ANN,
-# text analysis, corpus admission, events/warehouse, and the streaming
-# batch twins. Every name below is oracle-ready (value-level DuckDB SQL
-# in ORACLE) and green in the in-repo mirror (tests/test_oracle.py) at
-# sf0.001 and the documented sf0.01 sweep.
+# rows for the relational/SQL/scalar-function block; round 3 covered
+# the flagship LLM-data-pipeline suite (dedup, ANN, text analysis,
+# corpus admission, events/warehouse, streaming batch twins); round 4
+# covers the similarity tail, remaining TPC-H shapes, round-3 additions,
+# and the graph/privacy/profiling remainder.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 ROTATION NOTE: after this round banks the 50 below, the
-# never-driver-verified oracle-ready remainder is 55 queries — next
-# round, replace this list with (roughly) them and the overflow waits
-# one more round: the 9 remaining sql_* shapes, rag_rerank,
-# hybrid_search, ngram_jaccard, corpus_filter[_relative],
-# dedup_edit_distance, knn_filtered/knn_range_search, events_pipeline/
-# retention, rrf_fusion, doc_fingerprint, top_terms_per_lang,
-# sample_stratified/mixture, boilerplate_ngrams, profile_table/
-# profile_embeddings, embed_quantize/centroid, join_salted/join_right,
-# rag_mmr, pyds_synthetic_docs, multimodal_meta, frame_sample,
-# stream_attribution, token_histogram, chunk_sliding, window_ntile,
-# agg_grouping_sets, timeseries_gapfill, k_anonymity,
-# agg_skew_twophase, graph_pagerank, late_interaction_search, and the
-# round-3 additions (ann_probe_sweep, dedup_lsh_sweep, dedup_prune,
-# dedup_incremental, admission_gate, contamination_report,
-# mixture_plan, text_normalize, dedup_*_sampled). Verify any new window
-# with the sf0.01 mirror BEFORE shipping the order.
+# ROUND-4 WINDOW: rounds 1-3 banked 111 distinct green driver rows;
+# the never-driver-verified oracle-ready remainder entering this round
+# was 58 queries. The 50 below are that remainder minus the 8 deferred
+# to round 5 (see _DRIVER_WINDOW_R5 note after the list).
+# `dedup_embedding_srp` sits at position 1: its only driver row is the
+# r01 `no_oracle` red from before its SRP-hyperplane oracle existed —
+# this clears the one standing driver-level failure. Every name below
+# is oracle-ready (value-level DuckDB SQL in ORACLE) and green in the
+# in-repo mirror (tests/test_oracle.py) at sf0.001, the driver's
+# sf0.01, and the documented sf0.1 rounding sweep (PERF.md).
 
-_DRIVER_WINDOW_R3 = [
-    # dedup family (9)
-    "dedup_minhash_md5",
-    "doc_simhash_md5",
-    "dedup_passage",
-    "dedup_semantic",
-    "doc_winnow",
-    "dedup_winnow",
-    "dedup_similarity_join",
-    "dedup_clusters",
-    "dedup_threshold_sweep",
-    # ANN (10)
-    "ann_srp",
-    "ann_ivf",
-    "ann_ivf_search",
-    "ann_binary_search",
-    "ann_matryoshka",
-    "ann_recall",
-    "ann_index_incremental",
-    "ann_planner_exact",
-    "ann_planner_indexed",
-    "ann_planner_fallback",
-    # text analysis (12)
-    "gopher_quality",
-    "bm25_rank",
-    "perplexity_buckets",
-    "quality_classifier",
-    "lm_unigram_score",
-    "lm_bigram_score",
-    "text_quality",
-    "lang_id",
-    "token_count",
-    "text_tfidf",
-    "repetition_signals",
-    "lang_id_confusion",
-    # corpus admission (6)
-    "corpus_pipeline",
-    "decontaminate",
-    "pii_scrub",
-    "pack_sequences",
-    "curriculum_order",
-    "split_train_test",
-    # events / warehouse (8)
-    "scd_type2",
-    "table_diff",
-    "events_funnel",
-    "events_rolling_active",
-    "anomaly_outliers",
-    "events_sessionize",
-    "merge_upsert",
-    "dq_expectations",
-    # streaming batch twins (5)
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "stream_stream_join",
-    "stream_enrich",
+_DRIVER_WINDOW_R4 = [
+    # standing red driver row to clear (1)
+    "dedup_embedding_srp",
+    # round-3 additions, never windowed (12)
+    "quality_calibration",
+    "corpus_release_manifest",
+    "admission_gate",
+    "contamination_report",
+    "mixture_plan",
+    "dedup_prune",
+    "dedup_incremental",
+    "ann_probe_sweep",
+    "dedup_lsh_sweep",
+    "dedup_similarity_join_sampled",
+    "dedup_clusters_sampled",
+    "text_normalize",
+    # similarity-search tail (7)
+    "rag_mmr",
+    "hybrid_search",
+    "rag_rerank",
+    "rrf_fusion",
+    "late_interaction_search",
+    "knn_filtered",
+    "knn_range_search",
+    # remaining TPC-H shapes (9)
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_nation_profit",
+    "sql_late_priority",
+    "sql_order_count_dist",
+    "sql_min_cost_supplier",
+    "sql_important_stock",
+    "sql_supplier_part_count",
+    "sql_part_promotion",
+    # graph / privacy / events (5)
+    "graph_pagerank",
+    "k_anonymity",
+    "events_retention",
+    "stream_attribution",
+    "events_pipeline",
+    # text / dedup / sampling / profiling tail (16)
+    "ngram_jaccard",
+    "corpus_filter",
+    "corpus_filter_relative",
+    "dedup_edit_distance",
+    "doc_fingerprint",
+    "top_terms_per_lang",
+    "sample_stratified",
+    "sample_mixture",
+    "boilerplate_ngrams",
+    "embed_quantize",
+    "embed_centroid",
+    "pyds_synthetic_docs",
+    "multimodal_meta",
+    "frame_sample",
+    "timeseries_gapfill",
+    "agg_skew_twophase",
 ]
 
-assert len(_DRIVER_WINDOW_R3) == 50, len(_DRIVER_WINDOW_R3)
-_missing = [n for n in _DRIVER_WINDOW_R3 if n not in QUERIES]
+# _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
+# round banks the 50 above, exactly 8 oracle-backed queries remain with
+# no driver row — put them FIRST next round, then backfill with
+# re-confirmations of high-value earlier rows:
+#     "window_ntile", "agg_grouping_sets", "join_right", "join_salted",
+#     "chunk_sliding", "token_histogram", "profile_table",
+#     "profile_embeddings",
+# Verify any new window order with the sf0.01 mirror BEFORE shipping.
+
+assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
+_missing = [n for n in _DRIVER_WINDOW_R4 if n not in QUERIES]
 assert not _missing, f"window names absent from QUERIES: {_missing}"
-_no_oracle = [n for n in _DRIVER_WINDOW_R3 if n not in ORACLE]
+_no_oracle = [n for n in _DRIVER_WINDOW_R4 if n not in ORACLE]
 assert not _no_oracle, f"window names lack oracle SQL: {_no_oracle}"
 
 # Rebuild QUERIES in place (same dict object; __spark_entry__ snapshots
 # it per call, so insertion order here IS the driver's sweep order).
-_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R3}
+_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R4}
 _rest = {n: f for n, f in QUERIES.items() if n not in _front}
 QUERIES.clear()
 QUERIES.update(_front)
