@@ -282,3 +282,51 @@ def test_snapshot_write_skips_abandoned_uncommitted_dir(spark, tmp_path):
     assert n == 3
     assert layout.latest_version(base) == 3
     assert layout.read_snapshot(spark, base).count() == 20
+
+
+def test_zorder_compact_plan_has_no_single_partition_exchange(spark, tmp_path):
+    """The z-order normalization must never serialize the table being
+    compacted through one task: the quantile edges come from a
+    distributed approxQuantile sketch, not a percent_rank window, so the
+    rewrite's physical plan contains NO `Exchange SinglePartition` even
+    on a heavily skewed column. Also asserts the skewed heavy-hitter
+    value still lands in a bounded number of files (footer pruning works
+    on skewed data, not just uniform)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.sources import layout
+
+    # column 'a': 95% of rows share one value (heavy hitter), rest uniform
+    df = spark.range(0, 40000).select(
+        F.when(F.col("id") % 20 == 0, F.col("id") % 200)
+        .otherwise(F.lit(7))
+        .cast("long")
+        .alias("a"),
+        F.pmod(F.hash("id"), F.lit(200)).cast("long").alias("b"),
+        F.expr("repeat('y', 32)").alias("pad"),
+    )
+
+    out = layout.compact_plan(
+        df, target_file_bytes=48 * 1024, zorder_cols=("a", "b")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and no window function sneaked back in either
+    assert "Window" not in plan, plan
+
+    zor = str(tmp_path / "zorder_skew")
+    zback = layout.compact(
+        df, zor, target_file_bytes=48 * 1024, zorder_cols=("a", "b")
+    )
+    assert zback.count() == 40000
+
+    # a point predicate on the NON-hot value of the skewed column must
+    # skip most files (locality survives the skew)
+    ranges = _file_ranges(zor, "a")
+    n_files = len(ranges)
+    assert n_files > 3
+    probe = 100  # a non-hot 'a' value present in the data
+    hits = sum(lo <= probe <= hi for lo, hi in ranges)
+    assert hits < n_files  # pruning is real: some files excluded

@@ -73,7 +73,7 @@ def interleave_bits_expr(col_a, col_b, bits: int = 16):
     """Z-order key: bit-interleave two non-negative integer columns
     (morton code) as a pure JVM-side expression — `shiftleft`/`bitwise
     OR` chain built once at plan time, no UDF. Columns must already be
-    rank/scale-normalized to [0, 2^bits) (see `zorder_rank_expr`)."""
+    rank/scale-normalized to [0, 2^bits) (see `zorder_bucket_expr`)."""
     from pyspark.sql import functions as F
 
     a = col_a.cast("long")
@@ -88,18 +88,46 @@ def interleave_bits_expr(col_a, col_b, bits: int = 16):
     return z
 
 
-def zorder_rank_expr(col, bits: int = 16):
-    """Dense percent-rank of a column scaled to [0, 2^bits) — the
+def zorder_bucket_edges(
+    df: DataFrame,
+    col_name: str,
+    *,
+    n_buckets: int = 256,
+    relative_error: float = 0.001,
+) -> list[float]:
+    """Interior quantile edges for the z-order normalization, computed
+    with `approxQuantile` (distributed Greenwald-Khanna sketch: one scan,
+    map-side sketches merged on the driver — NO SinglePartition shuffle,
+    unlike a `percent_rank` window over the full frame, which serializes
+    the whole table through one task and is exactly the thing you must
+    not do to the 100 TB table you are compacting). Duplicate edges from
+    skewed distributions are collapsed, so heavy hitters share one bucket
+    instead of wasting code space."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = df.stat.approxQuantile(col_name, probs, relative_error)
+    out: list[float] = []
+    for e in edges:
+        if not out or e > out[-1]:
+            out.append(float(e))
+    return out
+
+
+def zorder_bucket_expr(col, edges: list[float], bits: int = 16):
+    """Quantile-bucket rank of a column scaled to [0, 2^bits) — the
     normalization step before interleaving, making z-order robust to
     skewed value distributions (raw values would collapse the curve onto
-    a few codes). One window over the full frame; at 100 TB swap for an
-    approx-quantile bucketizer computed on a sample — same downstream
-    expression."""
-    from pyspark.sql import Window
+    a few codes). The edge list (≤ n_buckets-1 floats, driver-computed by
+    `zorder_bucket_edges`) is embedded as an array literal and ranked
+    with a `filter`+`size` higher-order function — a bounded per-row
+    comparison loop inside codegen, no window, no shuffle."""
     from pyspark.sql import functions as F
 
-    w = Window.orderBy(col)
-    return (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+    if not edges:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(e) for e in edges])
+    v = col.cast("double")
+    bucket = F.size(F.filter(arr, lambda e: e <= v)).cast("long")
+    return (bucket * ((1 << bits) - 1) / F.lit(len(edges))).cast("long")
 
 
 def compact(
@@ -127,11 +155,34 @@ def compact(
       GLOBAL lexicographic clustering; equality/range predicates on the
       leading column touch ~1 file (asserted via parquet footer min/max
       in tests/test_layout.py).
-    - `zorder_cols`: rank-normalize both columns, interleave bits, range-
-      partition and sort by the morton code — BOTH columns get locality,
-      the right layout when two independent predicates matter (classic
-      Delta OPTIMIZE ZORDER BY semantics, expressed with stock Spark).
+    - `zorder_cols`: quantile-bucket-normalize both (numeric) columns
+      from sampled sketches, interleave bits, range-partition and sort by
+      the morton code — BOTH columns get locality, the right layout when
+      two independent predicates matter (classic Delta OPTIMIZE ZORDER BY
+      semantics, expressed with stock Spark). The normalization is two
+      `approxQuantile` sketch scans + a broadcast-size edge literal — no
+      SinglePartition window anywhere in the rewrite plan.
     """
+    out = compact_plan(
+        df,
+        target_file_bytes=target_file_bytes,
+        cluster_cols=cluster_cols,
+        zorder_cols=zorder_cols,
+    )
+    out.write.mode(mode).parquet(out_path)
+    return df.sparkSession.read.parquet(out_path)
+
+
+def compact_plan(
+    df: DataFrame,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+    zorder_cols: tuple[str, str] | None = None,
+) -> DataFrame:
+    """The rewrite frame `compact` writes, exposed so tests (and dry
+    runs) can assert on its physical plan — e.g. that the z-order path
+    contains no SinglePartition exchange."""
     from pyspark.sql import functions as F
 
     n_files = max(1, -(-plan_size_bytes(df) // target_file_bytes))
@@ -140,22 +191,20 @@ def compact(
         keyed = df.withColumn(
             "_z",
             interleave_bits_expr(
-                zorder_rank_expr(F.col(a)), zorder_rank_expr(F.col(b))
+                zorder_bucket_expr(F.col(a), zorder_bucket_edges(df, a)),
+                zorder_bucket_expr(F.col(b), zorder_bucket_edges(df, b)),
             ),
         )
-        out = (
+        return (
             keyed.repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-    elif cluster_cols:
-        out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+    if cluster_cols:
+        return df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
             *cluster_cols
         )
-    else:
-        out = df.repartition(n_files)
-    out.write.mode(mode).parquet(out_path)
-    return df.sparkSession.read.parquet(out_path)
+    return df.repartition(n_files)
 
 
 def upsert_partitions(
