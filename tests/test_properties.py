@@ -684,3 +684,136 @@ def test_star_cc_hand_graph_with_isolated_pair(spark):
         (2, 2), (7, 2),
         (30, 30), (31, 30),
     }
+
+
+# ---------------------------------------------------------------------------
+# PPTX fallback (sources/fallback_parsers.py): bbox + text round-trip
+# property — same Hypothesis treatment that caught the PDF hex-in-literal
+# bug; the PPTX path previously had only example-based tests. Reference
+# semantics: embed_pptx bbox/text emit, rag_search/vector_db.py:344-418.
+# ---------------------------------------------------------------------------
+
+_xml_safe_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, blacklist_characters="<>&\"'"
+    ),
+    min_size=1,
+    max_size=60,
+).map(str.strip).filter(bool)
+
+#: EMU offsets/extents as python-pptx reports them (non-negative ints;
+#: a 4K slide is ~12M EMU wide, so cover well past that)
+_emu = st.integers(min_value=0, max_value=50_000_000)
+
+
+def _build_minimal_pptx(slides_spec):
+    """slides_spec: list of (text, x, y, cx, cy) — one text shape per
+    slide with an explicit EMU transform."""
+    import io
+    import zipfile
+
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for i, (text, x, y, cx, cy) in enumerate(slides_spec, start=1):
+            z.writestr(
+                f"ppt/slides/slide{i}.xml",
+                f"""<?xml version="1.0"?>
+<p:sld xmlns:a="{a}" xmlns:p="{p}"><p:cSld><p:spTree>
+<p:sp><p:nvSpPr><p:cNvPr id="{i}" name="t"/></p:nvSpPr>
+<p:spPr><a:xfrm><a:off x="{x}" y="{y}"/><a:ext cx="{cx}" cy="{cy}"/></a:xfrm></p:spPr>
+<p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>
+</p:spTree></p:cSld></p:sld>""",
+            )
+    return buf.getvalue()
+
+
+@given(
+    st.lists(
+        st.tuples(_xml_safe_text, _emu, _emu, _emu, _emu),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_pptx_fallback_roundtrips_bbox_and_text(slides_spec):
+    """Planted EMU transforms come back as exact [x, y, x+cx, y+cy]
+    floats (EMU ints are far below 2^53, so float round-trip is exact)
+    and planted text comes back verbatim, slide order preserved."""
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    rows = list(FB.pptx_shapes(_build_minimal_pptx(slides_spec)))
+    assert len(rows) == len(slides_spec)
+    for slide_idx, (row, (text, x, y, cx, cy)) in enumerate(
+        zip(rows, slides_spec)
+    ):
+        assert row["page_num"] == slide_idx
+        assert row["content_type"] == "text_chunk"
+        assert row["content_raw"] == text
+        assert row["bbox"] == [float(x), float(y), float(x + cx), float(y + cy)]
+
+
+@given(st.lists(_pdf_safe, min_size=1, max_size=4))
+@settings(max_examples=20, deadline=None)
+def test_pdf_primary_and_fallback_branches_agree_on_same_fixture(page_texts):
+    """Branch parity on ONE fixture: the same PDF bytes run through the
+    PyMuPDF branch (faked with per-page blocks carved from the planted
+    texts) and the stdlib fallback branch must yield the same per-page
+    word content — granularity may differ (layout blocks vs word-window
+    chunks), content must not."""
+    import sys
+    import types
+
+    from tests.test_ingest import _build_minimal_pdf
+    from vector_database_app_spark.sources import fallback_parsers as FB
+    from vector_database_app_spark.sources import ingest
+
+    pdf = _build_minimal_pdf(page_texts)
+
+    # fallback branch (fitz genuinely absent in this container)
+    assert "fitz" not in sys.modules
+    fb_rows = list(ingest._parse_pdf("doc.pdf", pdf))
+
+    # primary branch: a minimal fitz whose block extraction really reads
+    # the fixture bytes (via the audited stdlib extractor), one block per
+    # page — the call sequence PyMuPDF exposes
+    class _Page:
+        def __init__(self, text):
+            self._text = text
+
+        def get_text(self, mode):
+            assert mode == "blocks"
+            return [(0.0, 0.0, 100.0, 20.0, self._text, 0)]
+
+        def get_images(self, full):
+            return []
+
+    class _Doc:
+        def __init__(self, data):
+            self._pages = [_Page(t) for t in FB.pdf_pages_text(data)]
+
+        def __iter__(self):
+            return iter(self._pages)
+
+    fitz = types.ModuleType("fitz")
+    fitz.open = lambda stream=None, filetype=None: _Doc(stream)
+    sys.modules["fitz"] = fitz
+    try:
+        pm_rows = list(ingest._parse_pdf("doc.pdf", pdf))
+    finally:
+        del sys.modules["fitz"]
+
+    def words_by_page(rows):
+        out = {}
+        for r in rows:
+            if r["content_type"] == "text_chunk":
+                out.setdefault(r["page_num"], []).extend(
+                    r["content_raw"].split()
+                )
+        return out
+
+    assert words_by_page(pm_rows) == words_by_page(fb_rows)
+    # primary branch carries bbox; fallback declares it unavailable
+    assert all(r["bbox"] is not None for r in pm_rows)
+    assert all(r["bbox"] is None for r in fb_rows)
