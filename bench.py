@@ -89,11 +89,18 @@ def main() -> None:
         .save()
     )
 
+    from vector_database_app_spark import caching  # noqa: PLC0415
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, SF_DIR))
+        df = QUERIES[name](spark, SF_DIR)
+        materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release build-time persist marks pinned onto the result
+        # (caching.pin) so one query's cached blocks don't linger under
+        # the rest of the sweep
+        caching.release(df)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -94,3 +94,70 @@ def test_torn_write_retrains(spark, tmp_path, monkeypatch):
     ).collect()
     assert len(calls) == 2
     shutil.rmtree(os.path.join(str(tmp_path), key))
+
+
+def test_commit_is_atomic_rename_no_partial_target(spark, tmp_path, monkeypatch):
+    """The trained table must land at the keyed path via temp-dir +
+    rename: while train_fn runs, the TARGET path must not exist (a
+    concurrent reader can never observe a mid-overwrite directory), and
+    a leftover tmp dir from a lost race must not survive."""
+    monkeypatch.setattr(ART, "artifacts_root", lambda: str(tmp_path))
+    schema = "centroid_id int, centroid array<double>"
+    p = {"k": 5}
+    key = ART.artifact_key(SF, "t5", p, source="embeddings.parquet")
+    target = os.path.join(str(tmp_path), key)
+
+    seen: list = []
+
+    def train():
+        seen.append(os.path.exists(target))  # target untouched mid-train
+        return spark.createDataFrame([(0, [0.0])], schema)
+
+    ART.load_or_train(spark, SF, "t5", p, train, schema).collect()
+    assert seen == [False]
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert not [d for d in os.listdir(str(tmp_path)) if ".tmp-" in d]
+    shutil.rmtree(target)
+
+
+def test_lost_commit_race_keeps_winner(spark, tmp_path, monkeypatch):
+    """If another process commits the same key while we train, our rename
+    fails — we must keep the winner's artifact and drop our temp dir."""
+    monkeypatch.setattr(ART, "artifacts_root", lambda: str(tmp_path))
+    schema = "centroid_id int, centroid array<double>"
+    p = {"k": 6}
+    key = ART.artifact_key(SF, "t6", p, source="embeddings.parquet")
+    target = os.path.join(str(tmp_path), key)
+
+    def winner_commits_then_train():
+        # simulate the concurrent winner landing while we train
+        spark.createDataFrame([(99, [9.0])], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(target)
+        return spark.createDataFrame([(1, [1.0])], schema)
+
+    rows = ART.load_or_train(
+        spark, SF, "t6", p, winner_commits_then_train, schema
+    ).collect()
+    assert [r.centroid_id for r in rows] == [99]  # winner's data served
+    assert not [d for d in os.listdir(str(tmp_path)) if ".tmp-" in d]
+    shutil.rmtree(target)
+
+
+def test_pin_release_unpersists_build_time_caches(spark):
+    """quality_calibration persists its scored table at build time; the
+    pinned handle must let the caller release the cached blocks after the
+    action (advisor r3 leak finding)."""
+    from vector_database_app_spark import caching
+    from vector_database_app_spark.operators.textops import quality_calibration
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = quality_calibration(docs)
+    deps = getattr(out, "_vdas_pinned_deps", ())
+    assert deps, "result should carry its persisted dependency"
+    out.collect()
+    assert any(d.storageLevel.useMemory for d in deps)
+    caching.release(out)
+    assert all(not d.storageLevel.useMemory for d in deps)
+    caching.release(out)  # idempotent

@@ -115,6 +115,11 @@ class VectorDatabase:
         backend = B.word2vec_backend_from_vectors(
             self.spark, vecs, model_dim
         )
+        if cached and cached[1].release is not None:
+            # the model file changed: destroy the superseded backend's
+            # vocabulary broadcast before dropping the reference, or one
+            # full-vocab broadcast leaks per model version (advisor r3)
+            cached[1].release()
         self._w2v_cache = (key, backend)
         return backend
 

@@ -56,6 +56,11 @@ class TextEmbedBackend:
     space: str
     dim: int
     udf_factory: Callable[[], Callable[..., Column]]
+    #: Optional cleanup for executor-side state the backend pinned at
+    #: construction (e.g. the Word2Vec vocabulary broadcast) — callers
+    #: that REPLACE a backend must call this on the superseded one, or
+    #: one broadcast of the full model leaks per version swap.
+    release: Callable[[], None] | None = None
 
     def __call__(self, col) -> Column:
         c = F.col(col) if isinstance(col, str) else col
@@ -276,7 +281,14 @@ def word2vec_backend_from_vectors(
 
         return embed
 
-    return TextEmbedBackend(f"word2vec-{dim}", f"w2v-{dim}", dim, factory)
+    def release():
+        # destroy() (not unpersist) — a superseded model version is never
+        # re-broadcast, so drop the driver-side copy too
+        bc.destroy()
+
+    return TextEmbedBackend(
+        f"word2vec-{dim}", f"w2v-{dim}", dim, factory, release
+    )
 
 
 def make_word2vec_backend(

@@ -560,13 +560,18 @@ def md5_band_keys(
     ).select(id_col, "bk.band", "bk.key")
     if max_bucket_size is None:
         return out
-    ok_keys = (
-        out.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # Bucket-size cap via a window over the SAME scan — an aggregate +
+    # left_semi join here consumed `out` twice, so the expensive
+    # signature aggregation could execute twice per action on the
+    # derive-internally path of incremental_dedup_probe (advisor r3
+    # finding). count() over (band, key) shuffles on the same key the
+    # join did, but reads the signatures exactly once.
+    w = Window.partitionBy("band", "key")
+    return (
+        out.withColumn("_n", F.count(F.lit(1)).over(w))
         .filter(F.col("_n") <= max_bucket_size)
-        .select("band", "key")
+        .drop("_n")
     )
-    return out.join(ok_keys, ["band", "key"], "left_semi")
 
 
 def incremental_dedup_probe(

@@ -828,8 +828,11 @@ def quality_calibration(
     )
     # persist (lazy mark): the scored-and-tokenized table feeds the
     # within-bucket windows AND the bucket-totals aggregate — without it
-    # the classifier feature expressions run twice per execution
-    base = cls.join(toks, id_col).persist()
+    # the classifier feature expressions run twice per execution. The
+    # handle is pinned onto the result (caching.pin) so the caller can
+    # release the cached blocks after its action.
+    pinned = cls.join(toks, id_col).persist()
+    base = pinned
     span = (logit_hi - logit_lo) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),
@@ -875,7 +878,9 @@ def quality_calibration(
         .filter(F.col("_cum") >= F.col("target_frac") * F.col("_total"))
     )
     pick = cand.groupBy("target_frac").agg(F.min("_rk").alias("docs_kept"))
-    return (
+    from .. import caching
+
+    return caching.pin(
         pick.join(cum, pick["docs_kept"] == cum["_rk"])
         .crossJoin(F.broadcast(total))
         .select(
@@ -887,7 +892,8 @@ def quality_calibration(
                 "achieved_frac"
             ),
         )
-        .orderBy("target_frac")
+        .orderBy("target_frac"),
+        pinned,
     )
 
 

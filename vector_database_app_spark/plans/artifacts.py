@@ -50,7 +50,10 @@ def artifacts_root() -> str:
 
 #: Bump when a trainer's ALGORITHM changes in a value-affecting way —
 #: the key has no code-content component, so without a version bump a
-#: fixed trainer would keep serving pre-fix cached artifacts.
+#: fixed trainer would keep serving pre-fix cached artifacts. A change
+#: scoped to ONE trainer can instead add a version entry to that
+#: trainer's `params` (e.g. ``{"_v": 2}``) — it hashes into the key
+#: without invalidating every other op's artifacts.
 FORMAT_VERSION = 1
 
 
@@ -106,7 +109,28 @@ def load_or_train(
     key = artifact_key(sf_dir, op, params, source=source)
     path = os.path.join(artifacts_root(), key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        train_fn().coalesce(1).write.mode("overwrite").parquet(path)
+        # Commit via temp-dir + atomic rename (mirroring
+        # save_word2vec_vectors): a concurrent bench sweep and pytest
+        # session sharing the store must never read a directory
+        # mid-overwrite, and a double-train race resolves to whichever
+        # writer renames first — both artifacts are equivalent by key
+        # construction (advisor r3 finding).
+        import shutil
+
+        if os.path.isdir(path):
+            # wreckage from a writer that died mid-write: remove so the
+            # rename below can land
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        train_fn().coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the race: another process committed this key while we
+            # trained — keep theirs, drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     return spark.read.schema(schema).parquet(path)
 
 

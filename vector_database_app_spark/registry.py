@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import caching
 from .functions import text as TX
 from .functions.hashing import sha256_hex
 from .functions.vector import cosine_rounded
@@ -6743,7 +6744,8 @@ def q_corpus_release_manifest(spark, sf_dir):
     # persist (lazy mark — zero jobs at build): three rollups consume the
     # decisions table, and without it the whole admission DAG (dedup
     # window + decontaminate gram join + quality signals) would execute
-    # three times; the cached table is one small row per doc
+    # three times; the cached table is one small row per doc. Pinned
+    # onto the result so callers can caching.release() after the action.
     base = textops.corpus_pipeline(docs).persist()
 
     def _rollup(df, metric, key_col):
@@ -6761,7 +6763,9 @@ def q_corpus_release_manifest(spark, sf_dir):
         "kept_lang",
         "lang",
     )
-    return disp.unionByName(spl).unionByName(kept_lang)
+    return caching.pin(
+        disp.unionByName(spl).unionByName(kept_lang), base
+    )
 
 
 QUERIES["corpus_release_manifest"] = q_corpus_release_manifest
