@@ -501,3 +501,175 @@ def test_parse_pptx_python_pptx_branch_with_fake_module(monkeypatch):
     assert img["content_id"] == "4"
     # EMU bbox: [left, top, left+width, top+height] as floats
     assert img["bbox"] == [914400.0, 457200.0, 3657600.0, 1371600.0]
+
+
+# ---------------------------------------------------------------------------
+# r4: object-stream (/ObjStm) and ToUnicode CMap support in the fallback
+# (previously documented limitations — modern compressed-xref PDFs were
+# invisible and CID subset fonts decoded as soup).
+# ---------------------------------------------------------------------------
+
+
+def _build_objstm_pdf(pages: list[str]) -> bytes:
+    """Like _build_minimal_pdf, but page DICTS (and the catalog/pages
+    dicts) are packed inside a FlateDecoded /ObjStm container the way
+    compressed-xref writers emit them; content streams stay classic
+    objects (streams are forbidden inside ObjStm per spec)."""
+    import zlib
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3..2+n page dicts (packed),
+    # content streams 10..9+n (classic), ObjStm object 30
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (
+            2,
+            (
+                "<</Type /Pages /Kids ["
+                + " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+                + f"] /Count {n_pages}>>"
+            ).encode(),
+        ),
+    ]
+    for i in range(n_pages):
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<</Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] /Contents {10 + i} 0 R>>"
+                ).encode(),
+            )
+        )
+    bodies = [b for _, b in packed]
+    offsets, pos = [], 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(packed, offsets)
+    ).encode() + b" "
+    payload = header + b" ".join(bodies) + b" "
+    # recompute: bodies joined by single spaces after the header
+    payload = bytearray(header)
+    for b, off in zip(bodies, offsets):
+        assert len(payload) - len(header) == off
+        payload += b + b" "
+    comp = zlib.compress(bytes(payload))
+
+    out = bytearray(b"%PDF-1.5\n")
+    xref: list[tuple[int, int]] = []
+
+    def emit(num: int, body: bytes) -> None:
+        xref.append((num, len(out)))
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+
+    emit(
+        30,
+        b"<</Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d>>\nstream\n%s\nendstream"
+        % (len(packed), len(header), len(comp), comp),
+    )
+    for i, text in enumerate(pages):
+        stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        emit(
+            10 + i,
+            b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream),
+        )
+    out.extend(b"trailer\n<</Root 1 0 R>>\n%%EOF\n")
+    return bytes(out)
+
+
+def test_objstm_pdf_pages_extract(tmp_path):
+    """Pages whose dicts live only inside an /ObjStm container must
+    extract — the compressed-xref layout the fallback previously could
+    not see at all."""
+    pages = ["alpha packed page", "beta packed page", "gamma packed page"]
+    assert FB.pdf_pages_text(_build_objstm_pdf(pages)) == pages
+
+
+def test_objstm_classic_object_wins_on_number_collision():
+    """Incremental-update layering: a classic object with the same
+    number as a packed one is the NEWER copy and must win."""
+    pdf = bytearray(_build_objstm_pdf(["old text in objstm"]))
+    # append a classic copy of page object 3 pointing at a new stream 11
+    stream = b"BT (new text classic) Tj ET"
+    pdf += (
+        b"11 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(stream), stream)
+    )
+    pdf += (
+        b"3 0 obj\n<</Type /Page /Parent 2 0 R /Contents 11 0 R>>\nendobj\n"
+    )
+    assert FB.pdf_pages_text(bytes(pdf)) == ["new text classic"]
+
+
+def _build_cmap_pdf(codes_to_text: dict[int, str], hex_codes: list[int]) -> bytes:
+    """One-page PDF whose text is shown as 2-byte hex codes through a
+    Type0 font carrying a ToUnicode CMap — the subset-CID layout that
+    used to decode as cp1252 soup and get dropped by the printable
+    guard."""
+    bfchar = "\n".join(
+        f"<{code:04x}> <{''.join(f'{ord(c):04x}' for c in text)}>"
+        for code, text in codes_to_text.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        f"{len(codes_to_text)} beginbfchar\n{bfchar}\nendbfchar\n"
+        "endcmap end end\n"
+    ).encode()
+    hexstr = "".join(f"{c:04x}" for c in hex_codes).encode()
+    stream = b"BT /F1 12 Tf 72 720 Td <" + hexstr + b"> Tj ET"
+    objs = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+        (
+            3,
+            b"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>",
+        ),
+        (4, b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream)),
+        (
+            5,
+            b"<</Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+            b"/ToUnicode 6 0 R>>",
+        ),
+        (6, b"<</Length %d>>\nstream\n%s\nendstream" % (len(cmap), cmap)),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs:
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(b"trailer\n<</Root 1 0 R>>\n%%EOF\n")
+    return bytes(out)
+
+
+def test_tounicode_cmap_decodes_cid_hex_strings():
+    codes = {1: "H", 2: "e", 3: "l", 4: "o", 5: " spark", 6: "✓"}
+    pdf = _build_cmap_pdf(codes, [1, 2, 3, 3, 4, 5, 6])
+    assert FB.pdf_pages_text(pdf) == ["Hello spark✓"]
+
+
+def test_tounicode_bfrange_and_list_forms():
+    """bfrange with an incrementing base and with an explicit dst list."""
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0041>\n"           # 0x10..0x12 -> A B C
+        b"<0020> <0021> [<0058> <0059>]\n"  # 0x20 -> X, 0x21 -> Y
+        b"endbfrange\nendcmap\n"
+    )
+    parsed = FB._parse_cmap(cmap)
+    assert parsed["width"] == 2
+    assert [parsed["map"][c] for c in (0x10, 0x11, 0x12, 0x20, 0x21)] == [
+        "A", "B", "C", "X", "Y",
+    ]
+
+
+def test_no_tounicode_font_keeps_cp1252_behavior():
+    """A font without /ToUnicode must leave hex decoding exactly as
+    before (cp1252) — regression guard for plain fixtures."""
+    assert FB.pdf_pages_text(
+        _build_minimal_pdf(["plain cp1252 page"])
+    ) == ["plain cp1252 page"]

@@ -817,3 +817,39 @@ def test_pdf_primary_and_fallback_branches_agree_on_same_fixture(page_texts):
     # primary branch carries bbox; fallback declares it unavailable
     assert all(r["bbox"] is not None for r in pm_rows)
     assert all(r["bbox"] is None for r in fb_rows)
+
+
+@given(st.lists(_pdf_safe, min_size=1, max_size=5))
+@settings(max_examples=30, deadline=None)
+def test_pdf_objstm_layout_roundtrips_generated_documents(page_texts):
+    """The compressed-xref layout (page dicts packed in an /ObjStm
+    container) must round-trip planted text exactly like the classic
+    layout — same pages, same order."""
+    from tests.test_ingest import _build_objstm_pdf
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    assert FB.pdf_pages_text(_build_objstm_pdf(page_texts)) == page_texts
+
+
+#: BMP, printable, non-surrogate characters a ToUnicode CMap can target
+#: (.isprintable() filter: unassigned codepoints (Cn) would be dropped
+#: by the extractor's printable-ratio guard, correctly)
+_bmp_char = st.characters(
+    min_codepoint=32,
+    max_codepoint=0xFFFD,
+    blacklist_categories=("Cs", "Cc", "Cf", "Zl", "Zp"),
+).filter(str.isprintable)
+
+
+@given(st.lists(_bmp_char, min_size=1, max_size=20, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_pdf_tounicode_cmap_roundtrips_arbitrary_bmp_text(chars):
+    """Arbitrary BMP text mapped through a generated ToUnicode CMap
+    (2-byte CID codes, UTF-16BE targets) must extract verbatim — the
+    subset-CID case that used to come out as cp1252 soup."""
+    from tests.test_ingest import _build_cmap_pdf
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    codes = {i + 1: c for i, c in enumerate(chars)}
+    pdf = _build_cmap_pdf(codes, list(codes))
+    assert FB.pdf_pages_text(pdf) == ["".join(chars)]

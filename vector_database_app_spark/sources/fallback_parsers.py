@@ -10,17 +10,25 @@ end-to-end (tests/test_ingest.py asserts row counts against it).
 
 What each fallback honestly is:
 
-- **PDF** (`pdf_pages_text`): classic-xref object scan (``N 0 obj`` …
-  ``endobj``), FlateDecode content streams via ``zlib``, text from literal
-  ``(…) Tj`` / ``[…] TJ`` show operators inside BT…ET blocks, cp1252
-  byte decode. LIMITATIONS (why PyMuPDF stays the primary): no object
-  streams (/ObjStm — objects hidden inside compressed containers are
-  invisible), no ToUnicode CMaps (subset CID fonts decode as garbage; a
-  printable-ratio guard drops such strings), no layout analysis — callers
-  re-chunk the per-page text with the engine's word-window chunker instead
-  of PyMuPDF's layout blocks, so row GRANULARITY differs from the
-  reference golden (272 layout blocks → ~45 word-window chunks for the
-  same sample text); CONTENT coverage is the same pages and words.
+- **PDF** (`pdf_pages_text`): object scan (``N 0 obj`` … ``endobj``),
+  object-stream (/ObjStm) unpacking — modern compressed-xref writers pack
+  page/font dicts inside FlateDecoded container streams; those are
+  decompressed and their objects surfaced next to the classic ones, so
+  xref-stream PDFs are no longer invisible (r4) — FlateDecode content
+  streams via ``zlib``, text from literal ``(…) Tj`` / hex ``<…> Tj``
+  show operators inside BT…ET blocks, decoded through the current font's
+  ToUnicode CMap when the page's font resources carry one (``Tf``
+  operators tracked through the stream; bfchar/bfrange parsed, UTF-16BE
+  targets — subset CID fonts with a ToUnicode map now decode to real
+  text, r4), else cp1252. REMAINING LIMITATIONS (why PyMuPDF stays the
+  primary): no encryption, no predictor-coded streams, CID fonts WITHOUT
+  a ToUnicode map still decode as soup (the printable-ratio guard drops
+  such strings), resource inheritance from the /Pages tree is not
+  walked (page-local /Resources only), and no layout analysis — callers
+  re-chunk the per-page text with the engine's word-window chunker
+  instead of PyMuPDF's layout blocks, so row GRANULARITY differs from
+  the reference golden (272 layout blocks → ~45 word-window chunks for
+  the same sample text); CONTENT coverage is the same pages and words.
 - **PPTX** (`pptx_shapes`): the container is plain zip+XML. Text from
   ``a:t`` runs grouped per shape, pictures resolved through each slide's
   relationship part to the ``ppt/media/`` blob, bbox from ``a:off``/
@@ -52,9 +60,27 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 # literal branch and can never re-match as a hex string, and mixed
 # `(…) Tj` / `<…> Tj` streams come out in document order. (Two separate
 # passes here once double-decoded hex-shaped substrings of literals —
-# Hypothesis counterexample ['<2>'] → ['<2> '].)
+# Hypothesis counterexample ['<2>'] → ['<2> '].) The `font` branch
+# tracks `/Name size Tf` font selection so hex strings decode through
+# the selected font's ToUnicode CMap.
 _SHOW_TOKEN_RE = re.compile(
     rb"(?P<lit>\((?:[^()\\]|\\.)*\))|<(?P<hex>[0-9A-Fa-f\s]+)>"
+    rb"|/(?P<font>[^\s/<>()\[\]]+)\s+[0-9.]+\s+Tf"
+)
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_DICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+0\s+R")
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[(?:[^\]]*)\])",
+    re.S,
 )
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b")
@@ -69,9 +95,10 @@ _ESCAPES = {
 }
 
 
-def _decode_literal(raw: bytes) -> str:
-    """PDF literal-string bytes (escapes + octal) → text via cp1252 (the
-    closest stdlib codec to PDF's WinAnsiEncoding)."""
+def _literal_bytes(raw: bytes) -> bytes:
+    """PDF literal-string bytes with escapes + octal resolved — the raw
+    string BYTES; the caller picks the decode (cp1252 or the current
+    font's ToUnicode CMap)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -92,7 +119,13 @@ def _decode_literal(raw: bytes) -> str:
         else:
             out += c
             i += 1
-    return out.decode("cp1252", errors="replace")
+    return bytes(out)
+
+
+def _decode_literal(raw: bytes) -> str:
+    """Literal-string bytes → text via cp1252 (the closest stdlib codec
+    to PDF's WinAnsiEncoding)."""
+    return _literal_bytes(raw).decode("cp1252", errors="replace")
 
 
 def _mostly_printable(s: str) -> bool:
@@ -117,20 +150,146 @@ def _stream_bytes(body: bytes) -> bytes | None:
     return m.group(1)
 
 
-def _text_of_content_stream(cs: bytes) -> str:
+def _unpack_object_streams(objs: dict[int, bytes]) -> None:
+    """Surface objects packed inside /ObjStm containers (modern
+    compressed-xref writers put page/font DICTS there; stream objects
+    are forbidden inside ObjStm, so /Contents streams stay classic and
+    the existing scan finds them). Mutates `objs` in place; packed
+    objects never shadow a classic one with the same number
+    (setdefault — classic wins, matching incremental-update layering
+    where the newest copy is the classic one appended last)."""
+    for num in list(objs):
+        body = objs[num]
+        head = body.split(b"stream", 1)[0]
+        if not _OBJSTM_TYPE_RE.search(head):
+            continue
+        data = _stream_bytes(body)
+        n_m = _OBJSTM_N_RE.search(head)
+        f_m = _OBJSTM_FIRST_RE.search(head)
+        if not (data and n_m and f_m):
+            continue
+        n, first = int(n_m.group(1)), int(f_m.group(1))
+        pairs = [
+            (int(a), int(b))
+            for a, b in re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+        ]
+        for i, (onum, ooff) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            objs.setdefault(onum, data[first + ooff : first + end])
+
+
+def _parse_cmap(data: bytes) -> dict | None:
+    """ToUnicode CMap → ``{"width": bytes_per_code, "map": {code: str}}``
+    from its beginbfchar/beginbfrange sections (destinations are
+    UTF-16BE). Returns None when nothing usable is found."""
+    mapping: dict[int, str] = {}
+    widths: list[int] = []
+
+    def dst_text(hx: bytes) -> str:
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    for seg in _BFCHAR_RE.findall(data):
+        toks = _HEXTOK_RE.findall(seg)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            widths.append(max(1, len(src) // 2))
+            mapping[int(src, 16)] = dst_text(dst)
+    for seg in _BFRANGE_RE.findall(data):
+        for m in _BFRANGE_ITEM_RE.finditer(seg):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            widths.append(max(1, len(m.group(1)) // 2))
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                items = _HEXTOK_RE.findall(dst)
+                for code, d in zip(range(lo, hi + 1), items):
+                    mapping[code] = dst_text(d)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                nbytes = max(2, (len(base_hex) + 1) // 2)
+                for code in range(lo, min(hi, lo + 65535) + 1):
+                    val = base + (code - lo)
+                    mapping[code] = (
+                        val.to_bytes(nbytes, "big").decode(
+                            "utf-16-be", errors="replace"
+                        )
+                    )
+    if not mapping:
+        return None
+    # single code width per map: the dominant one (mixed-width
+    # codespaces are rare outside pathological subset fonts)
+    width = max(set(widths), key=widths.count) if widths else 2
+    return {"width": width, "map": mapping}
+
+
+def _page_font_cmaps(
+    head: bytes, objs: dict[int, bytes]
+) -> dict[str, dict]:
+    """Per-page ``{font_name: cmap}`` from the page's /Resources /Font
+    entries that carry a /ToUnicode stream. Page-local resources only
+    (inline dict or one indirection); /Pages-tree inheritance is a
+    documented non-goal of the fallback."""
+    res = head
+    rm = _RESOURCES_REF_RE.search(head)
+    if rm:
+        res = objs.get(int(rm.group(1)), b"")
+    fm = _FONT_DICT_RE.search(res)
+    if fm:
+        entries_src = fm.group(1)
+    else:
+        fr = _FONT_DICT_REF_RE.search(res)
+        entries_src = objs.get(int(fr.group(1)), b"") if fr else b""
+    out: dict[str, dict] = {}
+    for name, ref in _FONT_ENTRY_RE.findall(entries_src):
+        font_body = objs.get(int(ref), b"")
+        tu = _TOUNICODE_RE.search(font_body)
+        if not tu:
+            continue
+        cm_body = objs.get(int(tu.group(1)))
+        data = _stream_bytes(cm_body) if cm_body else None
+        cmap = _parse_cmap(data) if data else None
+        if cmap:
+            out[name.decode("latin-1")] = cmap
+    return out
+
+
+def _decode_with_cmap(raw: bytes, cmap: dict) -> str:
+    w = cmap["width"]
+    table = cmap["map"]
+    usable = len(raw) - (len(raw) % w)
+    return "".join(
+        table.get(int.from_bytes(raw[i : i + w], "big"), "�")
+        for i in range(0, usable, w)
+    )
+
+
+def _text_of_content_stream(
+    cs: bytes, fonts: dict[str, dict] | None = None
+) -> str:
     parts: list[str] = []
+    cur: dict | None = None  # current font's ToUnicode cmap, if any
     for bt in _BT_ET_RE.finditer(cs):
         for tok in _SHOW_TOKEN_RE.finditer(bt.group(1)):
+            fname = tok.group("font")
+            if fname is not None:
+                cur = (fonts or {}).get(fname.decode("latin-1"))
+                continue
             lit = tok.group("lit")
             if lit is not None:
-                t = _decode_literal(lit[1:-1])
+                raw = _literal_bytes(lit[1:-1])
             else:
                 hx = re.sub(rb"\s", b"", tok.group("hex"))
                 if len(hx) % 2:
                     hx += b"0"
-                t = bytes.fromhex(hx.decode("ascii")).decode(
-                    "cp1252", errors="replace"
-                )
+                raw = bytes.fromhex(hx.decode("ascii"))
+            t = (
+                _decode_with_cmap(raw, cur)
+                if cur
+                else raw.decode("cp1252", errors="replace")
+            )
             if _mostly_printable(t):
                 parts.append(t)
     return "".join(parts)
@@ -141,6 +300,7 @@ def pdf_pages_text(data: bytes) -> list[str]:
     (classic writers emit pages in document order; good enough for a
     fallback — PyMuPDF walks the page tree instead)."""
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    _unpack_object_streams(objs)
     pages: list[str] = []
     for _num, body in objs.items():
         head = body.split(b"stream", 1)[0]
@@ -152,11 +312,12 @@ def pdf_pages_text(data: bytes) -> list[str]:
         else:
             one = _CONTENTS_ONE_RE.search(head)
             refs = [int(one.group(1))] if one else []
+        fonts = _page_font_cmaps(head, objs)
         text = ""
         for r in refs:
             cs = _stream_bytes(objs.get(r, b""))
             if cs:
-                text += _text_of_content_stream(cs)
+                text += _text_of_content_stream(cs, fonts)
         pages.append(text)
     if not pages:
         raise ValueError(
