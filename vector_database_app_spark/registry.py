@@ -5328,8 +5328,13 @@ def q_late_interaction_search(spark, sf_dir):
     q_tok) max, per-doc sum) — the corpus shuffles only aggregated
     (doc × q_tok) partials, never raw token scores. The per-token max
     and the final sum run in DECIMAL(10,6) so 3-term addition order
-    cannot flip the hash. Final ranking is a row_number over the
-    |docs|-row aggregate (tiny by construction — it is post-agg)."""
+    cannot flip the hash. Final ranking: retrieval is TOP-K, so the
+    per-doc aggregate flows through orderBy+limit —
+    TakeOrderedAndProject, a scan-side partial top-k — and only the
+    K-row result is ranked with a window (bounded by K; ranking ALL
+    docs with a global row_number window would serialize |docs| rows
+    through one task at 100 TB — the r4 plan-shape gate,
+    tests/test_plan_shapes.py, pins this)."""
     emb = _t(spark, sf_dir, "embeddings")
     qtoks = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_tok"),
@@ -5344,8 +5349,9 @@ def q_late_interaction_search(spark, sf_dir):
     scored = per_tok.groupBy("label").agg(
         F.sum("m").cast("decimal(12,6)").alias("score_dec")
     )
+    topk = scored.orderBy(F.desc("score_dec"), F.asc("label")).limit(10)
     w = Window.orderBy(F.desc("score_dec"), F.asc("label"))
-    return scored.select(
+    return topk.select(
         "label",
         F.col("score_dec").cast("double").alias("score"),
         F.row_number().over(w).cast("int").alias("rk"),
@@ -5395,6 +5401,7 @@ ORACLE["late_interaction_search"] = f"""
            CAST(row_number() OVER (ORDER BY score_dec DESC, label)
                 AS INTEGER) AS rk
     FROM scored
+    QUALIFY rk <= 10
 """
 
 ORACLE["ann_index_incremental"] = ORACLE["ann_ivf"]
