@@ -833,3 +833,51 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pca_train(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """REAL MLlib PCA fit on the embedding column — the second genuinely
+    trainable in-container model after Word2Vec (no external libraries:
+    `pyspark.ml.feature.PCA` runs a distributed covariance/SVD job).
+    Returns (components, explained): `components` is k rows of dim
+    floats (the principal axes, unit-norm, mutually orthogonal),
+    `explained` the k variance-explained ratios in non-increasing order.
+
+    Only k·dim floats reach the driver (the fitted matrix) — same
+    contract as `kmeans_train`. Callers persist the pair through
+    `plans.artifacts.load_or_build_object` so repeat query constructions
+    are zero-job, and project with `pca_project_expr` (pure column
+    expressions, no UDF). Dimensionality reduction before ANN is the
+    classic recall/cost lever (OPQ/PCA rotation in FAISS pipelines);
+    `ann_matryoshka` is the learned-prefix sibling."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    ds = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = MLPCA(k=k, inputCol="features", outputCol="pca").fit(ds)
+    pc = model.pc.toArray()  # dim x k, column j = component j
+    comps = [
+        [float(pc[i][j]) for i in range(pc.shape[0])] for j in range(k)
+    ]
+    return comps, [float(x) for x in model.explainedVariance]
+
+
+def pca_project_expr(vec_col, component: list[float]):
+    """Dot product of a vector column with one literal principal axis —
+    `zip_with` multiply + `aggregate` sum, inside codegen, no UDF (the
+    projection at serving time must not cost a python boundary)."""
+    comp = F.array(*[F.lit(float(x)) for x in component])
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    prods = F.zip_with(
+        c.cast("array<double>"), comp, lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

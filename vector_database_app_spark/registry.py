@@ -3703,13 +3703,13 @@ ORACLE: dict[str, str] = {
         ) WHERE jaccard >= 0.5
     """,
     "dedup_clusters": f"""
-        WITH RECURSIVE sh AS (
+        WITH RECURSIVE sh AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
             FROM (SELECT doc_id, text,
                          string_split(lower(text), ' ') AS ws
                   FROM documents)
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a, id_b FROM (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        round(len(list_intersect(a.s, b.s))
@@ -4504,10 +4504,15 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
     no rounding step at all."""
     cos_q = _SQL_COS.format(a="e.embedding", b="q.qe")
     cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+    # `short`/`pair` are AS MATERIALIZED: the unrolled greedy rounds
+    # reference them through a k-deep CTE chain, and DuckDB's default
+    # inlining re-expands the 64-term cosine expressions per reference —
+    # measured 5.4 s → 0.55 s and an unbounded→bounded memory profile at
+    # sf0.01 (a plain run OOM'd once under host memory pressure).
     ctes = [
         f"""q AS (SELECT vec_id AS query_id, embedding AS qe
           FROM embeddings WHERE vec_id < 3),
-    short AS (
+    short AS MATERIALIZED (
       SELECT query_id, vec_id, qsim, embedding FROM (
         SELECT q.query_id, e.vec_id, {cos_q} AS qsim, e.embedding,
                row_number() OVER (PARTITION BY q.query_id
@@ -4516,7 +4521,7 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 10) -> str:
         WHERE e.vec_id >= 3
       ) WHERE rk <= {shortlist}
     ),
-    pair AS (
+    pair AS MATERIALIZED (
       SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id, {cos_ab} AS psim
       FROM short a JOIN short b
         ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
@@ -5943,6 +5948,46 @@ def q_embed_word2vec(spark, sf_dir):
 QUERIES["embed_word2vec"] = q_embed_word2vec
 
 
+def q_embed_pca(spark, sf_dir):
+    """rows-only: REAL MLlib PCA (search.pca_train — distributed
+    covariance/SVD, the second in-container trainable model after
+    Word2Vec) reduces the 64-dim embeddings to k=4. The fitted axes and
+    explained-variance ratios persist through the artifact store
+    (training runs once per dataset; repeat constructions are zero-job),
+    and projection is pure column expressions (search.pca_project_expr —
+    zip_with multiply + aggregate sum, no UDF). Scalar projection
+    columns rounded for the driver canonicalizer; variance explained
+    rides along as constant columns so the model quality is visible in
+    the driver's rows-only check."""
+    from .operators import search as S
+    from .plans import artifacts as ART
+
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "pca_components",
+        {"k": 4},
+        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
+            S.pca_train(emb, k=4)
+        ),
+        source="embeddings.parquet",
+    )
+    comps, ev = raw["components"], raw["explained"]
+    cols = [F.col("vec_id")]
+    for j, comp in enumerate(comps):
+        cols.append(
+            F.round(S.pca_project_expr("embedding", comp), 4).alias(
+                f"p{j}"
+            )
+        )
+    for j, v in enumerate(ev):
+        cols.append(F.lit(round(float(v), 6)).alias(f"var{j}"))
+    return emb.select(*cols)
+
+
+QUERIES["embed_pca"] = q_embed_pca
+
+
 ORACLE["rrf_fusion"] = f"""
     WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
@@ -6111,13 +6156,13 @@ ORACLE["dedup_similarity_join_sampled"] = f"""
 """
 
 ORACLE["dedup_clusters_sampled"] = f"""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
         FROM (SELECT doc_id, text,
                      string_split(lower(text), ' ') AS ws
               FROM documents WHERE doc_id % 5 = 0)
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.s, b.s))
