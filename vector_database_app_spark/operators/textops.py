@@ -1393,3 +1393,126 @@ def quality_classifier(
         (logit_micro / F.lit(1_000_000)).alias("quality_logit"),
         (logit_micro > F.lit(threshold_micro)).alias("keep"),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    *,
+    target_langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    arXiv:2302.03169): rank every corpus document by how much more mass
+    a TARGET-domain unigram LM puts on its tokens than the full-corpus
+    LM does. The published method resamples with weights
+    p_target(x)/p_corpus(x); this operator computes the per-document
+    weight in ratio-of-masses form,
+
+        score = (Σ_t ct_target(t) / Σ_t ct_corpus(t)) · (T_c / T_t)
+
+    so a score > 1 means "more target-like than the corpus average".
+    No reference equivalent (the reference has no data-selection stage);
+    the extension sibling of `unigram_lm_score`.
+
+    Determinism by construction (PERF.md lessons): every aggregate is an
+    INTEGER sum of bigint token counts; the score is two exact
+    bigint/bigint divisions and one IEEE multiply — no float
+    accumulation order, no log() parity concerns (the log-space sum of
+    the paper is a monotone transform of nothing we compare; ranking and
+    thresholding are identical in ratio space for fixed-length docs, and
+    the mass-ratio form is the deterministic variant that replays in
+    SQL). Unseen-in-target tokens contribute 0 target mass (no
+    smoothing), matching the LEFT JOIN in the oracle.
+
+    Scale shape: the corpus is tokenized ONCE (one explode); the target
+    LM is a filtered re-aggregation of the same token stream, joined
+    back on `term` (AQE broadcasts the vocab side when it fits, exactly
+    as in unigram_lm_score); per-doc re-agg shuffles on the doc key; the
+    two scalar totals join as a broadcast single-row frame, never a
+    collected scalar. Reducer state is bounded by |vocab|, not corpus
+    rows."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts, id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    is_target = F.col(lang_col).isin(*target_langs)
+    lm = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("ct_c"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct_t"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("t_c"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("t_t"),
+    )
+    per_doc = (
+        toks.join(lm, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ct_t").cast("bigint").alias("target_mass"),
+            F.sum("ct_c").cast("bigint").alias("corpus_mass"),
+        )
+    )
+    score = (
+        F.col("target_mass") / F.col("corpus_mass")
+    ) * (F.col("t_c") / F.col("t_t"))
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_tokens",
+        "target_mass",
+        "corpus_mass",
+        F.round(score, 6).alias("dsir_score"),
+        (score >= F.lit(1.0)).alias("selected"),
+    )
+
+
+def vocab_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language vocabulary profile: the Zipf/Heaps corpus health
+    numbers a training-data pipeline tracks per slice — vocabulary size,
+    token count, hapax-legomena count (terms seen exactly once; a high
+    hapax share flags OCR garbage or tokenizer mismatch), the top-rank
+    term's frequency share (Zipf head weight), and the type-token
+    ratio. No reference equivalent; profiling extension next to
+    `profile_table`/`token_histogram`.
+
+    Determinism: all aggregates are integer counts/maxes; the two shares
+    are single bigint/bigint divisions rounded once. Scale shape: one
+    explode → (lang, term) hash agg (map-side partial) → (lang) hash agg
+    over |vocab| rows; window-free, collect-free."""
+    toks = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.filter(TX.words(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    counts = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("ct").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("ct") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_count"),
+        F.max("ct").cast("bigint").alias("top1_count"),
+        F.round(
+            F.sum(F.when(F.col("ct") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_share"),
+        F.round(F.max("ct") / F.sum("ct"), 6).alias("top1_share"),
+        F.round(F.count(F.lit(1)) / F.sum("ct"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

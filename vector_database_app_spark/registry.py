@@ -5988,6 +5988,193 @@ def q_embed_pca(spark, sf_dir):
 QUERIES["embed_pca"] = q_embed_pca
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance selection (textops.dsir_scores, arXiv:
+    2302.03169): per-document target-mass / corpus-mass unigram ratio
+    against the English-slice target LM, selected = score >= 1. All
+    aggregates are integer token counts; the score is two exact bigint
+    divisions and one IEEE multiply — replays exactly in SQL."""
+    return textops.dsir_scores(
+        _t(spark, sf_dir, "documents"), target_langs=("en",)
+    )
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+ORACLE["dsir_select"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS term
+        FROM documents
+    ), lm AS (
+        SELECT term, count(*) AS ct_c,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct_t
+        FROM toks GROUP BY term
+    ), tot AS (
+        SELECT count(*) AS t_c,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_t
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(l.ct_t) AS BIGINT) AS target_mass,
+           CAST(sum(l.ct_c) AS BIGINT) AS corpus_mass,
+           round((CAST(sum(l.ct_t) AS BIGINT)
+                    / CAST(sum(l.ct_c) AS BIGINT))
+                 * (any_value(tot.t_c) / any_value(tot.t_t)), 6)
+               AS dsir_score,
+           (CAST(sum(l.ct_t) AS BIGINT) / CAST(sum(l.ct_c) AS BIGINT))
+             * (any_value(tot.t_c) / any_value(tot.t_t)) >= 1.0
+               AS selected
+    FROM toks t JOIN lm l USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+def q_vocab_profile(spark, sf_dir):
+    """Per-language Zipf/Heaps vocabulary profile (textops.vocab_profile):
+    vocab size, token count, hapax count/share, top-rank share,
+    type-token ratio — integer aggregates + single rounded divisions."""
+    return textops.vocab_profile(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["vocab_profile"] = q_vocab_profile
+
+ORACLE["vocab_profile"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS term
+        FROM documents
+    ), counts AS (
+        SELECT lang, term, count(*) AS ct FROM toks GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(ct) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           CAST(max(ct) AS BIGINT) AS top1_count,
+           round(CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS BIGINT), 6) AS hapax_share,
+           round(CAST(max(ct) AS BIGINT) / CAST(sum(ct) AS BIGINT), 6)
+               AS top1_share,
+           round(CAST(count(*) AS BIGINT) / CAST(sum(ct) AS BIGINT), 6)
+               AS type_token_ratio
+    FROM counts GROUP BY lang
+"""
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007), the sibling of
+    `k_anonymity`: a quasi-identifier group is safe only if its
+    SENSITIVE attribute takes >= l distinct values — k rows that all
+    belong to one user still re-identify. QI = (event_type, value
+    hundred-bucket), sensitive = user_id, l = 3. One partial+final hash
+    agg keyed on the QI pair; distinct-user state is bounded by QI
+    cardinality x users-per-group, never corpus rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 100).cast("bigint").alias(
+                "value_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "event_type",
+            "value_bucket",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") >= F.lit(3)).alias("l_diverse"),
+        )
+    )
+
+
+QUERIES["l_diversity"] = q_l_diversity
+
+ORACLE["l_diversity"] = """
+    SELECT event_type,
+           CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct,
+           count(DISTINCT user_id) >= 3 AS l_diverse
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 100) AS BIGINT)
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE training iteration, oracle-checked: corpus-weighted
+    adjacent character-pair frequencies over the word vocabulary — the
+    statistic every merge step of byte-pair encoding (Sennrich et al.
+    2016) maximizes. Top-20 by (count desc, pair asc): orderBy+limit →
+    TakeOrderedAndProject, scan-side partial top-k, no global window.
+    The iterative trainer is `bpe_train` (rows-only; tokenize.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(TX.words("text"), lambda w: w != F.lit(""))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(chars) - 1),
+                    lambda i: F.struct(
+                        F.element_at(chars, i).alias("left_sym"),
+                        F.element_at(chars, i + 1).alias("right_sym"),
+                    ),
+                )
+            ).alias("p"),
+            F.col("ct"),
+        )
+    )
+    return (
+        pairs.groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("ct").cast("bigint").alias("pair_count"))
+        .orderBy(
+            F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+        )
+        .limit(20)
+    )
+
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+
+ORACLE["bpe_pair_counts"] = """
+    WITH ws AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT w, count(*) AS ct FROM ws GROUP BY w
+    ), cs AS (
+        SELECT string_split(w, '') AS c, ct FROM wc WHERE len(w) >= 2
+    ), ex AS (
+        SELECT c[CAST(i AS INTEGER) + 1] AS left_sym,
+               c[CAST(i AS INTEGER) + 2] AS right_sym, ct
+        FROM cs, unnest(range(0, len(c) - 1)) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(ct) AS BIGINT) AS pair_count
+    FROM ex GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+"""
+
+
 ORACLE["rrf_fusion"] = f"""
     WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
@@ -6981,12 +7168,15 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 8 oracle-backed queries remain with
-# no driver row — put them FIRST next round, then backfill with
+# round banks the 50 above, exactly 12 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 4 added mid-r4
+# (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
+# PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
 #     "window_ntile", "agg_grouping_sets", "join_right", "join_salted",
 #     "chunk_sliding", "token_histogram", "profile_table",
 #     "profile_embeddings",
+#     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
