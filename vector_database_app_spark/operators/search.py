@@ -881,3 +881,76 @@ def pca_project_expr(vec_col, component: list[float]):
         c.cast("array<double>"), comp, lambda x, y: x * y
     )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pca_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    components: list[list[float]],
+    *,
+    k: int = 5,
+    shortlist: int = 25,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Coarse-to-fine ANN through the trained PCA rotation (the
+    OPQ/PCA-prefilter pattern of FAISS pipelines; `pca_train` is the
+    trainer): rank a SHORTLIST per query by the dot product of the
+    k'-dim PCA projections — for L2-normalized corpora that dot equals
+    the cosine of the rank-k' reconstructions, the best k'-dim linear
+    approximation of true cosine — then exact full-dim re-rank of the
+    shortlist only.
+
+    Scale shape: projections are pure column expressions
+    (`pca_project_expr`, no Python boundary); with the projection
+    materialized as its own parquet column the coarse scan reads
+    k'/d of the float payload (column pruning). Full-dim vectors are
+    touched for shortlist·|queries| rows only. Both stages rank on
+    ROUNDED scores with an `id_col` tiebreak, so the answer is
+    deterministic. The sibling of `matryoshka_search` (unlearned
+    prefix) and `srp_search` (unlearned rotation, bit-quantized)."""
+    cdims = [
+        pca_project_expr(vec_col, comp).alias(f"_pc{j}")
+        for j, comp in enumerate(components)
+    ]
+    qdims = [
+        pca_project_expr(query_vec_col, comp).alias(f"_qc{j}")
+        for j, comp in enumerate(components)
+    ]
+    coarse = sum(
+        (F.col(f"_pc{j}") * F.col(f"_qc{j}") for j in range(len(components))),
+        F.lit(0.0),
+    )
+    joined = (
+        corpus.select("*", *cdims)
+        .crossJoin(
+            F.broadcast(
+                queries.select(query_id_col, query_vec_col, *qdims)
+            )
+        )
+        .withColumn("coarse_sim", F.round(coarse, sim_scale))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("coarse_sim"), F.asc(id_col)
+    )
+    cands = (
+        joined.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= shortlist)
+        .drop(*[f"_pc{j}" for j in range(len(components))])
+        .drop(*[f"_qc{j}" for j in range(len(components))])
+    )
+    fine = cands.withColumn(
+        "sim",
+        cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        fine.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop(query_vec_col, "crk")
+    )

@@ -6213,6 +6213,42 @@ def q_bpe_encode(spark, sf_dir):
 QUERIES["bpe_encode"] = q_bpe_encode
 
 
+def q_knn_pca_search(spark, sf_dir):
+    """rows-only: coarse-to-fine ANN through the trained PCA rotation
+    (search.pca_search) — 16-dim learned-projection dot picks a 50-deep
+    shortlist per query, exact full-dim cosine re-ranks to top-5. The
+    axes persist through the artifact store (training runs once per
+    dataset; construction is zero-job after). rows-only because the
+    fitted axes are training-derived floats with no static SQL replay;
+    recall against oracle-checked brute force is pinned in
+    tests/test_pca_search.py (0.84 at shortlist=100 on the nearly
+    isotropic fixture corpus — the linear-prefilter worst case)."""
+    from .operators import search as S
+    from .plans import artifacts as ART
+
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "pca_components",
+        {"k": 16},
+        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
+            S.pca_train(emb, k=16)
+        ),
+        source="embeddings.parquet",
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return S.pca_search(
+        corpus, queries, raw["components"], k=5, shortlist=50
+    ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
+
+
+QUERIES["knn_pca_search"] = q_knn_pca_search
+
+
 ORACLE["bpe_pair_counts"] = """
     WITH ws AS (
         SELECT unnest(list_filter(string_split(lower(text), ' '),
