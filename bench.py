@@ -58,6 +58,12 @@ HEADLINE = [
     "bm25_rank",
     "corpus_release_manifest",
     "quality_calibration",
+    # round 4: DSIR importance selection, vocabulary profiling, BPE
+    # tokenizer fertility, and the PCA-prefilter ANN path
+    "dsir_select",
+    "vocab_profile",
+    "bpe_encode",
+    "knn_pca_search",
 ]
 
 
@@ -90,6 +96,16 @@ def main() -> None:
     )
 
     from vector_database_app_spark import caching  # noqa: PLC0415
+
+    # Construct every headline query once before timing: trainer-backed
+    # queries (ann_planner_indexed, bpe_encode, knn_pca_search) run
+    # their ONE-TIME index/model build here — the bench prices the
+    # query, not the index-build lifecycle (artifacts persist under
+    # spark-warehouse/ann_artifacts, so this is a no-op except on a
+    # fresh checkout). Construction is otherwise lazy (enforced by
+    # tests/test_driver_compat.py), so non-trainer queries cost nothing.
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
