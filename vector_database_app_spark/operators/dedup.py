@@ -258,6 +258,46 @@ def ngram_jaccard(
     )
 
 
+
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Asymmetric shingle containment for (id_a, id_b) candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| — the QUOTE/SUBSET detector Jaccard misses
+    (a paragraph fully quoted inside a much larger doc has high
+    containment but low Jaccard; Broder 1997 distinguishes resemblance
+    from containment for exactly this case). No reference equivalent;
+    the asymmetric sibling of `ngram_jaccard` with the same scale
+    contract: pairs consumed ONCE, joins move raw text not shingle
+    arrays, shingling runs only on surviving pair rows, and the
+    intersection sizes stay INTEGER so the driver compare is exact."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"))
+    sh_a = F.array_distinct(TX.shingles("_t_a", shingle_n))
+    sh_b = F.array_distinct(TX.shingles("_t_b", shingle_n))
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .repartition(n_parts, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("inter_size"),
+            F.size(sh_a).cast("bigint").alias("size_a"),
+            F.size(sh_b).cast("bigint").alias("size_b"),
+            F.round(inter / F.size(sh_a), scale).alias("containment_a"),
+            F.round(inter / F.size(sh_b), scale).alias("containment_b"),
+        )
+    )
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

@@ -1426,13 +1426,16 @@ def dsir_scores(
     SQL). Unseen-in-target tokens contribute 0 target mass (no
     smoothing), matching the LEFT JOIN in the oracle.
 
-    Scale shape: the corpus is tokenized ONCE (one explode); the target
-    LM is a filtered re-aggregation of the same token stream, joined
-    back on `term` (AQE broadcasts the vocab side when it fits, exactly
-    as in unigram_lm_score); per-doc re-agg shuffles on the doc key; the
-    two scalar totals join as a broadcast single-row frame, never a
-    collected scalar. Reducer state is bounded by |vocab|, not corpus
-    rows."""
+    Scale shape: the corpus is scanned and shuffled once — the three
+    token-stream consumers (doc-side join probe, vocab LM, totals)
+    share one identical scan→repartition prefix that AQE's exchange
+    reuse deduplicates at runtime; only the explode re-executes per
+    consumer (CPU, not I/O). Both LMs come from ONE (term) hash agg
+    with conditional sums, joined back on `term` (AQE broadcasts the
+    vocab side when it fits, exactly as in unigram_lm_score); per-doc
+    re-agg shuffles on the doc key; the two scalar totals join as a
+    broadcast single-row frame, never a collected scalar. Reducer state
+    is bounded by |vocab|, not corpus rows."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(n_parts, id_col).select(
         F.col(id_col),

@@ -6249,6 +6249,126 @@ def q_knn_pca_search(spark, sf_dir):
 QUERIES["knn_pca_search"] = q_knn_pca_search
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment on fixed pairs (doc_id, doc_id+125)
+    (dedup.ngram_containment, Broder 1997 resemblance-vs-containment) —
+    the quote/subset detector Jaccard misses. Integer intersection and
+    set sizes ride along so the driver compare is exact; inner joins
+    bound the pair list (out-of-range ids drop)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + F.lit(125)
+    )
+    return dedup.ngram_containment(docs, pairs, shingle_n=3)
+
+
+QUERIES["ngram_containment"] = q_ngram_containment
+
+ORACLE["ngram_containment"] = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents)
+    ), pairs AS (
+        SELECT doc_id AS id_a, doc_id + 125 AS id_b FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter_size,
+           CAST(len(sa.s) AS BIGINT) AS size_a,
+           CAST(len(sb.s) AS BIGINT) AS size_b,
+           round(len(list_intersect(sa.s, sb.s)) / len(sa.s), 6)
+               AS containment_a,
+           round(len(list_intersect(sa.s, sb.s)) / len(sb.s), 6)
+               AS containment_b
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+"""
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier audit: cosine of every vector to its OWN
+    label's centroid — low similarity flags mislabeled or garbage
+    vectors before they poison retrieval training. Composes the
+    embed_centroid determinism recipe (exact DECIMAL(38,20) per-dim sums,
+    one double division, round 6) with the strict-order cosine both
+    engines replay identically; the threshold compares the ROUNDED
+    similarity so last-ulp noise can't flip the verdict.
+
+    Scale shape: centroids are a |labels|·dim aggregate (map-side
+    combinable posexplode sums) rebuilt into arrays by a per-label
+    sort of 64 structs — a bounded-frame operation — then BROADCAST
+    back into the one corpus scan. No window, no self-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,20)")).alias("sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(
+                F.col("sum_dec").cast("double") / F.col("n"), 6
+            ).alias("cval"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("centroid")
+        )
+    )
+    sim = cosine_rounded(F.col("embedding"), F.col("centroid"))
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            sim.alias("centroid_sim"),
+            (sim < F.lit(0.05)).alias("outlier"),
+        )
+    )
+
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+
+ORACLE["embedding_outliers"] = f"""
+    WITH expl AS (
+        SELECT e.label,
+               unnest(e.embedding::DOUBLE[]) AS val,
+               unnest(range(len(e.embedding))) AS pos
+        FROM embeddings e
+    ), sums AS (
+        SELECT label, pos,
+               sum(CAST(val AS DECIMAL(38,20))) AS sum_dec,
+               count(*) AS n
+        FROM expl GROUP BY label, pos
+    ), cent AS (
+        SELECT label,
+               list(round(CAST(sum_dec AS DOUBLE) / n, 6)
+                    ORDER BY pos) AS centroid
+        FROM sums GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           {_SQL_COS.format(a="e.embedding", b="c.centroid")}
+               AS centroid_sim,
+           {_SQL_COS.format(a="e.embedding", b="c.centroid")} < 0.05
+               AS outlier
+    FROM embeddings e JOIN cent c USING (label)
+"""
+
+
 ORACLE["bpe_pair_counts"] = """
     WITH ws AS (
         SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -7263,8 +7383,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 12 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 4 added mid-r4
+# round banks the 50 above, exactly 14 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 6 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7272,6 +7392,7 @@ _DRIVER_WINDOW_R4 = [
 #     "chunk_sliding", "token_histogram", "profile_table",
 #     "profile_embeddings",
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
+#     "ngram_containment", "embedding_outliers",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
