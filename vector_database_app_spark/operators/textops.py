@@ -1519,3 +1519,119 @@ def vocab_profile(
             "type_token_ratio"
         ),
     )
+
+
+#: Feature order for the TRAINED quality classifier (training and
+#: serving must agree on it; tests pin serving == model.transform).
+QUALITY_FEATURES = ("f_len", "f_stop", "f_punct", "f_distinct")
+
+
+def quality_features(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The four signals `quality_classifier` serves, as named columns:
+    saturating length (min(words,200)/200), stopword density,
+    punctuation density, distinct-word ratio — each the engine's
+    round(·,6) double, so training and serving read bit-identical
+    inputs. Pure column expressions, one scan, no shuffle."""
+    nw = TX.n_words(text_col).cast("bigint")
+    distinct_ratio = F.round(
+        F.size(
+            F.array_distinct(
+                F.filter(TX.words(text_col), lambda x: x != F.lit(""))
+            )
+        )
+        / F.greatest(nw, F.lit(1)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(F.least(nw, F.lit(200)) / F.lit(200.0), 6).alias("f_len"),
+        F.coalesce(TX.stopword_ratio(text_col), F.lit(0.0)).alias(
+            "f_stop"
+        ),
+        F.coalesce(TX.punct_ratio(text_col), F.lit(0.0)).alias("f_punct"),
+        distinct_ratio.alias("f_distinct"),
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> dict:
+    """REAL MLlib LogisticRegression fit of the quality classifier —
+    the third genuinely trainable in-container model (after Word2Vec
+    and PCA): learns the keep/drop weights `quality_classifier` serves
+    with FIXED published constants, supervised by the engine's own
+    integer-exact Gopher rules (`gopher_quality` verdicts as labels —
+    the standard distillation setup: a cheap linear scorer trained to
+    imitate an expensive rule cascade, then served at scan speed).
+
+    Returns {"weights": [w_len, w_stop, w_punct, w_distinct],
+    "intercept": b, "train_accuracy": a} — 6 floats to the driver, the
+    whole model. Training is one corpus scan for features+labels and
+    LBFGS iterations over |features|-sized gradients (treeAggregate,
+    map-side combinable); serving is a pure column expression
+    (`serve_quality_classifier`), no model runtime, no Python."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    labels = gopher_quality(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col),
+        (F.col("verdict") == "keep").cast("double").alias("label"),
+    )
+    ds = (
+        feats.join(labels, id_col)
+        .select(
+            array_to_vector(
+                F.array(*[F.col(c) for c in QUALITY_FEATURES])
+            ).alias("features"),
+            "label",
+        )
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=True
+    )
+    model = lr.fit(ds)
+    acc = (
+        model.transform(ds)
+        .select(
+            F.avg(
+                (F.col("prediction") == F.col("label")).cast("double")
+            ).alias("acc")
+        )
+        .collect()[0]["acc"]
+    )
+    return {
+        "weights": [float(w) for w in model.coefficients],
+        "intercept": float(model.intercept),
+        "train_accuracy": float(acc),
+    }
+
+
+def serve_quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    intercept: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serving shape of the TRAINED classifier: logit = b + w·f as pure
+    column expressions over the same round(·,6) features training read
+    — one scan, whole-stage codegen, keep = logit > 0 (the monotone
+    threshold; no exp() needed)."""
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    logit = F.lit(float(intercept))
+    for w, c in zip(weights, QUALITY_FEATURES):
+        logit = logit + F.lit(float(w)) * F.col(c)
+    return feats.select(
+        id_col,
+        F.round(logit, 6).alias("quality_logit"),
+        (logit > F.lit(0.0)).alias("keep"),
+    )

@@ -6343,6 +6343,34 @@ def q_embedding_outliers(spark, sf_dir):
 
 QUERIES["embedding_outliers"] = q_embedding_outliers
 
+
+def q_quality_classifier_trained(spark, sf_dir):
+    """rows-only: the TRAINED quality classifier — REAL MLlib
+    LogisticRegression weights (textops.train_quality_classifier,
+    distilled from the engine's integer-exact Gopher rules) served as
+    pure column expressions (textops.serve_quality_classifier). The
+    6-float model persists through the artifact store; construction is
+    zero-job after the first build. Fixed-weight sibling:
+    `quality_classifier` (oracle-checked); agreement with the teacher
+    rules and with MLlib model.transform is pinned in
+    tests/test_quality_train.py."""
+    from .plans import artifacts as ART
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "quality_lr",
+        {"max_iter": 50, "reg_param": 0.01},
+        lambda: textops.train_quality_classifier(docs),
+        source="documents.parquet",
+    )
+    return textops.serve_quality_classifier(
+        docs, raw["weights"], raw["intercept"]
+    )
+
+
+QUERIES["quality_classifier_trained"] = q_quality_classifier_trained
+
 ORACLE["embedding_outliers"] = f"""
     WITH expl AS (
         SELECT e.label,
