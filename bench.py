@@ -64,6 +64,9 @@ HEADLINE = [
     "vocab_profile",
     "bpe_encode",
     "knn_pca_search",
+    "ngram_containment",
+    "embedding_outliers",
+    "quality_classifier_trained",
 ]
 
 

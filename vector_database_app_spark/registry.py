@@ -6371,6 +6371,66 @@ def q_quality_classifier_trained(spark, sf_dir):
 
 QUERIES["quality_classifier_trained"] = q_quality_classifier_trained
 
+
+def q_ann_pca_recall(spark, sf_dir):
+    """rows-only: recall@5 of the PCA-prefilter path (knn_pca_search's
+    16-dim rotation, shortlist=50) against brute-force ground truth, per
+    query — the measure-don't-guess harness for the learned-rotation
+    index, sibling of ann_recall (IVF) and input to the same
+    planner discipline: an operating point enters the planner only with
+    a measured recall curve. Ground truth runs on the fixed 3-query
+    sample; recall estimation never scans the full query load."""
+    from .plans import artifacts as ART
+
+    emb = _t(spark, sf_dir, "embeddings")
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "pca_components",
+        {"k": 16},
+        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
+            search.pca_train(emb, k=16)
+        ),
+        source="embeddings.parquet",
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    approx = search.pca_search(
+        corpus, queries, raw["components"], k=5, shortlist=50
+    ).select("query_id", "vec_id")
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_rounded("embedding", "query_embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        truth.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(5.0), 6
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["ann_pca_recall"] = q_ann_pca_recall
+
 ORACLE["embedding_outliers"] = f"""
     WITH expl AS (
         SELECT e.label,
