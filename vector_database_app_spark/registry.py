@@ -6431,6 +6431,65 @@ def q_ann_pca_recall(spark, sf_dir):
 
 QUERIES["ann_pca_recall"] = q_ann_pca_recall
 
+
+def q_events_markov(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): lag over each user's ordered event stream → (from, to)
+    pair counts → row-normalized probability, the behavioral-model
+    statistic session-analytics and bot-detection pipelines start from.
+
+    Determinism: ordering is (ts, event_id) — event_id breaks timestamp
+    ties identically in both engines; counts are integers and the
+    probability is one rounded bigint division. Scale shape: ONE window
+    partitioned by user_id (the stream is already user-keyed — no
+    global sort), then a |types|²-row hash agg with map-side partials;
+    the row-total join is a broadcast of that tiny matrix."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+QUERIES["events_markov"] = q_events_markov
+
+ORACLE["events_markov"] = """
+    WITH seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    ), trans AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ), totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, tt.row_total,
+           round(t.n / tt.row_total, 6) AS p
+    FROM trans t JOIN totals tt USING (from_type)
+"""
+
 ORACLE["embedding_outliers"] = f"""
     WITH expl AS (
         SELECT e.label,
@@ -7471,8 +7530,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 14 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 6 added mid-r4
+# round banks the 50 above, exactly 15 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 7 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7480,7 +7539,7 @@ _DRIVER_WINDOW_R4 = [
 #     "chunk_sliding", "token_histogram", "profile_table",
 #     "profile_embeddings",
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
-#     "ngram_containment", "embedding_outliers",
+#     "ngram_containment", "embedding_outliers", "events_markov",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
