@@ -3539,7 +3539,7 @@ ORACLE: dict[str, str] = {
             FROM (SELECT doc_id, text,
                          string_split(lower(text), ' ') AS ws
                   FROM documents)
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT doc_id AS id_a, doc_id + 250 AS id_b FROM documents
         )
         SELECT p.id_a, p.id_b,
@@ -6470,6 +6470,81 @@ def q_events_markov(spark, sf_dir):
 
 QUERIES["events_markov"] = q_events_markov
 
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-nation triangle counts over the inter-nation trade graph
+    (nations adjacent when some supplier in one ships to a customer in
+    the other; operators/graph.triangle_count — degree-ordered
+    orientation, Schank & Wagner 2005, so wedge fan-out is bounded by
+    Σd_out² and each triangle materializes once at its lowest-order
+    apex). The graph sibling of graph_pagerank on a graph that can
+    actually HAVE triangles (the supplier↔customer graph is bipartite,
+    hence triangle-free)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    from .operators import graph as G
+
+    return G.triangle_count(pairs)
+
+
+QUERIES["graph_triangles"] = q_graph_triangles
+
+ORACLE["graph_triangles"] = """
+    -- AS MATERIALIZED throughout: e is referenced 3x (e1/e2/closing
+    -- join) and default inlining re-expands the 4-way pairs join per
+    -- reference (>7 min at sf0.1; <2 s materialized) - same pathology
+    -- and fix as rag_mmr/dedup_clusters (PERF.md).
+    WITH pairs AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ), und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM pairs WHERE src <> dst
+    ), deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM und
+            UNION ALL
+            SELECT v AS node FROM und
+        ) GROUP BY node
+    ), keyed AS MATERIALIZED (
+        SELECT node, deg * 1000000000 + node AS okey FROM deg
+    ), e AS MATERIALIZED (
+        SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS a,
+               CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS b,
+               least(ku.okey, kv.okey) AS ka,
+               greatest(ku.okey, kv.okey) AS kb
+        FROM und
+        JOIN keyed ku ON und.u = ku.node
+        JOIN keyed kv ON und.v = kv.node
+    ), wedges AS MATERIALIZED (
+        SELECT e1.a, e1.b AS x, e1.kb AS kx, e2.b AS y, e2.kb AS ky
+        FROM e e1 JOIN e e2 ON e1.a = e2.a
+        WHERE e1.kb < e2.kb
+    ), tris AS MATERIALIZED (
+        SELECT w.a, w.x, w.y
+        FROM wedges w JOIN e ON e.a = w.x AND e.b = w.y
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT x AS node FROM tris
+        UNION ALL SELECT y AS node FROM tris
+    ) GROUP BY node
+"""
+
 ORACLE["events_markov"] = """
     WITH seq AS (
         SELECT user_id,
@@ -7530,8 +7605,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 15 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 7 added mid-r4
+# round banks the 50 above, exactly 16 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 8 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7540,6 +7615,7 @@ _DRIVER_WINDOW_R4 = [
 #     "profile_embeddings",
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
 #     "ngram_containment", "embedding_outliers", "events_markov",
+#     "graph_triangles",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
