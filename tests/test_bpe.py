@@ -189,3 +189,72 @@ def test_registry_queries_schema_and_artifact_reuse(spark):
     QUERIES["bpe_train"](spark, SF)
     after = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
     assert after == before
+
+
+def test_merge_step_exhaustive_small_alphabet(spark):
+    """EXHAUSTIVE parity of the F.aggregate merge expression vs the
+    Python reference: every string over {a,b} up to length 8 (510
+    words), under every possible merge pair — 4 × 510 comparisons per
+    run in two Spark jobs. Full enumeration of the small case beats
+    sampling: any greedy-scan bug (re-fuse of a fresh symbol, dropped
+    tail, wrong leftmost bias) has a witness in this set."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    words = [
+        "".join(p)
+        for n in range(1, 9)
+        for p in product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for left, right in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            r.w: r.syms
+            for r in df.select(
+                "w",
+                tokenize.merge_step_expr(
+                    F.split("w", ""), left, right
+                ).alias("syms"),
+            ).collect()
+        }
+        for w in words:
+            want = _ref_apply_merge(list(w), left, right)
+            assert got[w] == want, (w, left, right, got[w], want)
+
+
+def test_apply_merges_chain_exhaustive(spark):
+    """Chained-merge parity: applying the REAL trained sf0.001 merge
+    table plus a cascading synthetic tail ((a,b)->ab then (ab,a)->aba)
+    must match the Python reference on every {a,b}-string up to length
+    8 — cascades are where chained F.aggregate rewrites can diverge
+    (a merged symbol becoming the left side of a later merge)."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    merges = [
+        {"left_sym": "a", "right_sym": "b", "merged": "ab"},
+        {"left_sym": "ab", "right_sym": "a", "merged": "aba"},
+        {"left_sym": "b", "right_sym": "b", "merged": "bb"},
+    ]
+    words = [
+        "".join(p)
+        for n in range(1, 9)
+        for p in product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.syms
+        for r in df.select(
+            "w",
+            tokenize.apply_merges_expr(F.split("w", ""), merges).alias(
+                "syms"
+            ),
+        ).collect()
+    }
+    for w in words:
+        syms = list(w)
+        for m in merges:
+            syms = _ref_apply_merge(syms, m["left_sym"], m["right_sym"])
+        assert got[w] == syms, (w, got[w], syms)
