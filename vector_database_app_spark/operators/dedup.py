@@ -1323,3 +1323,64 @@ def semantic_near_dups(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_bits: int = 8,
+    dim: int = 64,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination — the semantic sibling
+    of the n-gram `textops.decontaminate`: a corpus vector is
+    contaminated when some benchmark vector lands in its SRP bucket
+    with rounded cosine >= threshold (paraphrased or re-embedded eval
+    items that exact n-gram overlap misses; the semantic-contamination
+    concern of GPT-3 §4 / SemDeDup).
+
+    Scale shape: the benchmark side is the SMALL side by construction —
+    bucket both sides with the shared md5-derived SRP hyperplanes
+    (`search.srp_index`), broadcast the bucketed benchmark, equi-join on
+    the bucket, verify only in-bucket pairs with the rounded cosine, one
+    per-corpus-id agg. The corpus is scanned once; no self-join, no
+    all-pairs. Recall follows the SRP-LSH property; at 100 TB multiple
+    independent bucketings union'd recover the tail, as in
+    `embedding_near_dups_srp`."""
+    from ..functions.vector import cosine_rounded as _cr
+    from .search import srp_index
+
+    ci = srp_index(corpus, vec_col=vec_col, n_bits=n_bits, dim=dim)
+    bi = srp_index(benchmark, vec_col=vec_col, n_bits=n_bits, dim=dim).select(
+        F.col("bucket"),
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+    )
+    hits = (
+        ci.join(F.broadcast(bi), "bucket")
+        .filter(
+            _cr(F.col(vec_col), F.col("_b_vec"), sim_scale)
+            >= F.lit(threshold)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+            F.min("_b_id").cast("bigint").alias("first_match"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("bigint")
+            .alias("n_bench_matches"),
+            "first_match",
+            F.col("n_bench_matches").isNotNull().alias("contaminated"),
+        )
+    )

@@ -6500,6 +6500,50 @@ def q_graph_triangles(spark, sf_dir):
 
 QUERIES["graph_triangles"] = q_graph_triangles
 
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (dedup.semantic_decontaminate): corpus = vec_id % 97 != 0, held-out
+    benchmark = vec_id % 97 == 0 (the bench_mod=97 convention of the
+    n-gram `decontaminate`), SRP-bucket blocking with broadcast
+    benchmark, rounded-cosine verify at 0.3. Value-level oracle: the
+    md5-derived hyperplanes regenerate into SQL (_srp_bucket_sql), so
+    buckets — and the candidate set — match bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.3,
+    )
+
+
+QUERIES["decontaminate_semantic"] = q_decontaminate_semantic
+
+ORACLE["decontaminate_semantic"] = f"""
+    WITH cb AS (
+        SELECT vec_id, embedding,
+               {_srp_bucket_sql("embedding")} AS bucket
+        FROM embeddings WHERE vec_id % 97 <> 0
+    ), bb AS (
+        SELECT vec_id AS b_id, embedding AS b_emb,
+               {_srp_bucket_sql("embedding")} AS bucket
+        FROM embeddings WHERE vec_id % 97 = 0
+    ), hits AS (
+        SELECT c.vec_id,
+               CAST(count(*) AS BIGINT) AS n_bench_matches,
+               CAST(min(b.b_id) AS BIGINT) AS first_match
+        FROM cb c JOIN bb b USING (bucket)
+        WHERE {_SQL_COS.format(a="c.embedding", b="b.b_emb")} >= 0.3
+        GROUP BY c.vec_id
+    )
+    SELECT e.vec_id,
+           coalesce(h.n_bench_matches, 0) AS n_bench_matches,
+           h.first_match,
+           h.n_bench_matches IS NOT NULL AS contaminated
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0) e
+    LEFT JOIN hits h USING (vec_id)
+"""
+
 ORACLE["graph_triangles"] = """
     -- AS MATERIALIZED throughout: e is referenced 3x (e1/e2/closing
     -- join) and default inlining re-expands the 4-way pairs join per
@@ -7605,8 +7649,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 16 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 8 added mid-r4
+# round banks the 50 above, exactly 17 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 9 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7615,7 +7659,7 @@ _DRIVER_WINDOW_R4 = [
 #     "profile_embeddings",
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
 #     "ngram_containment", "embedding_outliers", "events_markov",
-#     "graph_triangles",
+#     "graph_triangles", "decontaminate_semantic",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
