@@ -67,6 +67,10 @@ HEADLINE = [
     "ngram_containment",
     "embedding_outliers",
     "quality_classifier_trained",
+    "events_markov",
+    "graph_triangles",
+    "decontaminate_semantic",
+    "ann_pca_recall",
 ]
 
 

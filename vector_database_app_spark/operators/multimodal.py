@@ -7,8 +7,12 @@ row schema as text (`rag_search/vector_db.py:286,480`) and derives caption
 columns from them via per-image model calls (F7/F8, `:547-596`). Here the
 payload is a true `binary` column and every derivation is a columnar batch
 UDF — the Spark-side contract (schema, batch shape, partitioning) is real
-and tested; the actual pixel/audio decode is stubbed because image/audio
-libraries are not in this container (clearly marked below).
+and tested. PNG and PCM-WAV payloads DECODE FOR REAL through the
+zero-dependency stdlib codecs in ``functions/media.py`` (zlib scanline
+PNG, wave-module WAV — round-tripped in tests/test_media.py); other
+formats (JPEG, MP3, video) genuinely need external codecs absent from
+this container and fall through to deterministic fakes / the documented
+NotImplementedError plug-in lines.
 
 Scale notes: binary payloads ride the same parquet row groups as their
 metadata; `spark.sql.files.maxPartitionBytes` bounds task input so a task's
@@ -82,23 +86,23 @@ def decode_image_features(
     stage (the Spark shape of reference F3/F5/F7 image models,
     `rag_search/vector_db.py:473-527,547-563`).
 
-    STUB: the real decoder (PIL/torchvision/ffmpeg) is not installed in this
-    container. With ``deterministic_fake=True`` the stage emits
-    deterministic pseudo-features derived from the payload bytes, so the
-    pipeline (batching, schema, partitioning) is fully exercised; with
-    ``deterministic_fake=False`` it raises NotImplementedError exactly where
-    the decoder plugs in.
+    PNG payloads decode FOR REAL (stdlib codec, functions/media.py):
+    true width/height/channels and per-channel mean/std features. Other
+    magics: with ``deterministic_fake=True`` the stage emits
+    deterministic pseudo-features derived from the payload bytes (the
+    pipeline — batching, schema, partitioning — is fully exercised);
+    with ``deterministic_fake=False`` it raises NotImplementedError
+    exactly where a JPEG/etc. decoder plugs in.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        from ..functions import media
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision — plug the "
-                    "decoder in here; this container ships no image libs"
-                )
             out = {
                 "doc_id": pdf[id_col],
                 "width": [],
@@ -108,6 +112,27 @@ def decode_image_features(
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload)
+                if media.is_png(b):
+                    # REAL decode: stdlib-zlib PNG (functions/media.py)
+                    img = media.png_decode(b)
+                    h, w, c = img.shape
+                    planes = img.reshape(-1, c).astype(np.float64) / 255.0
+                    feats = []
+                    for ch in range(c):
+                        feats.append(float(planes[:, ch].mean()))
+                        feats.append(float(planes[:, ch].std()))
+                    feats = (feats + [0.0] * feature_dim)[:feature_dim]
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["features"].append([round(f, 6) for f in feats])
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-PNG image decode requires PIL/torchvision — "
+                        "plug the decoder in here (PNG is handled by the "
+                        "stdlib codec in functions/media.py)"
+                    )
                 digest = hashlib.sha256(b).digest()
                 out["width"].append(64 + digest[0] % 192)
                 out["height"].append(64 + digest[1] % 192)
@@ -215,24 +240,21 @@ def decode_audio_features(
     features through the same slot and they flow to embedding like any
     vector column).
 
-    STUB: no audio codec (soundfile/librosa/ffmpeg) ships in this
-    container. With ``deterministic_fake=True`` the payload bytes are
-    treated as 8-bit PCM mono @ 16 kHz, so every derived number is an
-    exact function of the bytes and the plumbing (batching, schema,
-    windowing arithmetic) is fully exercised; ``deterministic_fake=False``
-    raises NotImplementedError exactly where the decoder plugs in."""
+    PCM-WAV payloads decode FOR REAL (stdlib wave codec,
+    functions/media.py): true sample rate, duration, channel-averaged
+    RMS. Other magics: with ``deterministic_fake=True`` the payload
+    bytes are treated as 8-bit PCM mono @ 16 kHz (every derived number
+    an exact function of the bytes — plumbing fully exercised);
+    ``deterministic_fake=False`` raises NotImplementedError exactly
+    where an MP3/FLAC codec plugs in."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..functions import media
+
         rate = 16000
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa/ffmpeg — "
-                    "plug the codec in here; this container ships no "
-                    "audio libs"
-                )
             out = {
                 "doc_id": pdf[id_col],
                 "sample_rate": [],
@@ -242,7 +264,28 @@ def decode_audio_features(
                 "n_windows": [],
             }
             for payload in pdf[payload_col]:
-                pcm = np.frombuffer(bytes(payload), dtype=np.uint8)
+                b = bytes(payload)
+                if media.is_wav(b):
+                    # REAL decode: stdlib-wave PCM (functions/media.py)
+                    samples, srate, _ch = media.wav_decode(b)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    n = int(mono.size)
+                    dur_ms = n * 1000 // srate
+                    out["sample_rate"].append(srate)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(dur_ms)
+                    out["rms_energy"].append(
+                        round(float(np.sqrt((mono**2).mean())) if n else 0.0, 6)
+                    )
+                    out["n_windows"].append(-(-max(dur_ms, 1) // window_ms))
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/ffmpeg — "
+                        "plug the codec in here (PCM WAV is handled by the "
+                        "stdlib codec in functions/media.py)"
+                    )
+                pcm = np.frombuffer(b, dtype=np.uint8)
                 centered = pcm.astype(np.float64) - 128.0
                 n = int(pcm.size)
                 dur_ms = n * 1000 // rate
@@ -285,12 +328,13 @@ def resize_images(
     `rag_search/vector_db.py:480,517`; at pipeline scale it is its own
     stage so the expensive decode+resample runs once, not per model).
 
-    STUB (same contract as decode_image_features): no image libs in this
-    container, so ``deterministic_fake=True`` emits the resized-artifact
-    METADATA (target dims, deterministic synthetic output size + content
-    digest derived from the payload), exercising batching/schema/
-    partitioning; ``deterministic_fake=False`` raises NotImplementedError
-    at the exact line PIL's ``Image.resize`` plugs in.
+    PNG payloads resample FOR REAL: stdlib decode → nearest-neighbor
+    (the deterministic kernel) → stdlib re-encode; `resized_bytes`/
+    `resized_sha` describe the actual artifact. Other magics keep the
+    prior contract: ``deterministic_fake=True`` emits deterministic
+    synthetic metadata (batching/schema/partitioning exercised),
+    ``deterministic_fake=False`` raises NotImplementedError at the exact
+    line PIL's ``Image.resize`` plugs in.
     """
     tw, th = target
 
@@ -298,12 +342,9 @@ def resize_images(
         import hashlib
         import struct
 
+        from ..functions import media
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real resize requires PIL — plug Image.open(...)"
-                    ".resize((tw, th)) in here"
-                )
             out = {
                 "doc_id": pdf[id_col],
                 "target_w": [],
@@ -313,6 +354,26 @@ def resize_images(
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload)
+                if media.is_png(b):
+                    # REAL resample: decode → nearest-neighbor → re-encode
+                    # (functions/media.py; nearest is the deterministic
+                    # kernel — no interpolation rounding ambiguity)
+                    resized = media.png_encode(
+                        media.resize_nearest(media.png_decode(b), tw, th)
+                    )
+                    out["target_w"].append(tw)
+                    out["target_h"].append(th)
+                    out["resized_bytes"].append(len(resized))
+                    out["resized_sha"].append(
+                        hashlib.sha256(resized).hexdigest()
+                    )
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "non-PNG resize requires PIL — plug Image.open(...)"
+                        ".resize((tw, th)) in here (PNG is handled by the "
+                        "stdlib codec in functions/media.py)"
+                    )
                 # full 32-bit dims in the digest: a modulo-256 fold would
                 # collide targets 256px apart, e.g. (224,224) vs (480,224)
                 digest = hashlib.sha256(b + struct.pack(">II", tw, th))
