@@ -385,3 +385,43 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def synthesize_png_payloads(
+    df: DataFrame, id_col: str = "doc_id", *, max_side: int = 24
+) -> DataFrame:
+    """Deterministic REAL-PNG payload column: every row gets a small RGB
+    image seeded by its id, encoded with the stdlib codec
+    (functions/media.py). This is the fixture generator for the real
+    decode path — the corpus has no image files, so the engine
+    manufactures valid PNGs in-executor (Arrow-batched, no driver
+    involvement) and the decode stages then run their REAL branches
+    end-to-end. Dims derive from the id (4..max_side px per side), so
+    downstream width/height assertions are value-checkable."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i)
+                w = 4 + seed % (max_side - 3)
+                h = 4 + (seed // 7) % (max_side - 3)
+                img = np.random.default_rng(seed).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8
+                )
+                payloads.append(media.png_encode(img))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

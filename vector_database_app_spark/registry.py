@@ -6519,6 +6519,30 @@ def q_decontaminate_semantic(spark, sf_dir):
 
 QUERIES["decontaminate_semantic"] = q_decontaminate_semantic
 
+
+def q_image_features_png(spark, sf_dir):
+    """rows-only: the REAL image decode path end-to-end — every doc
+    gets a deterministic in-executor-synthesized PNG payload
+    (multimodal.synthesize_png_payloads, stdlib codec) and
+    decode_image_features runs its REAL branch: stdlib zlib/filter
+    decode, true dims, per-channel mean/std features. Scalar projection
+    (first two feature moments) for the driver canonicalizer. The
+    text-payload fake path stays covered by `image_features`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = multimodal.synthesize_png_payloads(docs)
+    out = multimodal.decode_image_features(payload)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("std_r"),
+    )
+
+
+QUERIES["image_features_png"] = q_image_features_png
+
 ORACLE["decontaminate_semantic"] = f"""
     WITH cb AS (
         SELECT vec_id, embedding,
