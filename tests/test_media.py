@@ -216,3 +216,52 @@ def test_audio_stage_decodes_real_wav(payload_df):
     # text payload keeps the fake-PCM contract at the fake rate
     assert got[2].sample_rate == 16000
     assert got[2].n_samples == len(b"plain text bytes")
+
+
+def test_registry_real_codec_queries(spark):
+    """The driver-visible real-path queries: executor-synthesized
+    PNG/WAV payloads through the REAL decode branches, with one row
+    independently re-derived in Python."""
+    import hashlib
+
+    from vector_database_app_spark.registry import QUERIES
+
+    img = {
+        r.doc_id: r
+        for r in QUERIES["image_features_png"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(img) == 200
+    # doc 13: re-derive dims + mean_r from the same seeded generator
+    seed = 13
+    w, h = 4 + seed % 21, 4 + (seed // 7) % 21
+    ref = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    r13 = img[13]
+    assert (r13.width, r13.height, r13.channels) == (w, h, 3)
+    # features ride a float32 array column, so compare at float32 grain
+    assert abs(
+        r13.mean_r - round(float(ref[:, :, 0].mean() / 255.0), 6)
+    ) < 1e-6
+
+    wav = {
+        r.doc_id: r
+        for r in QUERIES["audio_features_wav"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(wav) == 200
+    seed, rate = 9, 8000
+    n = rate // 10 + (seed % 5) * rate // 100
+    freq, amp = 200 + (seed % 20) * 25, 8000 + (seed % 4) * 1000
+    t = np.arange(n, dtype=np.float64)
+    sam = np.round(amp * np.sin(2 * np.pi * freq * t / rate)).astype(
+        np.int16
+    )
+    r9 = wav[9]
+    assert (r9.sample_rate, r9.n_samples) == (rate, n)
+    assert r9.rms_energy == round(
+        float(np.sqrt((sam.astype(np.float64) ** 2).mean())), 6
+    )

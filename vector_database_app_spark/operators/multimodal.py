@@ -425,3 +425,42 @@ def synthesize_png_payloads(
             ]
         ),
     )
+
+
+def synthesize_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", *, rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL-WAV payload column — the audio twin of
+    `synthesize_png_payloads`: every row gets a short int16 PCM sine
+    tone (frequency and duration seeded by the id) encoded with the
+    stdlib wave codec in-executor, so `decode_audio_features` runs its
+    REAL branch end-to-end with value-checkable rate/duration/RMS."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i)
+                n = rate // 10 + (seed % 5) * rate // 100  # 100-140 ms
+                freq = 200 + (seed % 20) * 25
+                amp = 8000 + (seed % 4) * 1000
+                t = np.arange(n, dtype=np.float64)
+                sam = np.round(
+                    amp * np.sin(2 * np.pi * freq * t / rate)
+                ).astype(np.int16)
+                payloads.append(media.wav_encode(sam, rate=rate))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

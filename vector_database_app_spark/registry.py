@@ -6543,6 +6543,21 @@ def q_image_features_png(spark, sf_dir):
 
 QUERIES["image_features_png"] = q_image_features_png
 
+
+def q_audio_features_wav(spark, sf_dir):
+    """rows-only: the REAL audio decode path end-to-end — every doc
+    gets a deterministic in-executor-synthesized PCM-WAV sine tone
+    (multimodal.synthesize_wav_payloads, stdlib wave codec) and
+    decode_audio_features runs its REAL branch: true sample rate,
+    sample count, duration, RMS. The text-payload fake path stays
+    covered by `audio_features`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = multimodal.synthesize_wav_payloads(docs)
+    return multimodal.decode_audio_features(payload)
+
+
+QUERIES["audio_features_wav"] = q_audio_features_wav
+
 ORACLE["decontaminate_semantic"] = f"""
     WITH cb AS (
         SELECT vec_id, embedding,
