@@ -6558,6 +6558,131 @@ def q_audio_features_wav(spark, sf_dir):
 
 QUERIES["audio_features_wav"] = q_audio_features_wav
 
+
+#: Fixture event vocabulary — pinned so the pivot's column set is a
+#: STATIC schema decision (a dynamic pivot scans the data at plan time;
+#: at 100 TB the type vocabulary is a catalog fact, not a scan result).
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: per-user-decile event counts, one column per event type
+    (the wide-format rollup BI layers ask for). The pivot value list is
+    EXPLICIT (`_EVENT_TYPES`) so the plan needs no pre-scan for
+    distinct types and the output schema is static — one hash agg with
+    map-side partials; conditional-sum form in the oracle because SQL
+    PIVOT is syntax sugar over exactly that."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_decile")]
+    for t in _EVENT_TYPES:
+        cols.append(
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        )
+    return out.select(*cols)
+
+
+QUERIES["events_pivot"] = q_events_pivot
+
+ORACLE["events_pivot"] = """
+    SELECT user_id % 10 AS user_decile,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM events GROUP BY user_id % 10
+"""
+
+
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured column analytics: extract the integer `k` field
+    from the JSON `props` column (JVM-side get_json_object — no Python)
+    and aggregate per event type. The avg is the one double division of
+    two bigints; malformed/missing JSON contributes NULL and drops out
+    of the aggregates identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("k_avg"),
+        )
+    )
+
+
+QUERIES["events_props_json"] = q_events_props_json
+
+ORACLE["events_props_json"] = """
+    WITH kx AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           round(CAST(sum(k) AS BIGINT) / CAST(count(k) AS BIGINT), 6)
+               AS k_avg
+    FROM kx GROUP BY event_type
+"""
+
+
+def q_events_wow_growth(spark, sf_dir):
+    """Week-over-week growth per event type: weekly rollup (hash agg on
+    a |types|×|weeks| key space), then lag over the TINY rollup frame —
+    the window runs after aggregation, partitioned by type, so it never
+    sees raw events. First week has NULL prev/growth in both engines;
+    the growth ratio is one double division of bigints."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("week", "ts")).alias("week_us"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_us")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week_us",
+        "n",
+        prev.cast("bigint").alias("prev_n"),
+        F.round(F.col("n") / prev, 6).alias("wow_ratio"),
+    )
+
+
+QUERIES["events_wow_growth"] = q_events_wow_growth
+
+ORACLE["events_wow_growth"] = """
+    WITH weekly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('week', ts)) AS week_us,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_us, n,
+           CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week_us)
+                AS BIGINT) AS prev_n,
+           round(n / lag(n) OVER (PARTITION BY event_type
+                                  ORDER BY week_us), 6) AS wow_ratio
+    FROM weekly
+"""
+
 ORACLE["decontaminate_semantic"] = f"""
     WITH cb AS (
         SELECT vec_id, embedding,
@@ -7688,8 +7813,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 17 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 9 added mid-r4
+# round banks the 50 above, exactly 20 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 12 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7698,7 +7823,8 @@ _DRIVER_WINDOW_R4 = [
 #     "profile_embeddings",
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
 #     "ngram_containment", "embedding_outliers", "events_markov",
-#     "graph_triangles", "decontaminate_semantic",
+#     "graph_triangles", "decontaminate_semantic", "events_pivot",
+#     "events_props_json", "events_wow_growth",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
