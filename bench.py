@@ -71,6 +71,12 @@ HEADLINE = [
     "graph_triangles",
     "decontaminate_semantic",
     "ann_pca_recall",
+    "events_pivot",
+    "events_props_json",
+    "events_wow_growth",
+    # real stdlib-codec decode stages (Arrow mapInPandas throughput)
+    "image_features_png",
+    "audio_features_wav",
 ]
 
 

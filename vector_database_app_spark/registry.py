@@ -6668,6 +6668,204 @@ def q_events_wow_growth(spark, sf_dir):
 
 QUERIES["events_wow_growth"] = q_events_wow_growth
 
+
+def q_market_basket(spark, sf_dir):
+    """Market-basket association between part brands: for every brand
+    pair co-occurring in an order, support and lift — the classic
+    co-purchase analytics rollup. Pair generation is a self-join on the
+    ORDER key (fan-out bounded by brands-per-order, ~7 lineitems — never
+    corpus²); all counts are integers, lift is one double division of
+    bigint products (bounded: n_a·n_b < 2^63 up to ~3e9 orders)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    brand_n = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            brand_n.select(
+                F.col("brand").alias("brand_a"),
+                F.col("n_brand").alias("n_a"),
+            ),
+            "brand_a",
+        )
+        .join(
+            brand_n.select(
+                F.col("brand").alias("brand_b"),
+                F.col("n_brand").alias("n_b"),
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") >= 3)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+QUERIES["market_basket"] = q_market_basket
+
+ORACLE["market_basket"] = """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders
+    ), bn AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n_brand
+        FROM ob GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           na.n_brand AS n_a, nb.n_brand AS n_b, tot.n_orders,
+           round(p.n_ab / tot.n_orders, 6) AS support,
+           round((p.n_ab * tot.n_orders) / (na.n_brand * nb.n_brand), 6)
+               AS lift
+    FROM pairs p
+    JOIN bn na ON p.brand_a = na.brand
+    JOIN bn nb ON p.brand_b = nb.brand
+    CROSS JOIN tot
+    WHERE p.n_ab >= 3
+"""
+
+
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation: recency (last order date), frequency (order
+    count), monetary (lifetime spend) per customer, scored against
+    FIXED integer thresholds (no ntile — a quantile scorer is a global
+    window; fixed thresholds keep the scorer a pure projection, and the
+    threshold calibration belongs in profile_table). One hash agg keyed
+    on the customer; monetary sums in exact DECIMAL."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    agg = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"),
+    )
+    return agg.select(
+        "o_custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        F.col("_m").cast("double").alias("monetary"),
+        F.when(F.col("frequency") >= 20, 3)
+        .when(F.col("frequency") >= 10, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(F.col("_m") >= 2_000_000, 3)
+        .when(F.col("_m") >= 1_000_000, 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+QUERIES["customer_rfm"] = q_customer_rfm
+
+ORACLE["customer_rfm"] = """
+    SELECT o_custkey,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary,
+           CAST(CASE WHEN count(*) >= 20 THEN 3
+                     WHEN count(*) >= 10 THEN 2 ELSE 1 END AS INTEGER)
+               AS f_score,
+           CAST(CASE WHEN sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          >= 2000000 THEN 3
+                     WHEN sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          >= 1000000 THEN 2 ELSE 1 END AS INTEGER)
+               AS m_score
+    FROM orders GROUP BY o_custkey
+"""
+
+
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day: exact distinct actives at day and
+    month grain, ratio = one double division of bigints. Both distincts
+    key on (grain, user) — the dedup-to-grain-then-count shape of
+    events_rolling_active; the month frame joins back broadcast-small."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+            F.unix_micros(F.date_trunc("month", "ts")).alias("month_us"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day_us", "month_us")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    )
+    monthly = (
+        ev.select(
+            F.unix_micros(F.date_trunc("month", "ts")).alias("month_us"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("month_us")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    return daily.join(F.broadcast(monthly), "month_us").select(
+        "day_us",
+        "month_us",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+QUERIES["events_stickiness"] = q_events_stickiness
+
+ORACLE["events_stickiness"] = """
+    WITH daily AS (
+        SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+               epoch_us(date_trunc('month', ts)) AS month_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ), monthly AS (
+        SELECT epoch_us(date_trunc('month', ts)) AS month_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d.day_us, d.month_us, d.dau, m.mau,
+           round(d.dau / m.mau, 6) AS stickiness
+    FROM daily d JOIN monthly m USING (month_us)
+"""
+
 ORACLE["events_wow_growth"] = """
     WITH weekly AS (
         SELECT event_type,
@@ -7813,8 +8011,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 20 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 12 added mid-r4
+# round banks the 50 above, exactly 23 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 15 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -7824,7 +8022,8 @@ _DRIVER_WINDOW_R4 = [
 #     "dsir_select", "vocab_profile", "l_diversity", "bpe_pair_counts",
 #     "ngram_containment", "embedding_outliers", "events_markov",
 #     "graph_triangles", "decontaminate_semantic", "events_pivot",
-#     "events_props_json", "events_wow_growth",
+#     "events_props_json", "events_wow_growth", "market_basket",
+#     "customer_rfm", "events_stickiness",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
