@@ -6850,6 +6850,163 @@ def q_events_stickiness(spark, sf_dir):
 
 QUERIES["events_stickiness"] = q_events_stickiness
 
+
+def _label_centroids(emb, pred):
+    """Per-label centroid arrays over the rows matching `pred` — the
+    embed_centroid determinism recipe (exact DECIMAL(38,20) sums, one
+    double division, round 6, pos-sorted rebuild)."""
+    exploded = emb.filter(pred).select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,20)")).alias("sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(
+                F.col("sum_dec").cast("double") / F.col("n"), 6
+            ).alias("cval"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("centroid"),
+            (F.max("n")).cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift monitor: per-label centroid cosine between
+    two corpus snapshots (even vs odd vec_id here; in production,
+    yesterday's store vs today's) — the check an embedding pipeline
+    runs after every model refresh or ingest wave, sibling of
+    `embedding_outliers`. Low cosine = the label's population moved:
+    re-embedding skew, upstream distribution shift, or a mis-versioned
+    encoder. Two |labels|·dim aggregates + one |labels|-row join; the
+    corpus is scanned twice (once per snapshot predicate), never
+    self-joined."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = _label_centroids(emb, F.col("vec_id") % 2 == 0).select(
+        "label",
+        F.col("centroid").alias("centroid_a"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    b = _label_centroids(emb, F.col("vec_id") % 2 == 1).select(
+        "label",
+        F.col("centroid").alias("centroid_b"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    sim = cosine_rounded(F.col("centroid_a"), F.col("centroid_b"))
+    return a.join(b, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        sim.alias("centroid_cos"),
+        (sim < F.lit(0.8)).alias("drifted"),
+    )
+
+
+QUERIES["embedding_drift"] = q_embedding_drift
+
+_SQL_HALF_CENTROID = """
+        SELECT label,
+               list(round(CAST(sum_dec AS DOUBLE) / n, 6)
+                    ORDER BY pos) AS centroid,
+               CAST(max(n) AS BIGINT) AS n_vecs
+        FROM (
+          SELECT label, pos,
+                 sum(CAST(val AS DECIMAL(38,20))) AS sum_dec,
+                 count(*) AS n
+          FROM (
+            SELECT e.label,
+                   unnest(e.embedding::DOUBLE[]) AS val,
+                   unnest(range(len(e.embedding))) AS pos
+            FROM embeddings e WHERE e.vec_id % 2 = {parity}
+          )
+          GROUP BY label, pos
+        )
+        GROUP BY label
+"""
+
+ORACLE["embedding_drift"] = f"""
+    WITH ca AS ({_SQL_HALF_CENTROID.format(parity=0)}),
+         cb AS ({_SQL_HALF_CENTROID.format(parity=1)})
+    SELECT ca.label, ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+           {_SQL_COS.format(a="ca.centroid", b="cb.centroid")}
+               AS centroid_cos,
+           {_SQL_COS.format(a="ca.centroid", b="cb.centroid")} < 0.8
+               AS drifted
+    FROM ca JOIN cb USING (label)
+"""
+
+
+def q_supplier_lead_time(spark, sf_dir):
+    """Fulfilment lead-time profile per supplier: integer day gaps from
+    order placement to line shipment (the fixture schema carries
+    l_shipdate + o_orderdate; TPC-H's commit/receipt columns are not in
+    this corpus), summed as bigints with one rounded division, plus the
+    slow-shipment count (>30 days). One join keyed on the order key and
+    one hash agg keyed on the supplier; both engines diff on explicit
+    DATE casts so timestamp-vs-date-boundary semantics can't diverge."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("_ship")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("_ord")
+    )
+    lead = F.datediff("_ship", "_ord")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(lead).cast("bigint").alias("sum_lead_days"),
+            F.sum(F.when(lead > 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_slow"),
+        )
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "sum_lead_days",
+            "n_slow",
+            F.round(
+                F.col("sum_lead_days") / F.col("n_lines"), 6
+            ).alias("avg_lead_days"),
+        )
+    )
+
+
+QUERIES["supplier_lead_time"] = q_supplier_lead_time
+
+ORACLE["supplier_lead_time"] = """
+    SELECT l.l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)))
+                AS BIGINT) AS sum_lead_days,
+           CAST(sum(CASE WHEN date_diff('day',
+                                        CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)) > 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+           round(CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)))
+                      AS BIGINT) / CAST(count(*) AS BIGINT), 6)
+               AS avg_lead_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_suppkey
+"""
 ORACLE["events_stickiness"] = """
     WITH daily AS (
         SELECT epoch_us(date_trunc('day', ts)) AS day_us,
@@ -8011,8 +8168,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 23 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 15 added mid-r4
+# round banks the 50 above, exactly 25 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 17 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -8023,7 +8180,8 @@ _DRIVER_WINDOW_R4 = [
 #     "ngram_containment", "embedding_outliers", "events_markov",
 #     "graph_triangles", "decontaminate_semantic", "events_pivot",
 #     "events_props_json", "events_wow_growth", "market_basket",
-#     "customer_rfm", "events_stickiness",
+#     "customer_rfm", "events_stickiness", "embedding_drift",
+#     "supplier_lead_time",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
