@@ -1,0 +1,107 @@
+"""Constructed-input semantics for the round-4 dedup extensions:
+containment must detect exact quoting (where Jaccard dilutes), and
+semantic decontamination must flag identical vectors and pass unrelated
+ones — unit-level checks the corpus-wide oracle mirror can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_app_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def quote_corpus(spark):
+    quoted = "alpha beta gamma delta epsilon zeta"
+    host = (
+        quoted
+        + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma "
+        + "tau upsilon phi chi psi omega one two three four five six"
+    )
+    other = "red orange yellow green blue indigo violet crimson amber"
+    return spark.createDataFrame(
+        [(0, quoted), (1, host), (2, other)], "doc_id long, text string"
+    )
+
+
+def test_containment_detects_quote_where_jaccard_dilutes(
+    spark, quote_corpus
+):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    cont = {
+        (r.id_a, r.id_b): r
+        for r in dedup.ngram_containment(quote_corpus, pairs).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard(quote_corpus, pairs).collect()
+    }
+    quoted_in_host = cont[(0, 1)]
+    # every shingle of the quoted doc appears in the host → full
+    # containment of A, partial of B; Jaccard is diluted by host length
+    assert quoted_in_host.containment_a == 1.0
+    assert quoted_in_host.containment_b < 1.0
+    assert quoted_in_host.inter_size == quoted_in_host.size_a
+    assert jac[(0, 1)] < 0.2  # the dilution containment exists to beat
+    unrelated = cont[(0, 2)]
+    assert unrelated.inter_size == 0
+    assert unrelated.containment_a == 0.0
+
+
+def test_containment_is_symmetric_in_sizes(spark, quote_corpus):
+    pairs = spark.createDataFrame([(1, 0)], "id_a long, id_b long")
+    r = dedup.ngram_containment(quote_corpus, pairs).collect()[0]
+    # swapped orientation: now B is the quoted doc → containment_b == 1
+    assert r.containment_b == 1.0
+    assert r.containment_a < 1.0
+
+
+@pytest.fixture(scope="module")
+def vec_frames(spark):
+    dim = 64
+    e = lambda i, s: [float(s) if j == i else 0.0 for j in range(dim)]  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            (10, e(0, 1.0)),   # identical to benchmark 0
+            (11, e(1, 1.0)),   # orthogonal to every benchmark vector
+            (12, e(0, -1.0)),  # anti-parallel: same axis, cos = -1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(0, e(0, 1.0))], "vec_id long, embedding array<float>"
+    )
+    return corpus, bench
+
+
+def test_semantic_decontaminate_flags_identical_only(spark, vec_frames):
+    corpus, bench = vec_frames
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10].contaminated is True
+    assert out[10].n_bench_matches == 1
+    assert out[10].first_match == 0
+    # orthogonal and anti-parallel vectors must NOT be flagged (the
+    # anti-parallel one may share no SRP bucket or fail the cosine
+    # gate — either path yields clean)
+    assert out[11].contaminated is False
+    assert out[11].first_match is None
+    assert out[12].contaminated is False
+
+
+def test_semantic_decontaminate_empty_benchmark(spark, vec_frames):
+    corpus, bench = vec_frames
+    out = dedup.semantic_decontaminate(
+        corpus, bench.filter(F.col("vec_id") < 0), threshold=0.9
+    ).collect()
+    assert len(out) == 3
+    assert all(not r.contaminated for r in out)
+    assert all(r.n_bench_matches == 0 for r in out)
