@@ -954,3 +954,77 @@ def pca_search(
         .filter(F.col("rk") <= k)
         .drop(query_vec_col, "crk")
     )
+
+
+def knn_self_join(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    dim: int = 64,
+    hamming_probe: int = 1,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """k-NN JOIN: top-k neighbors for EVERY corpus vector — the
+    kNN-graph construction primitive (SemDeDup neighborhoods,
+    connectivity-based dedup, manifold methods all start here). Not a
+    fixed-query search: both sides are the corpus, so the only
+    admissible plan is a blocked EQUI-join — each vector probes the
+    SRP buckets within `hamming_probe` bit-flips of its own (the
+    srp_search ring, query side = corpus), candidates re-rank on exact
+    rounded cosine, top-k per source with an id tiebreak.
+
+    Scale shape: index once (`srp_index`), explode the ≤1+n_bits probe
+    ring on the source side, shuffle both sides on the bucket key, one
+    window partitioned by source id. Candidate volume is Σ_bucket
+    |bucket|·|ring-neighbors| — LSH keeps buckets balanced for
+    near-uniform corpora; degenerate buckets get the same
+    `max_bucket_size`-style cap treatment as the minhash pipeline if a
+    skewed corpus needs it. A (src,nbr) pair arises from exactly one
+    probe (the neighbor's own bucket), so no candidate dedup pass is
+    needed. Never a crossJoin; recall tunes via (n_bits,
+    hamming_probe) exactly as in srp_search."""
+    from itertools import combinations
+
+    if hamming_probe > 3:
+        raise ValueError("hamming_probe cap is 3 (probe-ring blowup)")
+    indexed = srp_index(df, vec_col=vec_col, n_bits=n_bits, dim=dim)
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, hamming_probe + 1)
+        for combo in combinations(range(n_bits), r)
+    ]
+    src = indexed.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_src_vec"),
+        F.explode(
+            F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+            )
+        ).alias("bucket"),
+    )
+    nbrs = indexed.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nbr_vec"),
+        "bucket",
+    )
+    scored = (
+        src.join(nbrs, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn(
+            "sim",
+            cosine_rounded(
+                F.col("_src_vec"), F.col("_nbr_vec"), sim_scale
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("sim"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src_id", "nbr_id", "sim", "rk")
+    )

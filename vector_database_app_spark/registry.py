@@ -6990,6 +6990,49 @@ def q_supplier_lead_time(spark, sf_dir):
 
 QUERIES["supplier_lead_time"] = q_supplier_lead_time
 
+
+def q_knn_join(spark, sf_dir):
+    """k-NN JOIN (search.knn_self_join): top-3 neighbors for EVERY
+    corpus vector via the SRP bucket + Hamming-1 probe ring — the
+    kNN-graph builder, a blocked equi-join, never a crossJoin.
+    Value-level oracle: the md5 hyperplanes regenerate into SQL, so
+    buckets, the probe ring, candidates, and the rounded-cosine
+    ranking all replay exactly."""
+    return search.knn_self_join(
+        _t(spark, sf_dir, "embeddings"), k=3
+    )
+
+
+QUERIES["knn_join"] = q_knn_join
+
+_KNN_JOIN_MASKS = ", ".join(
+    f"xor(qbucket, {m})" for m in [0] + [1 << b for b in range(8)]
+)
+
+ORACLE["knn_join"] = f"""
+    WITH indexed AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               {_srp_bucket_sql("embedding")} AS bucket
+        FROM embeddings
+    ), src AS (
+        SELECT vec_id AS src_id, embedding AS src_vec,
+               unnest([{_KNN_JOIN_MASKS}]) AS bucket
+        FROM (SELECT vec_id, embedding, bucket AS qbucket FROM indexed)
+    ), cand AS (
+        SELECT s.src_id, n.vec_id AS nbr_id,
+               {_SQL_COS.format(a="s.src_vec", b="n.embedding")} AS sim
+        FROM src s JOIN indexed n USING (bucket)
+        WHERE s.src_id <> n.vec_id
+    )
+    SELECT src_id, nbr_id, sim, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT src_id, nbr_id, sim,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY sim DESC, nbr_id) AS rk
+        FROM cand
+    ) WHERE rk <= 3
+"""
+
 ORACLE["supplier_lead_time"] = """
     SELECT l.l_suppkey,
            CAST(count(*) AS BIGINT) AS n_lines,
@@ -8168,8 +8211,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 25 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 17 added mid-r4
+# round banks the 50 above, exactly 26 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 18 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -8181,7 +8224,7 @@ _DRIVER_WINDOW_R4 = [
 #     "graph_triangles", "decontaminate_semantic", "events_pivot",
 #     "events_props_json", "events_wow_growth", "market_basket",
 #     "customer_rfm", "events_stickiness", "embedding_drift",
-#     "supplier_lead_time",
+#     "supplier_lead_time", "knn_join",
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
