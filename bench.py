@@ -77,6 +77,8 @@ HEADLINE = [
     # real stdlib-codec decode stages (Arrow mapInPandas throughput)
     "image_features_png",
     "audio_features_wav",
+    # kNN-graph construction (blocked self-join over the full corpus)
+    "knn_join",
 ]
 
 

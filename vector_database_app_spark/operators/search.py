@@ -996,9 +996,17 @@ def knn_self_join(
         for r in range(1, hamming_probe + 1)
         for combo in combinations(range(n_bits), r)
     ]
+    from ..functions.vector import dot, l2_norm
+
+    # Norms are precomputed per VECTOR (2N sqrt-of-dot), not per
+    # candidate pair (2P with P >> N) — the embedding_near_dups lesson;
+    # the guarded-division form reproduces cosine_rounded's zero-norm
+    # semantics bit-for-bit (same IEEE ops, same order).
+    indexed = indexed.withColumn("_norm", l2_norm(F.col(vec_col)))
     src = indexed.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("_src_vec"),
+        F.col("_norm").alias("_src_norm"),
         F.explode(
             F.array(
                 *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
@@ -1008,15 +1016,21 @@ def knn_self_join(
     nbrs = indexed.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("_nbr_vec"),
+        F.col("_norm").alias("_nbr_norm"),
         "bucket",
     )
+    denom = F.col("_src_norm") * F.col("_nbr_norm")
     scored = (
         src.join(nbrs, "bucket")
         .filter(F.col("src_id") != F.col("nbr_id"))
         .withColumn(
             "sim",
-            cosine_rounded(
-                F.col("_src_vec"), F.col("_nbr_vec"), sim_scale
+            F.round(
+                F.when(
+                    denom > F.lit(0.0),
+                    dot(F.col("_src_vec"), F.col("_nbr_vec")) / denom,
+                ).otherwise(F.lit(0.0)),
+                sim_scale,
             ),
         )
     )
