@@ -258,3 +258,31 @@ def test_apply_merges_chain_exhaustive(spark):
         for m in merges:
             syms = _ref_apply_merge(syms, m["left_sym"], m["right_sym"])
         assert got[w] == syms, (w, got[w], syms)
+
+
+def test_pack_sequences_by_bpe_counts(spark, trained):
+    """pack_sequences(n_tok_col=...) must conserve the BPE token budget:
+    each doc's packed slices sum to its fertility count + 1 separator,
+    and every sequence except the last is exactly seq_len full."""
+    from vector_database_app_spark.operators import textops
+
+    got, _ = trained
+    docs = load_table(spark, SF, "documents")
+    counts = tokenize.bpe_encode_counts(docs, got).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    packed = textops.pack_sequences(
+        docs.join(counts, "doc_id"), seq_len=64, n_tok_col="n_bpe_tokens"
+    ).collect()
+    budget = {r.doc_id: r.n_bpe_tokens for r in counts.collect()}
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in packed:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tok_in_seq
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_tok_in_seq
+    assert set(per_doc) == set(budget)
+    for d, tot in per_doc.items():
+        assert tot == budget[d] + 1, (d, tot, budget[d])
+    last = max(per_seq)
+    for s, tot in per_seq.items():
+        assert tot == 64 or s == last, (s, tot)

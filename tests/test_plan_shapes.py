@@ -36,6 +36,10 @@ BOUNDED_GLOBAL_WINDOWS = {
         "offset window over the |shuffle partitions|-row per-partition "
         "totals frame (textops.pack_sequences)"
     ),
+    "pack_sequences_bpe": (
+        "same two-phase prefix pattern as pack_sequences (the BPE-"
+        "fertility variant shares the packing code path verbatim)"
+    ),
     "curriculum_order": (
         "offset window over the <= n_buckets-row bucket-counts frame "
         "(relational.global_rank two-phase pattern)"

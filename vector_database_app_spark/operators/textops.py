@@ -346,6 +346,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     partitions: int | None = None,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing — the concat-then-chunk step every causal-LM
     pre-training pipeline runs: documents are laid end-to-end in
@@ -374,11 +375,21 @@ def pack_sequences(
     n_parts = (
         partitions or df.sparkSession.sparkContext.defaultParallelism
     )
+    # `n_tok_col`: pack by a PRECOMPUTED per-doc token count (e.g. the
+    # trained BPE fertility from tokenize.bpe_encode_counts) instead of
+    # the whitespace proxy — the real pretraining path packs by the
+    # tokenizer's own counts. Default path is expression-identical to
+    # before (whitespace words + 1 separator).
+    n_tok = (
+        F.col(n_tok_col).cast("bigint") + F.lit(1)
+        if n_tok_col
+        else TX.n_words(text_col).cast("bigint") + F.lit(1)
+    )
     toks = (
         df.repartitionByRange(n_parts, F.col(id_col))
         .select(
             F.col(id_col),
-            (TX.n_words(text_col).cast("bigint") + F.lit(1)).alias("n_tok"),
+            n_tok.alias("n_tok"),
             F.spark_partition_id().alias("_pid"),
         )
     )

@@ -7005,6 +7005,28 @@ def q_knn_join(spark, sf_dir):
 
 QUERIES["knn_join"] = q_knn_join
 
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """rows-only: sequence packing by the TRAINED tokenizer's own
+    per-doc token counts — bpe_encode_counts feeds pack_sequences via
+    `n_tok_col`, the actual causal-LM pretraining path (whitespace-proxy
+    packing is the oracle-checked `pack_sequences`). Same two-phase
+    distributed prefix sum; the fertility frame joins in on the doc
+    key before the range repartition."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    counts = tokenize.bpe_encode_counts(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return textops.pack_sequences(
+        docs.join(counts, "doc_id"),
+        seq_len=128,
+        n_tok_col="n_bpe_tokens",
+    )
+
+
+QUERIES["pack_sequences_bpe"] = q_pack_sequences_bpe
+
 _KNN_JOIN_MASKS = ", ".join(
     f"xor(qbucket, {m})" for m in [0] + [1 << b for b in range(8)]
 )
@@ -8225,6 +8247,7 @@ _DRIVER_WINDOW_R4 = [
 #     "events_props_json", "events_wow_growth", "market_basket",
 #     "customer_rfm", "events_stickiness", "embedding_drift",
 #     "supplier_lead_time", "knn_join",
+# (pack_sequences_bpe is rows-only — trained-merges dependency)
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
