@@ -67,14 +67,6 @@ def png_encode(img: np.ndarray) -> bytes:
     )
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Paeth predictor, vectorized over one scanline (spec §6.6)."""
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def png_decode(b: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced grey/grey+A/RGB/RGBA PNG into an
     HxWxC uint8 array, un-applying all five filter types per spec."""

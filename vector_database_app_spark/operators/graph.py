@@ -146,9 +146,13 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
-    okey = (F.col("deg") * F.lit(1_000_000_000).cast("bigint")).cast(
-        "bigint"
-    ) + F.col("node")
+    # Orientation key is the STRUCT (deg, node) compared
+    # lexicographically — collision-free for any BIGINT id (a scalar
+    # deg*C+node fold collides whenever node >= C: two distinct nodes
+    # can share a key, the kx<ky wedge filter then drops their wedge,
+    # and triangles silently vanish — found by review with node ids
+    # >= 10^9; pinned in tests/test_graph_triangles.py).
+    okey = F.struct(F.col("deg").alias("d"), F.col("node").alias("n"))
     keyed = deg.select("node", okey.alias("okey"))
     e = (
         und.join(keyed.withColumnRenamed("node", "u"), "u")

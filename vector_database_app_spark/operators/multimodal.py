@@ -113,20 +113,34 @@ def decode_image_features(
             for payload in pdf[payload_col]:
                 b = bytes(payload)
                 if media.is_png(b):
-                    # REAL decode: stdlib-zlib PNG (functions/media.py)
-                    img = media.png_decode(b)
-                    h, w, c = img.shape
-                    planes = img.reshape(-1, c).astype(np.float64) / 255.0
-                    feats = []
-                    for ch in range(c):
-                        feats.append(float(planes[:, ch].mean()))
-                        feats.append(float(planes[:, ch].std()))
-                    feats = (feats + [0.0] * feature_dim)[:feature_dim]
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["channels"].append(c)
-                    out["features"].append([round(f, 6) for f in feats])
-                    continue
+                    # REAL decode: stdlib-zlib PNG (functions/media.py).
+                    # A corrupt container (bad IDAT, truncated chunks)
+                    # must NOT kill the stage when the fake fallback is
+                    # on — one bad payload in a 100 TB corpus is data,
+                    # not an engine failure; strict mode re-raises.
+                    try:
+                        img = media.png_decode(b)
+                    except Exception:
+                        if not deterministic_fake:
+                            raise
+                        img = None
+                    if img is not None:
+                        h, w, c = img.shape
+                        planes = (
+                            img.reshape(-1, c).astype(np.float64) / 255.0
+                        )
+                        feats = []
+                        for ch in range(c):
+                            feats.append(float(planes[:, ch].mean()))
+                            feats.append(float(planes[:, ch].std()))
+                        feats = (feats + [0.0] * feature_dim)[:feature_dim]
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["channels"].append(c)
+                        out["features"].append(
+                            [round(f, 6) for f in feats]
+                        )
+                        continue
                 if not deterministic_fake:
                     raise NotImplementedError(
                         "non-PNG image decode requires PIL/torchvision — "
@@ -266,19 +280,35 @@ def decode_audio_features(
             for payload in pdf[payload_col]:
                 b = bytes(payload)
                 if media.is_wav(b):
-                    # REAL decode: stdlib-wave PCM (functions/media.py)
-                    samples, srate, _ch = media.wav_decode(b)
-                    mono = samples.astype(np.float64).mean(axis=1)
-                    n = int(mono.size)
-                    dur_ms = n * 1000 // srate
-                    out["sample_rate"].append(srate)
-                    out["n_samples"].append(n)
-                    out["duration_ms"].append(dur_ms)
-                    out["rms_energy"].append(
-                        round(float(np.sqrt((mono**2).mean())) if n else 0.0, 6)
-                    )
-                    out["n_windows"].append(-(-max(dur_ms, 1) // window_ms))
-                    continue
+                    # REAL decode: stdlib-wave PCM (functions/media.py);
+                    # non-PCM / truncated RIFF falls back to the fake
+                    # (strict mode re-raises) — same corrupt-container
+                    # policy as the PNG stage.
+                    try:
+                        samples, srate, _ch = media.wav_decode(b)
+                    except Exception:
+                        if not deterministic_fake:
+                            raise
+                        samples = None
+                    if samples is not None:
+                        mono = samples.astype(np.float64).mean(axis=1)
+                        n = int(mono.size)
+                        dur_ms = n * 1000 // srate
+                        out["sample_rate"].append(srate)
+                        out["n_samples"].append(n)
+                        out["duration_ms"].append(dur_ms)
+                        out["rms_energy"].append(
+                            round(
+                                float(np.sqrt((mono**2).mean()))
+                                if n
+                                else 0.0,
+                                6,
+                            )
+                        )
+                        out["n_windows"].append(
+                            -(-max(dur_ms, 1) // window_ms)
+                        )
+                        continue
                 if not deterministic_fake:
                     raise NotImplementedError(
                         "non-WAV audio decode requires soundfile/ffmpeg — "
@@ -357,17 +387,26 @@ def resize_images(
                 if media.is_png(b):
                     # REAL resample: decode → nearest-neighbor → re-encode
                     # (functions/media.py; nearest is the deterministic
-                    # kernel — no interpolation rounding ambiguity)
-                    resized = media.png_encode(
-                        media.resize_nearest(media.png_decode(b), tw, th)
-                    )
-                    out["target_w"].append(tw)
-                    out["target_h"].append(th)
-                    out["resized_bytes"].append(len(resized))
-                    out["resized_sha"].append(
-                        hashlib.sha256(resized).hexdigest()
-                    )
-                    continue
+                    # kernel). Corrupt containers fall back to the fake
+                    # (strict mode re-raises) — same policy as decode.
+                    try:
+                        resized = media.png_encode(
+                            media.resize_nearest(
+                                media.png_decode(b), tw, th
+                            )
+                        )
+                    except Exception:
+                        if not deterministic_fake:
+                            raise
+                        resized = None
+                    if resized is not None:
+                        out["target_w"].append(tw)
+                        out["target_h"].append(th)
+                        out["resized_bytes"].append(len(resized))
+                        out["resized_sha"].append(
+                            hashlib.sha256(resized).hexdigest()
+                        )
+                        continue
                 if not deterministic_fake:
                     raise NotImplementedError(
                         "non-PNG resize requires PIL — plug Image.open(...)"

@@ -1476,13 +1476,21 @@ def dsir_scores(
     score = (
         F.col("target_mass") / F.col("corpus_mass")
     ) * (F.col("t_c") / F.col("t_t"))
+    # Zero-target guard: with no target-language tokens in the corpus
+    # t_t = 0 and the bare division raises DIVIDE_BY_ZERO under Spark
+    # 4's default ANSI mode, killing the whole query (the exact failure
+    # class the cosine() guard documents) — an absent target yields
+    # NULL score / unselected instead, identically in the oracle.
+    has_target = F.col("t_t") > F.lit(0)
     return per_doc.crossJoin(F.broadcast(totals)).select(
         id_col,
         "n_tokens",
         "target_mass",
         "corpus_mass",
-        F.round(score, 6).alias("dsir_score"),
-        (score >= F.lit(1.0)).alias("selected"),
+        F.when(has_target, F.round(score, 6)).alias("dsir_score"),
+        F.when(has_target, score >= F.lit(1.0))
+        .otherwise(F.lit(False))
+        .alias("selected"),
     )
 
 
@@ -1641,8 +1649,13 @@ def serve_quality_classifier(
     logit = F.lit(float(intercept))
     for w, c in zip(weights, QUALITY_FEATURES):
         logit = logit + F.lit(float(w)) * F.col(c)
+    # keep is decided on the EMITTED (rounded) logit, so the two output
+    # columns can never disagree at the boundary — the repo's
+    # rounded-comparison determinism contract (review finding: a raw
+    # logit of 2e-7 previously emitted quality_logit=0.0, keep=true).
+    rounded = F.round(logit, 6)
     return feats.select(
         id_col,
-        F.round(logit, 6).alias("quality_logit"),
-        (logit > F.lit(0.0)).alias("keep"),
+        rounded.alias("quality_logit"),
+        (rounded > F.lit(0.0)).alias("keep"),
     )

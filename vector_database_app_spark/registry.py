@@ -5956,6 +5956,27 @@ def q_embed_word2vec(spark, sf_dir):
 QUERIES["embed_word2vec"] = q_embed_word2vec
 
 
+def _pca_components(spark, sf_dir, k: int) -> dict:
+    """Load-or-train the PCA axes through the artifact store — ONE
+    definition for every PCA consumer (embed_pca k=4, knn_pca_search /
+    ann_pca_recall k=16), so the artifact key can never fork."""
+    from .plans import artifacts as ART
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build():
+        comps, ev = search.pca_train(emb, k=k)
+        return {"components": comps, "explained": ev}
+
+    return ART.load_or_build_object(
+        sf_dir,
+        "pca_components",
+        {"k": k},
+        build,
+        source="embeddings.parquet",
+    )
+
+
 def q_embed_pca(spark, sf_dir):
     """rows-only: REAL MLlib PCA (search.pca_train — distributed
     covariance/SVD, the second in-container trainable model after
@@ -5967,26 +5988,15 @@ def q_embed_pca(spark, sf_dir):
     columns rounded for the driver canonicalizer; variance explained
     rides along as constant columns so the model quality is visible in
     the driver's rows-only check."""
-    from .operators import search as S
-    from .plans import artifacts as ART
-
+    raw = _pca_components(spark, sf_dir, k=4)
     emb = _t(spark, sf_dir, "embeddings")
-    raw = ART.load_or_build_object(
-        sf_dir,
-        "pca_components",
-        {"k": 4},
-        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
-            S.pca_train(emb, k=4)
-        ),
-        source="embeddings.parquet",
-    )
     comps, ev = raw["components"], raw["explained"]
     cols = [F.col("vec_id")]
     for j, comp in enumerate(comps):
         cols.append(
-            F.round(S.pca_project_expr("embedding", comp), 4).alias(
-                f"p{j}"
-            )
+            F.round(
+                search.pca_project_expr("embedding", comp), 4
+            ).alias(f"p{j}")
         )
     for j, v in enumerate(ev):
         cols.append(F.lit(round(float(v), 6)).alias(f"var{j}"))
@@ -6028,13 +6038,15 @@ ORACLE["dsir_select"] = """
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(l.ct_t) AS BIGINT) AS target_mass,
            CAST(sum(l.ct_c) AS BIGINT) AS corpus_mass,
-           round((CAST(sum(l.ct_t) AS BIGINT)
-                    / CAST(sum(l.ct_c) AS BIGINT))
-                 * (any_value(tot.t_c) / any_value(tot.t_t)), 6)
-               AS dsir_score,
-           (CAST(sum(l.ct_t) AS BIGINT) / CAST(sum(l.ct_c) AS BIGINT))
-             * (any_value(tot.t_c) / any_value(tot.t_t)) >= 1.0
-               AS selected
+           CASE WHEN any_value(tot.t_t) > 0 THEN
+             round((CAST(sum(l.ct_t) AS BIGINT)
+                      / CAST(sum(l.ct_c) AS BIGINT))
+                   * (any_value(tot.t_c) / any_value(tot.t_t)), 6)
+           END AS dsir_score,
+           CASE WHEN any_value(tot.t_t) > 0 THEN
+             (CAST(sum(l.ct_t) AS BIGINT) / CAST(sum(l.ct_c) AS BIGINT))
+               * (any_value(tot.t_c) / any_value(tot.t_t)) >= 1.0
+           ELSE FALSE END AS selected
     FROM toks t JOIN lm l USING (term) CROSS JOIN tot
     GROUP BY doc_id
 """
@@ -6125,15 +6137,9 @@ def q_bpe_pair_counts(spark, sf_dir):
     TakeOrderedAndProject, scan-side partial top-k, no global window.
     The iterative trainer is `bpe_train` (rows-only; tokenize.py)."""
     docs = _t(spark, sf_dir, "documents")
-    wc = (
-        docs.select(
-            F.explode(
-                F.filter(TX.words("text"), lambda w: w != F.lit(""))
-            ).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
+    # the SAME word-count stage bpe_train trains on (tokenize.word_counts)
+    # — the oracle-checked statistic can never diverge from the trainer
+    wc = tokenize.word_counts(docs)
     chars = F.split(F.col("w"), "")
     pairs = (
         wc.filter(F.length("w") >= 2)
@@ -6223,25 +6229,14 @@ def q_knn_pca_search(spark, sf_dir):
     recall against oracle-checked brute force is pinned in
     tests/test_pca_search.py (0.84 at shortlist=100 on the nearly
     isotropic fixture corpus — the linear-prefilter worst case)."""
-    from .operators import search as S
-    from .plans import artifacts as ART
-
+    raw = _pca_components(spark, sf_dir, k=16)
     emb = _t(spark, sf_dir, "embeddings")
-    raw = ART.load_or_build_object(
-        sf_dir,
-        "pca_components",
-        {"k": 16},
-        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
-            S.pca_train(emb, k=16)
-        ),
-        source="embeddings.parquet",
-    )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
     corpus = emb.filter(F.col("vec_id") >= 3)
-    return S.pca_search(
+    return search.pca_search(
         corpus, queries, raw["components"], k=5, shortlist=50
     ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
 
@@ -6291,44 +6286,19 @@ ORACLE["ngram_containment"] = f"""
 def q_embedding_outliers(spark, sf_dir):
     """Embedding-space outlier audit: cosine of every vector to its OWN
     label's centroid — low similarity flags mislabeled or garbage
-    vectors before they poison retrieval training. Composes the
-    embed_centroid determinism recipe (exact DECIMAL(38,20) per-dim sums,
-    one double division, round 6) with the strict-order cosine both
-    engines replay identically; the threshold compares the ROUNDED
-    similarity so last-ulp noise can't flip the verdict.
+    vectors before they poison retrieval training. Reuses the shared
+    `_label_centroids` helper (the embed_centroid determinism recipe —
+    exact DECIMAL(38,20) per-dim sums, one double division, round 6)
+    with the strict-order cosine both engines replay identically; the
+    threshold compares the ROUNDED similarity so last-ulp noise can't
+    flip the verdict.
 
     Scale shape: centroids are a |labels|·dim aggregate (map-side
     combinable posexplode sums) rebuilt into arrays by a per-label
     sort of 64 structs — a bounded-frame operation — then BROADCAST
     back into the one corpus scan. No window, no self-join."""
     emb = _t(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "val"
-        ),
-    )
-    cent = (
-        exploded.groupBy("label", "pos")
-        .agg(
-            F.sum(F.col("val").cast("decimal(38,20)")).alias("sum_dec"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            F.round(
-                F.col("sum_dec").cast("double") / F.col("n"), 6
-            ).alias("cval"),
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"],
-            ).alias("centroid")
-        )
-    )
+    cent = _label_centroids(emb, F.lit(True)).select("label", "centroid")
     sim = cosine_rounded(F.col("embedding"), F.col("centroid"))
     return (
         emb.join(F.broadcast(cent), "label")
@@ -6380,18 +6350,8 @@ def q_ann_pca_recall(spark, sf_dir):
     planner discipline: an operating point enters the planner only with
     a measured recall curve. Ground truth runs on the fixed 3-query
     sample; recall estimation never scans the full query load."""
-    from .plans import artifacts as ART
-
+    raw = _pca_components(spark, sf_dir, k=16)
     emb = _t(spark, sf_dir, "embeddings")
-    raw = ART.load_or_build_object(
-        sf_dir,
-        "pca_components",
-        {"k": 16},
-        lambda: (lambda cv: {"components": cv[0], "explained": cv[1]})(
-            search.pca_train(emb, k=16)
-        ),
-        source="embeddings.parquet",
-    )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
@@ -7148,20 +7108,27 @@ ORACLE["graph_triangles"] = """
             UNION ALL
             SELECT v AS node FROM und
         ) GROUP BY node
-    ), keyed AS MATERIALIZED (
-        SELECT node, deg * 1000000000 + node AS okey FROM deg
     ), e AS MATERIALIZED (
-        SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS a,
-               CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS b,
-               least(ku.okey, kv.okey) AS ka,
-               greatest(ku.okey, kv.okey) AS kb
+        -- orientation by LEXICOGRAPHIC (deg, node) — matches the Spark
+        -- struct key; a scalar deg*C+node fold collides for node >= C
+        -- and silently drops triangles (review finding, test-pinned)
+        SELECT CASE WHEN (ku.deg < kv.deg)
+                      OR (ku.deg = kv.deg AND und.u < und.v)
+                    THEN und.u ELSE und.v END AS a,
+               CASE WHEN (ku.deg < kv.deg)
+                      OR (ku.deg = kv.deg AND und.u < und.v)
+                    THEN und.v ELSE und.u END AS b,
+               CASE WHEN (ku.deg < kv.deg)
+                      OR (ku.deg = kv.deg AND und.u < und.v)
+                    THEN kv.deg ELSE ku.deg END AS kb_deg
         FROM und
-        JOIN keyed ku ON und.u = ku.node
-        JOIN keyed kv ON und.v = kv.node
+        JOIN deg ku ON und.u = ku.node
+        JOIN deg kv ON und.v = kv.node
     ), wedges AS MATERIALIZED (
-        SELECT e1.a, e1.b AS x, e1.kb AS kx, e2.b AS y, e2.kb AS ky
+        SELECT e1.a, e1.b AS x, e2.b AS y
         FROM e e1 JOIN e e2 ON e1.a = e2.a
-        WHERE e1.kb < e2.kb
+        WHERE (e1.kb_deg < e2.kb_deg)
+           OR (e1.kb_deg = e2.kb_deg AND e1.b < e2.b)
     ), tris AS MATERIALIZED (
         SELECT w.a, w.x, w.y
         FROM wedges w JOIN e ON e.a = w.x AND e.b = w.y
