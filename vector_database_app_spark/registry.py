@@ -6987,6 +6987,75 @@ def q_pack_sequences_bpe(spark, sf_dir):
 
 QUERIES["pack_sequences_bpe"] = q_pack_sequences_bpe
 
+
+def q_region_trade_balance(spark, sf_dir):
+    """Inter-region trade matrix: discounted revenue flowing from each
+    supplier region to each customer region — the widest star join in
+    the suite (7 tables; all four dimension legs broadcast, the
+    lineitem⋈orders fact join is the only large shuffle). Revenue uses
+    the Q1 rounding recipe (sum then round 2) that has held across
+    every sweep; counts are integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    s_reg = (
+        sup.join(
+            F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    c_reg = (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(s_reg), li["l_suppkey"] == s_reg["s_suppkey"])
+        .join(F.broadcast(c_reg), orders["o_custkey"] == c_reg["c_custkey"])
+        .groupBy("supp_region", "cust_region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(disc), 2).alias("revenue"),
+        )
+    )
+
+
+QUERIES["region_trade_balance"] = q_region_trade_balance
+
+ORACLE["region_trade_balance"] = """
+    SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    GROUP BY sr.r_name, cr.r_name
+"""
+
 _KNN_JOIN_MASKS = ", ".join(
     f"xor(qbucket, {m})" for m in [0] + [1 << b for b in range(8)]
 )
@@ -8200,8 +8269,8 @@ _DRIVER_WINDOW_R4 = [
 ]
 
 # _DRIVER_WINDOW_R5 (round-5 planning, zero triage needed): after this
-# round banks the 50 above, exactly 26 oracle-backed queries remain with
-# no driver row — the 8 deferred from r4 plus the 18 added mid-r4
+# round banks the 50 above, exactly 27 oracle-backed queries remain with
+# no driver row — the 8 deferred from r4 plus the 19 added mid-r4
 # (each verified sf0.001 + sf0.01 + sf0.1 with exact float equality,
 # PERF.md) — put them FIRST next round, then backfill with
 # re-confirmations of high-value earlier rows:
@@ -8213,7 +8282,7 @@ _DRIVER_WINDOW_R4 = [
 #     "graph_triangles", "decontaminate_semantic", "events_pivot",
 #     "events_props_json", "events_wow_growth", "market_basket",
 #     "customer_rfm", "events_stickiness", "embedding_drift",
-#     "supplier_lead_time", "knn_join",
+#     "supplier_lead_time", "knn_join", "region_trade_balance",
 # (pack_sequences_bpe is rows-only — trained-merges dependency)
 # Verify any new window order with the sf0.01 mirror BEFORE shipping.
 
