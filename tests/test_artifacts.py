@@ -144,6 +144,50 @@ def test_lost_commit_race_keeps_winner(spark, tmp_path, monkeypatch):
     shutil.rmtree(target)
 
 
+def test_json_artifact_tmp_is_pid_qualified(tmp_path, monkeypatch):
+    """Two concurrent load_or_build_object writers must never share one
+    tmp file (interleaved writes → truncated JSON installed for every
+    later load — advisor r4 finding). The tmp path is pid-qualified."""
+    monkeypatch.setattr(ART, "artifacts_root", lambda: str(tmp_path))
+    seen: list[str] = []
+    real_replace = os.replace
+
+    def spying_replace(src, dst):
+        seen.append(src)
+        real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", spying_replace)
+    ART._MEMO.clear()
+    obj = ART.load_or_build_object(SF, "j1", {"v": 1}, lambda: {"a": 1})
+    assert obj == {"a": 1}
+    assert seen and seen[0].endswith(f".tmp-{os.getpid()}")
+
+
+def test_json_artifact_lost_replace_race_reads_winner(
+    tmp_path, monkeypatch
+):
+    """When os.replace loses the race (winner already installed the
+    file), the loser must fall back to reading the winner's JSON, not
+    propagate the OSError (advisor r4 finding)."""
+    monkeypatch.setattr(ART, "artifacts_root", lambda: str(tmp_path))
+    ART._MEMO.clear()
+    key = ART.artifact_key(SF, "j2", {"v": 2}, source="documents.parquet")
+    path = os.path.join(str(tmp_path), key + ".json")
+
+    def losing_replace(src, dst):
+        # simulate the winner landing first, then our replace failing
+        with open(path, "w") as f:
+            f.write('{"winner": true}')
+        raise OSError("lost the race")
+
+    monkeypatch.setattr(os, "replace", losing_replace)
+    obj = ART.load_or_build_object(
+        SF, "j2", {"v": 2}, lambda: {"loser": True}
+    )
+    assert obj == {"winner": True}
+    assert not [d for d in os.listdir(str(tmp_path)) if ".tmp-" in d]
+
+
 def test_pin_release_unpersists_build_time_caches(spark):
     """quality_calibration persists its scored table at build time; the
     pinned handle must let the caller release the cached blocks after the

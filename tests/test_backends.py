@@ -157,6 +157,26 @@ def test_word2vec_backend_trains_and_embeds_end_to_end(spark):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_word2vec_release_keeps_inflight_plans_executable(spark):
+    """release() on a superseded Word2Vec backend must not break a lazy
+    DataFrame that was built against the old backend's UDF and executes
+    AFTER the release: unpersist (executors re-fetch from the driver),
+    not destroy (use-after-free on in-flight plans — advisor r4)."""
+    import numpy as np
+
+    from vector_database_app_spark.functions import backends as B
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    be = B.make_word2vec_backend(spark, docs, dim=16, min_count=2, seed=7)
+    lazy = docs.limit(5).select("doc_id", be("text").alias("embedding"))
+    before = lazy.toPandas().sort_values("doc_id").reset_index(drop=True)
+    be.release()  # model version superseded while `lazy` is outstanding
+    after = lazy.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for a, b in zip(before["embedding"], after["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_word2vec_backend_plan_matches_hash_backend(spark):
     """Backend swap leaves the physical plan shape identical: one
     ArrowEvalPython stage over the scan, same as the hash backend."""

@@ -667,6 +667,37 @@ def test_tounicode_bfrange_and_list_forms():
     ]
 
 
+def test_tounicode_bfrange_base_overflow_degrades_not_raises():
+    """A bfrange whose incrementing base crosses the destination width
+    (base <FFFF> with a range spanning 0x10000) must map the in-range
+    codes and skip the overflowing ones — not raise OverflowError and
+    abort the document parse (advisor r4 finding)."""
+    cmap = (
+        b"begincmap\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0013> <FFFE>\n"  # 0x10->FFFE 0x11->FFFF, then overflow
+        b"endbfrange\nendcmap\n"
+    )
+    parsed = FB._parse_cmap(cmap)
+    assert parsed["map"][0x10] == b"\xff\xfe".decode(
+        "utf-16-be", errors="replace"
+    )
+    assert 0x12 not in parsed["map"] and 0x13 not in parsed["map"]
+
+
+def test_malformed_cmap_degrades_font_not_document(monkeypatch):
+    """One broken ToUnicode CMap must degrade that font to cp1252, not
+    abort the whole parse: the per-font cmap parse is exception-fenced
+    (advisor r4 finding)."""
+    def boom(data):
+        raise ValueError("synthetic cmap defect")
+
+    monkeypatch.setattr(FB, "_parse_cmap", boom)
+    pdf = _build_cmap_pdf({1: "H", 2: "i"}, [1, 2])
+    pages = FB.pdf_pages_text(pdf)  # must not raise
+    assert len(pages) == 1  # cp1252-degraded text, but the page is there
+
+
 def test_no_tounicode_font_keeps_cp1252_behavior():
     """A font without /ToUnicode must leave hex decoding exactly as
     before (cp1252) — regression guard for plain fixtures."""

@@ -116,9 +116,12 @@ class VectorDatabase:
             self.spark, vecs, model_dim
         )
         if cached and cached[1].release is not None:
-            # the model file changed: destroy the superseded backend's
-            # vocabulary broadcast before dropping the reference, or one
-            # full-vocab broadcast leaks per model version (advisor r3)
+            # the model file changed: unpersist the superseded backend's
+            # vocabulary broadcast (executor copies freed; advisor r3
+            # leak finding) — release() uses unpersist, not destroy, so
+            # lazy plans built against the old UDF still execute by
+            # re-fetching from the driver (advisor r4 use-after-free
+            # finding)
             cached[1].release()
         self._w2v_cache = (key, backend)
         return backend

@@ -282,9 +282,14 @@ def word2vec_backend_from_vectors(
         return embed
 
     def release():
-        # destroy() (not unpersist) — a superseded model version is never
-        # re-broadcast, so drop the driver-side copy too
-        bc.destroy()
+        # unpersist (NOT destroy): frees the executor-side copies of the
+        # superseded vocabulary, but keeps the driver copy so any lazy
+        # DataFrame built against the old backend's UDF still executes
+        # (executors re-fetch from the driver) instead of failing with a
+        # destroyed-broadcast error mid-plan (advisor r4 finding). The
+        # driver-side dict is bounded by vocab size and is reclaimed
+        # when the last plan referencing it is GC'd.
+        bc.unpersist(blocking=False)
 
     return TextEmbedBackend(
         f"word2vec-{dim}", f"w2v-{dim}", dim, factory, release

@@ -183,9 +183,25 @@ def load_or_build_object(
     else:
         obj = build_fn()
         os.makedirs(artifacts_root(), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, path)
+        # pid-qualified tmp + rename, mirroring load_or_train: two
+        # concurrent builders must never interleave into one tmp file
+        # (truncated JSON poisons every later load); losing the replace
+        # race falls back to the winner's file — equivalent by key
+        # construction (advisor r4 finding).
+        tmp = f"{path}.tmp-{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+            os.replace(tmp, path)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            if os.path.exists(path):
+                with open(path) as f:
+                    obj = json.load(f)
+            else:
+                raise
     _MEMO[key] = obj
     return obj

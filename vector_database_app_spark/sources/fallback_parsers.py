@@ -210,8 +210,15 @@ def _parse_cmap(data: bytes) -> dict | None:
                 base_hex = dst[1:-1]
                 base = int(base_hex, 16)
                 nbytes = max(2, (len(base_hex) + 1) // 2)
+                limit = 1 << (8 * nbytes)
                 for code in range(lo, min(hi, lo + 65535) + 1):
                     val = base + (code - lo)
+                    if val >= limit:
+                        # a range crossing the destination width (e.g.
+                        # base <FFFF> spanning 0x10000) would overflow
+                        # to_bytes; skip those codes rather than abort
+                        # the whole document (advisor r4 finding)
+                        break
                     mapping[code] = (
                         val.to_bytes(nbytes, "big").decode(
                             "utf-16-be", errors="replace"
@@ -250,7 +257,12 @@ def _page_font_cmaps(
             continue
         cm_body = objs.get(int(tu.group(1)))
         data = _stream_bytes(cm_body) if cm_body else None
-        cmap = _parse_cmap(data) if data else None
+        try:
+            cmap = _parse_cmap(data) if data else None
+        except Exception:
+            # one malformed ToUnicode CMap must degrade this font to the
+            # cp1252 path, not abort the whole document parse
+            cmap = None
         if cmap:
             out[name.decode("latin-1")] = cmap
     return out
