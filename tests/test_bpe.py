@@ -286,3 +286,156 @@ def test_pack_sequences_by_bpe_counts(spark, trained):
     last = max(per_seq)
     for s, tot in per_seq.items():
         assert tot == 64 or s == last, (s, tot)
+
+
+def test_pinned_merges_reproducible_from_reference_corpus(corpus_texts):
+    """tokenize.PINNED_MERGES is the frozen production tokenizer — it
+    must be exactly what training on the reference corpus (sf0.001
+    documents, n_merges=12) produces. The pure-Python reference stands
+    in for bpe_train here (their equality is pinned by
+    test_merge_table_matches_reference); if the fixture corpus or the
+    training recipe ever changes, this fails and the pinned table (and
+    the generated DuckDB oracle literals) must be regenerated."""
+    want = _ref_bpe_train(_ref_word_counts(corpus_texts), n_merges=12)
+    assert tokenize.PINNED_MERGES == want
+
+
+def test_corpus_satisfies_oracle_wrapping_preconditions(corpus_texts):
+    """The DuckDB replay of the pinned merges wraps symbols in
+    \\x1f/\\x1e separator cells — sound only while no document contains
+    those control characters (and the per-char regex wrap assumes
+    printable text). The fixtures are printable ASCII; fail loudly if
+    that ever changes."""
+    for t in corpus_texts:
+        assert "\x1e" not in t and "\x1f" not in t
+        assert all(0x20 <= ord(c) <= 0x7E for c in t)
+
+
+def _ref_pair_counts(vocab: dict, wc: dict) -> dict:
+    pc: dict[tuple[str, str], int] = {}
+    for w, ct in wc.items():
+        syms = vocab[w]
+        for i in range(len(syms) - 1):
+            key = (syms[i], syms[i + 1])
+            pc[key] = pc.get(key, 0) + ct
+    return pc
+
+
+def _ref_bpe_train_batched(
+    wc: dict, n_merges: int, min_pair_count: int = 2,
+    merges_per_round: int = 8,
+) -> list[dict]:
+    """Driver-logic mirror of the BATCHED trainer: same candidate sort,
+    same _select_batch, pure-Python merge application — isolates the
+    batching rule from Spark plumbing so it can be fuzzed cheaply."""
+    vocab = {w: list(w) for w in wc}
+    merges: list[dict] = []
+    fetch = 4 * merges_per_round + 1
+    while len(merges) < n_merges:
+        pc = _ref_pair_counts(vocab, wc)
+        ordered = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        cands = [
+            {"l": l, "r": r, "n": n}
+            for (l, r), n in ordered[:fetch]
+        ]
+        if not cands or cands[0]["n"] < min_pair_count:
+            break
+        batch = tokenize._select_batch(
+            cands, min(merges_per_round, n_merges - len(merges)), fetch
+        )
+        batch = [b for b in batch if b[2] >= min_pair_count]
+        if not batch:
+            break
+        for left, right, n in batch:
+            merges.append(
+                {"rank": len(merges), "left_sym": left,
+                 "right_sym": right, "merged": left + right,
+                 "pair_count": n}
+            )
+            vocab = {
+                w: _ref_apply_merge(s, left, right)
+                for w, s in vocab.items()
+            }
+    return merges
+
+
+def test_batched_select_rule_fuzz_matches_sequential():
+    """The dominance rule in _select_batch must make batched training
+    BIT-IDENTICAL to the published sequential algorithm — fuzzed over
+    random small-alphabet corpora (worst case for the rule: tiny
+    alphabets maximize symbol collisions and tie counts) and over every
+    merges_per_round in {1, 2, 3, 8}."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(300):
+        n_alpha = rng.choice([2, 3, 4])
+        alpha = "abcd"[:n_alpha]
+        wc = {}
+        for _ in range(rng.randint(2, 14)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 8))
+            )
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        n_merges = rng.randint(1, 10)
+        want = _ref_bpe_train(wc, n_merges=n_merges)
+        for m in (1, 2, 3, 8):
+            got = _ref_bpe_train_batched(
+                wc, n_merges=n_merges, merges_per_round=m
+            )
+            assert got == want, (trial, m, wc, got, want)
+
+
+def test_batched_spark_trainer_matches_sequential_spark(spark):
+    """End-to-end on the engine: merges_per_round=8 (batched rounds)
+    and merges_per_round=1 (classic sequential loop) must produce the
+    identical merge table on the fixture corpus."""
+    docs = load_table(spark, SF, "documents")
+    seq = tokenize.bpe_train(docs, n_merges=12, merges_per_round=1)
+    assert seq == tokenize.PINNED_MERGES  # and the batched default
+    # (merges_per_round=8) equality is pinned by
+    # test_pinned_merges_reproducible_from_reference_corpus + `trained`
+
+
+def test_approx_batching_invariants_and_yield(spark):
+    """exact=False is the 32k-vocab throughput mode: per round it must
+    accept only pairwise NON-OVERLAPPING merges (no shared symbols,
+    including merged outputs — disjoint merges cannot interact
+    textually), each above min_pair_count, in descending-count order
+    within the round — and on the fixture corpus it must actually
+    batch (fewer rounds than merges), which is the whole point."""
+    docs = load_table(spark, SF, "documents")
+    rounds = [0]
+    orig = tokenize._select_batch
+
+    def counting(cands, mb, fetched, exact=True):
+        rounds[0] += 1
+        batch = orig(cands, mb, fetched, exact=exact)
+        used: set[str] = set()
+        for left, right, n in batch:
+            assert not ({left, right} & used) and (left + right) not in used
+            used |= {left, right, left + right}
+        return batch
+
+    tokenize._select_batch = counting
+    try:
+        merges = tokenize.bpe_train(
+            docs, n_merges=24, merges_per_round=8, exact=False
+        )
+    finally:
+        tokenize._select_batch = orig
+    assert len(merges) == 24
+    assert rounds[0] < 24, (rounds[0], "approx mode failed to batch")
+    for m in merges:
+        assert m["pair_count"] >= 2
+    # the merge SET at small n is stable vs sequential even though the
+    # order within a round may deviate: spot-check the top pair matches
+    seq = _ref_bpe_train(
+        _ref_word_counts(
+            [r.text for r in docs.select("text").collect()]
+        ),
+        n_merges=1,
+    )
+    assert (merges[0]["left_sym"], merges[0]["right_sym"]) == (
+        seq[0]["left_sym"], seq[0]["right_sym"],
+    )

@@ -38,6 +38,42 @@ MERGE_SCHEMA = (
     "merged string, pair_count bigint"
 )
 
+#: The FROZEN production tokenizer: `bpe_train(documents@sf0.001,
+#: n_merges=12, min_pair_count=2)`, pinned as literal data — the way a
+#: real pipeline ships a tokenizer (trained once on a reference corpus,
+#: applied unchanged at every scale). Pinning makes the encode path
+#: value-level oracle-checkable: the DuckDB oracle replays exactly these
+#: merges as a string-replace chain, valid at ANY sf because the table
+#: no longer depends on the input. tests/test_bpe.py asserts bpe_train
+#: on the reference corpus reproduces this table byte-for-byte
+#: (determinism guard: ties break on (count desc, pair asc)).
+PINNED_MERGES: list[dict] = [
+    {"rank": 0, "left_sym": "e", "right_sym": "r", "merged": "er",
+     "pair_count": 4650},
+    {"rank": 1, "left_sym": "o", "right_sym": "r", "merged": "or",
+     "pair_count": 2880},
+    {"rank": 2, "left_sym": "i", "right_sym": "n", "merged": "in",
+     "pair_count": 2858},
+    {"rank": 3, "left_sym": "o", "right_sym": "w", "merged": "ow",
+     "pair_count": 2763},
+    {"rank": 4, "left_sym": "s", "right_sym": "t", "merged": "st",
+     "pair_count": 2721},
+    {"rank": 5, "left_sym": "l", "right_sym": "u", "merged": "lu",
+     "pair_count": 1928},
+    {"rank": 6, "left_sym": "a", "right_sym": "r", "merged": "ar",
+     "pair_count": 1873},
+    {"rank": 7, "left_sym": "p", "right_sym": "ar", "merged": "par",
+     "pair_count": 1873},
+    {"rank": 8, "left_sym": "m", "right_sym": "er", "merged": "mer",
+     "pair_count": 1824},
+    {"rank": 9, "left_sym": "a", "right_sym": "t", "merged": "at",
+     "pair_count": 1806},
+    {"rank": 10, "left_sym": "a", "right_sym": "n", "merged": "an",
+     "pair_count": 984},
+    {"rank": 11, "left_sym": "c", "right_sym": "an", "merged": "can",
+     "pair_count": 984},
+]
+
 
 def word_counts(
     df: DataFrame, *, text_col: str = "text"
@@ -87,12 +123,74 @@ def apply_merges_expr(sym_col: Column, merges: list[dict]) -> Column:
     return out
 
 
+def _select_batch(
+    cands: list, max_batch: int, fetched: int, exact: bool = True
+) -> list[tuple[str, str, int]]:
+    """Pick merges from the (count desc, pair asc)-sorted candidate rows
+    to apply IN ORDER this round.
+
+    EXACT mode — bit-identical to the sequential algorithm (fuzz-proved
+    in test_bpe.py); conservative yield (often the bare argmax on
+    natural text, where top pairs share letters):
+    1. PREFIX up to the first CONFLICT: a candidate conflicts when it
+       shares any symbol with an accepted candidate's {left, right,
+       merged} — conflicting pairs' counts change under the batch, so
+       everything from the first conflict on is deferred to the next
+       round.
+    2. DOMINANCE: let B be the count at the first conflict (or at the
+       last fetched row when no conflict — every unfetched pair counts
+       <= that; 0 when the fetched rows are the whole table). Applying
+       q merges can grow a non-accepted pair's count to at most
+       (q+1)*B (old count <= B, plus at most one bounded increase per
+       applied merge), so accept the largest prefix q with
+       count_q > (q+1)*B — then at every sequential step j the next
+       accepted pair still strictly dominates every other pair, and the
+       argmax (with its tie-break) is unchanged.
+    3. Fallback: when the rules admit nothing, take the plain argmax
+       (top-1) — exactly the classic sequential step.
+
+    APPROX mode (exact=False) — standard corpus-BPE batching: walk the
+    candidates, SKIP conflicting ones, accept up to max_batch pairwise
+    non-overlapping merges. Applying disjoint merges cannot interact
+    textually (no shared symbols incl. merged outputs), but the
+    recorded counts are pre-batch statistics and the merge ORDER may
+    deviate from strict sequential rank — the throughput mode for real
+    32k-vocab training, where one pair-count job per merge is the
+    bottleneck."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound = 0 if len(cands) < fetched else int(cands[-1]["n"])
+    for row in cands:
+        syms = {row["l"], row["r"]}
+        if syms & used or (row["l"] + row["r"]) in used:
+            if exact:
+                bound = int(row["n"])  # first conflict: everything
+                break  # after this (fetched or not) is <= bound
+            continue  # approx: skip, keep collecting disjoint merges
+        if len(accepted) < max_batch:
+            accepted.append((row["l"], row["r"], int(row["n"])))
+            used |= syms | {row["l"] + row["r"]}
+        elif not exact:
+            break
+        # exact: keep scanning past max_batch to locate the first
+        # conflict (it sets the dominance bound)
+    if exact:
+        while accepted and accepted[-1][2] <= (len(accepted) + 1) * bound:
+            accepted.pop()
+    if not accepted and cands:
+        row = cands[0]
+        accepted = [(row["l"], row["r"], int(row["n"]))]
+    return accepted
+
+
 def bpe_train(
     df: DataFrame,
     *,
     n_merges: int = 12,
     min_pair_count: int = 2,
     text_col: str = "text",
+    merges_per_round: int = 8,
+    exact: bool = True,
 ) -> list[dict]:
     """Learn `n_merges` BPE merges from corpus word statistics. Returns
     the merge table as a driver-side list of dicts (rank, left_sym,
@@ -100,14 +198,28 @@ def bpe_train(
     a tokenizer IS (kmeans_train's k·dim contract). Ties break on the
     (left, right) pair string so training is deterministic; merging
     stops early when the best pair's corpus count falls below
-    `min_pair_count` (no degenerate single-occurrence merges)."""
+    `min_pair_count` (no degenerate single-occurrence merges).
+
+    Job count: one pair-count aggregation + one checkpoint per ROUND,
+    not per merge. `exact=True` (default) accepts per round only merges
+    whose counts provably make the batch bit-identical to the
+    sequential algorithm (`_select_batch` dominance rule) — on natural
+    text, where the top pairs share letters, this usually degrades to
+    the classic one-merge step, which is the price of exactness.
+    `exact=False` is the throughput mode for real 32k-vocab training:
+    standard non-overlapping batching (skip conflicting candidates,
+    accept up to `merges_per_round` disjoint merges per round — merge
+    content order may deviate from strict sequential rank; measured
+    rounds/merge in PERF.md). `merges_per_round=1` forces the classic
+    sequential loop in either mode (the parity tests' reference)."""
     vocab = word_counts(df, text_col=text_col).select(
         F.split("w", "").alias("syms"), "ct"
     )
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[dict] = []
+    fetch = 4 * merges_per_round + 1
     try:
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
             pairs = vocab.filter(F.size("syms") >= 2).select(
                 F.explode(
                     F.transform(
@@ -120,28 +232,40 @@ def bpe_train(
                 ).alias("p"),
                 "ct",
             )
-            best = (
+            cands = (
                 pairs.groupBy("p.l", "p.r")
                 .agg(F.sum("ct").alias("n"))
                 .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-                .limit(1)
+                .limit(fetch)
                 .collect()
             )
-            if not best or best[0]["n"] < min_pair_count:
+            if not cands or cands[0]["n"] < min_pair_count:
                 break
-            left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-            merges.append(
-                {
-                    "rank": rank,
-                    "left_sym": left,
-                    "right_sym": right,
-                    "merged": left + right,
-                    "pair_count": n,
-                }
+            batch = _select_batch(
+                cands,
+                min(merges_per_round, n_merges - len(merges)),
+                fetch,
+                exact=exact,
             )
+            # min_pair_count cuts the batch exactly where the sequential
+            # loop would stop
+            batch = [b for b in batch if b[2] >= min_pair_count]
+            if not batch:
+                break
+            expr = F.col("syms")
+            for left, right, n in batch:
+                merges.append(
+                    {
+                        "rank": len(merges),
+                        "left_sym": left,
+                        "right_sym": right,
+                        "merged": left + right,
+                        "pair_count": n,
+                    }
+                )
+                expr = merge_step_expr(expr, left, right)
             nxt = vocab.select(
-                merge_step_expr(F.col("syms"), left, right).alias("syms"),
-                "ct",
+                expr.alias("syms"), "ct"
             ).localCheckpoint(eager=True)
             vocab.unpersist()
             vocab = nxt

@@ -6204,15 +6204,18 @@ QUERIES["bpe_train"] = q_bpe_train
 
 
 def q_bpe_encode(spark, sf_dir):
-    """rows-only: fertility of the trained BPE tokenizer
-    (operators/tokenize.bpe_encode_counts) — per-doc word/char/token
-    counts and chars-per-token after applying the learned merge table.
-    Merges apply to the DISTINCT word frame (vocab-sized expression
-    work); corpus rows are touched only by the explode and the word-key
-    join-back."""
-    merges = _bpe_merges(spark, sf_dir)
+    """Fertility of the FROZEN production tokenizer
+    (operators/tokenize.bpe_encode_counts over tokenize.PINNED_MERGES)
+    — per-doc word/char/token counts and chars-per-token after applying
+    the shipped merge table. Merges apply to the DISTINCT word frame
+    (vocab-sized expression work); corpus rows are touched only by the
+    explode and the word-key join-back. Value-level oracle: DuckDB
+    replays the pinned merges as a string-replace chain over wrapped
+    symbols (left-to-right non-overlapping replace == the greedy
+    leftmost-first merge scan, pair-by-pair). Training AT the input sf
+    remains the rows-only `bpe_train`."""
     return tokenize.bpe_encode_counts(
-        _t(spark, sf_dir, "documents"), merges
+        _t(spark, sf_dir, "documents"), tokenize.PINNED_MERGES
     )
 
 
@@ -6970,17 +6973,19 @@ QUERIES["knn_join"] = q_knn_join
 
 
 def q_pack_sequences_bpe(spark, sf_dir):
-    """rows-only: sequence packing by the TRAINED tokenizer's own
-    per-doc token counts — bpe_encode_counts feeds pack_sequences via
-    `n_tok_col`, the actual causal-LM pretraining path (whitespace-proxy
-    packing is the oracle-checked `pack_sequences`). Same two-phase
+    """Sequence packing by the FROZEN tokenizer's own per-doc token
+    counts — bpe_encode_counts (tokenize.PINNED_MERGES) feeds
+    pack_sequences via `n_tok_col`, the actual causal-LM pretraining
+    path (whitespace-proxy packing is `pack_sequences`). Same two-phase
     distributed prefix sum; the fertility frame joins in on the doc
-    key before the range repartition."""
+    key before the range repartition. Value-level oracle: the DuckDB
+    replay chains the pinned merges, then lays out the token stream
+    with one global window (fine at oracle scale — which is the point
+    of the two-phase form on the engine side)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = _bpe_merges(spark, sf_dir)
-    counts = tokenize.bpe_encode_counts(docs, merges).select(
-        "doc_id", "n_bpe_tokens"
-    )
+    counts = tokenize.bpe_encode_counts(
+        docs, tokenize.PINNED_MERGES
+    ).select("doc_id", "n_bpe_tokens")
     return textops.pack_sequences(
         docs.join(counts, "doc_id"),
         seq_len=128,
@@ -7281,6 +7286,92 @@ ORACLE["bpe_pair_counts"] = """
     FROM ex GROUP BY left_sym, right_sym
     ORDER BY pair_count DESC, left_sym, right_sym
     LIMIT 20
+"""
+
+
+def _bpe_replace_chain_sql(col: str) -> str:
+    """DuckDB replay of `tokenize.apply_merges_expr` over the PINNED
+    merge table (the dedup_embedding_srp trick: deterministic learned
+    data regenerated into SQL literals). Each word is first wrapped one
+    symbol per \\x1f<sym>\\x1e cell; each merge (l, r) -> l+r is then one
+    left-to-right non-overlapping `replace`, which is exactly the greedy
+    leftmost-first merge scan for a single pair (both consume the fused
+    token and resume AFTER it, and the merged cell \\x1f<lr>\\x1e can
+    never re-match the same pattern mid-token because the separators
+    bound whole symbols). Token count afterwards = number of \\x1f
+    cells. Fixture text is printable ASCII (no \\x1e/\\x1f collisions,
+    asserted in tests/test_bpe.py); (?s) keeps the per-char wrap total
+    even if a newline ever enters a word."""
+    expr = f"regexp_replace({col}, '(?s)(.)', '\x1f\\1\x1e', 'g')"
+    for m in tokenize.PINNED_MERGES:
+        pat = "\x1f" + m["left_sym"] + "\x1e\x1f" + m["right_sym"] + "\x1e"
+        rep = "\x1f" + m["merged"] + "\x1e"
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+#: Shared CTE prefix: per-doc fertility of the pinned tokenizer —
+#: distinct words encoded once (vocab-sized), token stream joins back.
+_BPE_FERTILITY_CTES = f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT w, {_bpe_replace_chain_sql("w")} AS s
+        FROM (SELECT DISTINCT w FROM toks)
+    ), vt AS (
+        SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
+               CAST(len(s) - len(replace(s, '\x1f', '')) AS BIGINT)
+                   AS w_tokens
+        FROM enc
+    )
+"""
+
+ORACLE["bpe_encode"] = f"""
+    WITH {_BPE_FERTILITY_CTES}
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.w_chars) AS BIGINT) AS n_chars,
+           CAST(sum(v.w_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(v.w_chars) AS BIGINT)
+                 / CAST(sum(v.w_tokens) AS BIGINT), 6) AS chars_per_token
+    FROM toks t JOIN vt v USING (w)
+    GROUP BY t.doc_id
+"""
+
+ORACLE["pack_sequences_bpe"] = f"""
+    WITH {_BPE_FERTILITY_CTES},
+    t AS (
+        SELECT t.doc_id,
+               CAST(sum(v.w_tokens) AS BIGINT) + 1 AS n_tok
+        FROM toks t JOIN vt v USING (w)
+        GROUP BY t.doc_id
+    ), placed AS (
+        SELECT doc_id, n_tok,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS tok_end
+        FROM t
+    ), spans AS (
+        SELECT doc_id, n_tok, tok_end, tok_end - n_tok AS tok_start
+        FROM placed
+    ), exploded AS (
+        SELECT doc_id, tok_start, tok_end,
+               unnest(range(tok_start // 128,
+                            (tok_end - 1) // 128 + 1)) AS seq_id
+        FROM spans
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(tok_start - seq_id * 128, 0) AS BIGINT)
+               AS pos_in_seq,
+           CAST(greatest(seq_id * 128 - tok_start, 0) AS BIGINT)
+               AS doc_tok_offset,
+           CAST(least(tok_end, seq_id * 128 + 128)
+                - greatest(tok_start, seq_id * 128) AS BIGINT)
+               AS n_tok_in_seq
+    FROM exploded
 """
 
 
