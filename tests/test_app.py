@@ -142,3 +142,59 @@ def test_embed_bad_path_is_400(initialized):
     )
     assert r.status_code == 400
     assert "error" in r.json
+
+
+def test_word2vec_lifecycle_over_http(spark, corpus, tmp_path_factory):
+    """The full reference lifecycle (app.py:16-94 -> run_search,
+    vector_db.py:615-671) on REAL learned weights, no network:
+    /initialize with the in-container-trainable `local-word2vec`
+    backend, /embed a folder (MLlib Word2Vec fits on this first batch
+    and the vectors persist under save_dir), then /search — hits must
+    come back in the trained word2vec space (the store's space tags
+    gate the cosine join, so a space mismatch returns nothing)."""
+    import json
+    import os
+
+    client = create_app(spark).test_client()
+    store = tmp_path_factory.mktemp("w2v_http_store")
+    r = client.post(
+        "/initialize",
+        json={"save_dir": str(store), "text_model": "local-word2vec"},
+    )
+    assert r.status_code == 200, r.json
+    r = client.post("/embed", json={"path": str(corpus), "is_folder": True})
+    assert r.status_code == 200, r.json
+    assert r.json["new_chunks"] > 0
+
+    # the model is REAL learned state: vocab x dim word vectors on disk
+    w2v_file = os.path.join(str(store), "w2v_vectors.json")
+    assert os.path.exists(w2v_file)
+    vecs = json.load(open(w2v_file))
+    assert vecs and all(len(v) == 64 for v in vecs.values())
+    assert {"spark", "vector"} <= set(vecs)  # corpus words were learned
+
+    # every stored text chunk is tagged with the trained space
+    chunk_spaces = {
+        r2.embedding_space
+        for r2 in spark.read.parquet(os.path.join(str(store), "chunks"))
+        .filter("content_type = 'text_chunk'")
+        .select("embedding_space")
+        .distinct()
+        .collect()
+    }
+    assert chunk_spaces == {"w2v-64"}
+
+    r = client.post(
+        "/search",
+        json={"query": {"text": "vector search nearest embedding rows"}},
+    )
+    assert r.status_code == 200, r.json
+    assert set(r.json) == {"response", "sources"}
+    assert r.json["sources"], "w2v-space search returned no hits"
+    names = [
+        s["doc_name"].rsplit("/", 1)[-1] for s in r.json["sources"]
+    ]
+    assert set(names) <= {"notes.txt", "vectors.txt"}
+    # the query is verbatim vocabulary of vectors.txt — the trained
+    # space must rank that document first
+    assert names[0] == "vectors.txt"
