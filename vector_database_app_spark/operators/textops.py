@@ -1659,3 +1659,90 @@ def serve_quality_classifier(
         rounded.alias("quality_logit"),
         (rounded > F.lit(0.0)).alias("keep"),
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose FIRST corpus occurrence (min doc_id) is this doc
+    — the novelty-ordered data-selection signal (crawl snapshots are
+    mostly re-crawls; training wants the novel tail first). A doc of
+    pure boilerplate scores ~0, the first doc to introduce a phrase
+    gets credit for it.
+
+    Scale shape: per-doc distinct shingles (row-local), explode, ONE
+    hash aggregation keyed by gram for the global min(doc_id) with
+    map-side partials, then the gram->first_doc map joins back onto the
+    exploded frame (gram-keyed equi-join, AQE-planned) and re-aggregates
+    per doc. Two shuffles total, both on the gram/doc keys — the
+    minhash/boilerplate discipline; never all-pairs, no window."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, n))
+        ).alias("ngram"),
+    )
+    first = grams.groupBy("ngram").agg(
+        F.min(id_col).alias("_first_doc")
+    )
+    return (
+        grams.join(first, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first_doc") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def lang_leakage(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Cross-language contamination audit: for every unordered language
+    pair, how many DISTINCT word n-grams appear in BOTH languages'
+    documents — mislabeled-language detection for multilingual corpora
+    (a high-leakage pair means the lang-ID stage is bleeding, or one
+    "language" is boilerplate-dominated).
+
+    Scale shape: distinct (gram, lang) first — a gram occurring in k
+    languages survives as k rows, so the self-join fan-out per gram is
+    bounded by |langs|^2 (a constant), never by document frequency.
+    One gram-keyed dedup shuffle + one gram-keyed equi-join."""
+    gl = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, n))
+        ).alias("ngram"),
+    ).distinct()
+    a, b = gl.alias("a"), gl.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ngram") == F.col("b.ngram"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )

@@ -8285,6 +8285,195 @@ ORACLE["quality_calibration"] = f"""
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: novelty selection, source triage, smoothed event
+# monitoring, cross-language contamination (queued for driver window 6).
+# ---------------------------------------------------------------------------
+
+
+def q_gram_novelty(spark, sf_dir):
+    """Novelty-ordered data selection (operators/textops.gram_novelty):
+    per-doc fraction of distinct word 3-grams first introduced by that
+    doc (min doc_id over the corpus). Two gram-keyed shuffles (global
+    first-occurrence agg + join-back), map-side partials, never
+    all-pairs — the boilerplate_ngrams/minhash scale discipline.
+    Integer counts + one rounded division."""
+    return textops.gram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+QUERIES["gram_novelty"] = q_gram_novelty
+
+ORACLE["gram_novelty"] = f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3.format(
+            ws="string_split(lower(text), ' ')", t="text")})) AS ngram
+        FROM documents
+    ), fd AS (
+        SELECT ngram, min(doc_id) AS first_doc FROM g GROUP BY ngram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM g JOIN fd USING (ngram)
+    GROUP BY g.doc_id
+"""
+
+
+def q_lang_leakage(spark, sf_dir):
+    """Cross-language contamination audit (operators/textops.
+    lang_leakage): distinct word 3-grams shared by each unordered
+    language pair. Distinct (gram, lang) FIRST bounds the gram-keyed
+    self-join fan-out at |langs|^2 per gram — document frequency never
+    multiplies the join."""
+    return textops.lang_leakage(_t(spark, sf_dir, "documents"), n=3)
+
+
+QUERIES["lang_leakage"] = q_lang_leakage
+
+ORACLE["lang_leakage"] = f"""
+    WITH gl AS (
+        SELECT DISTINCT lang, unnest(list_distinct({_SQL_SHINGLES3.format(
+            ws="string_split(lower(text), ' ')", t="text")})) AS ngram
+        FROM documents
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM gl a JOIN gl b ON a.ngram = b.ngram AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+"""
+
+
+def q_source_mix_report(spark, sf_dir):
+    """Crawl-source triage: one row per source with doc count, language
+    spread, char volume, the dominant language (max(struct(cnt, lang))
+    — count-then-lexicographic, the same deterministic tie-break in
+    both engines) and this source's share of the corpus. One partial+
+    final agg on (source, lang) -> one on source; the 1-row corpus
+    total broadcasts. All counts integers; the two shares are rounded
+    divisions of bigints."""
+    docs = _t(spark, sf_dir, "documents")
+    per_sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    per_s = per_sl.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.max(F.struct(F.col("n"), F.col("lang"))).alias("_top"),
+    )
+    total = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_corpus_docs")
+    )
+    return per_s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 6).alias(
+            "avg_chars"
+        ),
+        F.col("_top.lang").alias("top_lang"),
+        F.round(F.col("_top.n") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+        F.round(F.col("n_docs") / F.col("_corpus_docs"), 6).alias(
+            "corpus_share"
+        ),
+    )
+
+
+QUERIES["source_mix_report"] = q_source_mix_report
+
+ORACLE["source_mix_report"] = """
+    WITH sl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, lang
+    ), s AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               max({'n': n, 'lang': lang}) AS top
+        FROM sl GROUP BY source
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents
+    )
+    SELECT source, n_docs, n_langs, total_chars,
+           round(total_chars / CAST(n_docs AS DOUBLE), 6) AS avg_chars,
+           top.lang AS top_lang,
+           round(top.n / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+           round(n_docs / CAST(corpus_docs AS DOUBLE), 6) AS corpus_share
+    FROM s CROSS JOIN tot
+"""
+
+
+def q_events_ewma(spark, sf_dir):
+    """Exponentially-weighted event-rate monitor: hourly counts per
+    event type smoothed with alpha = 1/2 over a 20-bucket lookback.
+    The decay 0.5^lag keeps every term a DYADIC rational (counts scaled
+    by powers of two are exact doubles, and the 20-bucket window keeps
+    the exponent span under the 53-bit mantissa), so the smoothed value
+    is bit-identical across engines BEFORE rounding — no float-boundary
+    risk. Scale shape: the corpus-sized work is one hash agg to the
+    tiny |types|x|hours| rollup; the 20-bucket lookback is a range
+    self-join on that rollup frame, never on raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    lag = F.col("a.bucket") - F.col("b.bucket")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (lag >= 0)
+            & (lag <= 19),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("b.n") * F.pow(F.lit(0.5), lag)), 6
+            ).alias("ewma")
+        )
+        .select("event_type", "bucket", "n", "ewma")
+    )
+
+
+QUERIES["events_ewma"] = q_events_ewma
+
+ORACLE["events_ewma"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.bucket, a.n,
+           round(sum(b.n * power(0.5, a.bucket - b.bucket)), 6) AS ewma
+    FROM hourly a
+    JOIN hourly b
+      ON a.event_type = b.event_type
+     AND a.bucket - b.bucket BETWEEN 0 AND 19
+    GROUP BY a.event_type, a.bucket, a.n
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -8367,6 +8556,17 @@ _DRIVER_WINDOW_R5 = [
     # backfill: the md5 twin of the rows-only dedup_minhash (1)
     "dedup_minhash_md5",
 ]
+
+# _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
+# above, the never-windowed oracle-backed remainder is exactly the six
+# queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1, PERF.md):
+#     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
+#     the pinned-merge replay), "gram_novelty", "lang_leakage",
+#     "source_mix_report", "events_ewma".
+# Put them FIRST next round, then backfill with re-confirmations of
+# high-value earlier rows (flagship rag_topk_summary, the dedup/ANN
+# suite, corpus_pipeline). Verify any new window order with the sf0.01
+# mirror BEFORE shipping.
 
 # Ledger hygiene (judge r4, "What's wrong" #3): dedup_minhash,
 # dedup_simhash and ingest_chunks carry r01 `no_oracle` reds from the
