@@ -198,3 +198,23 @@ def test_word2vec_lifecycle_over_http(spark, corpus, tmp_path_factory):
     # the query is verbatim vocabulary of vectors.txt — the trained
     # space must rank that document first
     assert names[0] == "vectors.txt"
+
+
+def test_index_is_nocode_ui_with_live_model_registry(client):
+    """The frontend mirrors the reference templates/index.html
+    capabilities: model pickers rendered FROM the backend registries
+    (so they cannot drift from the engine), embed and search forms
+    wired to the three JSON routes."""
+    from vector_database_app_spark.api import TEXT_EMBED_MODELS
+    from vector_database_app_spark.functions.llm_backends import (
+        GEN_BACKENDS,
+    )
+
+    html = client.get("/").data.decode()
+    for m in list(TEXT_EMBED_MODELS) + list(GEN_BACKENDS):
+        assert f'value="{m}"' in html, m
+    for route in ("/initialize", "/embed", "/search"):
+        assert route in html
+    for field in ("save_dir", "embed_path", "query_text",
+                  "search_location"):
+        assert f'id="{field}"' in html

@@ -41,15 +41,122 @@ import base64
 
 from flask import Flask, jsonify, request
 
-#: Minimal frontend standing in for the reference's
-#: ``templates/index.html`` (a model-picker + search form). The judge
-#: surface here is the JSON API; the page just documents it.
-_INDEX_HTML = """<!doctype html>
-<html><head><title>vector_database_app_spark</title></head>
+def _index_html() -> str:
+    """No-code frontend covering the reference's ``templates/index.html``
+    capabilities (model pickers → /initialize, file/folder path →
+    /embed, query box → /search with response + expandable sources) as
+    an ORIGINAL single page — the model <option>s are rendered from the
+    live backend registries so the picker can never drift from the
+    engine. API-key fields are omitted on purpose: the in-container
+    backends take none, and remote-model keys belong in server config,
+    not a browser form."""
+    from .api import TEXT_EMBED_MODELS
+    from .functions.llm_backends import GEN_BACKENDS
+
+    text_opts = "".join(
+        f'<option value="{m}"{" selected" if m == "local-hash-64" else ""}>'
+        f"{m}</option>"
+        for m in sorted(TEXT_EMBED_MODELS)
+    )
+    resp_opts = "".join(
+        f'<option value="{m}"{" selected" if m == "stub" else ""}>'
+        f"{m}</option>"
+        for m in sorted(GEN_BACKENDS)
+    )
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8">
+<title>vector_database_app_spark</title>
+<style>
+  body {{ font-family: system-ui, sans-serif; max-width: 46rem;
+         margin: 2rem auto; padding: 0 1rem; color: #1a1a2e; }}
+  fieldset {{ border: 1px solid #c9c9d4; border-radius: 6px;
+              margin-bottom: 1rem; }}
+  label {{ display: inline-block; min-width: 11rem; }}
+  input[type=text], select {{ width: 24rem; max-width: 90%;
+                              padding: .25rem; }}
+  button {{ padding: .35rem .9rem; cursor: pointer; }}
+  #status {{ white-space: pre-wrap; color: #3a3a5c; }}
+  .src {{ border-left: 3px solid #c9c9d4; margin: .4rem 0;
+          padding: .2rem .6rem; font-size: .9rem; }}
+  details {{ margin-top: .6rem; }}
+</style></head>
 <body>
 <h1>vector_database_app_spark</h1>
-<p>POST JSON to <code>/initialize</code>, <code>/embed</code>,
-<code>/search</code> (same envelopes as the reference app.py).</p>
+
+<fieldset><legend>1 · Initialize</legend>
+  <label for="text_model">Text embedding model</label>
+  <select id="text_model">{text_opts}</select><br>
+  <label for="response_model">Response model</label>
+  <select id="response_model">{resp_opts}</select><br>
+  <label for="save_dir">Save directory</label>
+  <input type="text" id="save_dir" value="vector_db"><br>
+  <button onclick="call('/initialize', {{
+      save_dir: val('save_dir'), text_model: val('text_model'),
+      response_model: val('response_model')}})">Initialize</button>
+</fieldset>
+
+<fieldset><legend>2 · Embed</legend>
+  <label for="embed_path">Server file/folder path</label>
+  <input type="text" id="embed_path"><br>
+  <label for="is_folder">Path is a folder</label>
+  <input type="checkbox" id="is_folder" checked><br>
+  <button onclick="call('/embed', {{
+      path: val('embed_path'),
+      is_folder: document.getElementById('is_folder').checked}})">
+    Embed</button>
+</fieldset>
+
+<fieldset><legend>3 · Search</legend>
+  <label for="query_text">Query</label>
+  <input type="text" id="query_text"><br>
+  <label for="search_location">Scope to location (optional)</label>
+  <input type="text" id="search_location"><br>
+  <button onclick="search()">Search</button>
+</fieldset>
+
+<div id="status"></div>
+<div id="answer"></div>
+<div id="sources"></div>
+
+<script>
+const val = id => document.getElementById(id).value.trim();
+async function call(route, body) {{
+  const st = document.getElementById('status');
+  st.textContent = 'working…';
+  const r = await fetch(route, {{method: 'POST',
+    headers: {{'Content-Type': 'application/json'}},
+    body: JSON.stringify(body)}});
+  const j = await r.json();
+  st.textContent = r.ok ? (j.message || JSON.stringify(j))
+                        : ('error: ' + (j.error || r.status));
+  return r.ok ? j : null;
+}}
+async function search() {{
+  const body = {{query: {{text: val('query_text')}}}};
+  const loc = val('search_location');
+  if (loc) body.search_location = loc;
+  const j = await call('/search', body);
+  const ans = document.getElementById('answer');
+  const src = document.getElementById('sources');
+  ans.textContent = ''; src.innerHTML = '';
+  if (!j) return;
+  ans.textContent = j.response || '';
+  if (j.sources && j.sources.length) {{
+    const d = document.createElement('details');
+    d.innerHTML = '<summary>Sources (' + j.sources.length
+                + ')</summary>';
+    for (const s of j.sources) {{
+      const div = document.createElement('div');
+      div.className = 'src';
+      div.textContent = s.doc_name + ' · page ' + s.page_num + ' · '
+                      + s.content_type + ' — '
+                      + String(s.content_raw).slice(0, 200);
+      d.appendChild(div);
+    }}
+    src.appendChild(d);
+  }}
+}}
+</script>
 </body></html>"""
 
 
@@ -70,7 +177,7 @@ def create_app(spark=None) -> Flask:
 
     @app.route("/")
     def index():
-        return _INDEX_HTML
+        return _index_html()
 
     @app.route("/initialize", methods=["POST"])
     def initialize_vector_db():
