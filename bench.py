@@ -79,6 +79,14 @@ HEADLINE = [
     "audio_features_wav",
     # kNN-graph construction (blocked self-join over the full corpus)
     "knn_join",
+    # round 5: novelty selection (two gram-keyed shuffles), language
+    # leakage (gram self-join), pinned-tokenizer sequence packing, and
+    # the smoothed event-rate monitor
+    "gram_novelty",
+    "lang_leakage",
+    "pack_sequences_bpe",
+    "events_ewma",
+    "source_mix_report",
 ]
 
 

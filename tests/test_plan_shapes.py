@@ -87,3 +87,36 @@ def test_no_full_data_window_over_single_partition(spark, name):
         "bounded, document it in BOUNDED_GLOBAL_WINDOWS.\n\n"
         + "\n---\n".join(sites)
     )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_generator_inferred_recompute_filters(spark, name):
+    """Exploding an ALIASED heavy array column lets the optimizer infer
+    `size(arr) > 0 AND isnotnull(arr)` from the generator and push that
+    filter below exchanges to the scan side — the full array expression
+    (shingle assembly, PQ encode, ...) then re-evaluates 2x per
+    inferred site on the pre-shuffle splits. Found in four operators in
+    r5 (gram_novelty 11.9->1.0 s, contamination_report 17.3->1.2 s,
+    ann_pq_search 3.0->1.5 s, ann_ivfpq_search 4.1->1.7 s at sf0.1 —
+    PERF.md). Fixes: inline the expression into the generator
+    (one-step explode), or explode_outer when emptiness is impossible.
+
+    Detector: a Filter whose condition carries a lambda-based array
+    expression in exactly the inferred shape `size(X) > 0 ... AND
+    isnotnull(X)`. User predicates with lambdas (corpus_filter's
+    quality thresholds) do not match the inferred shape."""
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sites = [
+        ln.strip()[:200]
+        for ln in plan.splitlines()
+        if "Filter (" in ln
+        and "lambdafunction(" in ln
+        and "> 0)" in ln
+        and "isnotnull(" in ln
+    ]
+    assert not sites, (
+        f"{name}: generator-inferred filter re-evaluates a heavy array "
+        "expression at the scan — one-step the explode or use "
+        "explode_outer.\n" + "\n---\n".join(sites)
+    )

@@ -1016,11 +1016,18 @@ def similarity_join(
     magnitude on hot shingles while the result stays EXACT (asserted
     equal in tests/test_properties.py). Costs one extra aggregation
     (global shingle frequencies) + a per-doc rank."""
-    sh = df.select(
+    # ONE-STEP explode (generator expression inline): exploding an
+    # aliased array column lets the optimizer infer `size(arr) > 0 AND
+    # isnotnull(arr)` from the generator and push those filters to the
+    # scan side, re-evaluating the full shingle expression 2x per
+    # inferred site on the pre-shuffle splits — this query's plan
+    # carried EIGHT such sites before the rewrite (PERF.md r5).
+    ex = df.select(
         F.col(id_col),
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+        F.explode(
+            F.array_distinct(TX.shingles(text_col, shingle_n))
+        ).alias("shingle"),
     )
-    ex = sh.select(id_col, F.explode("sh").alias("shingle"))
     if prefix_filter:
         freq = ex.groupBy("shingle").agg(F.count("*").alias("gdf"))
         w = Window.partitionBy(id_col).orderBy(F.asc("gdf"), F.asc("shingle"))

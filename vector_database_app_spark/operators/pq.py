@@ -274,8 +274,14 @@ def pq_search(
         )
     )
 
+    # posexplode_OUTER: pq_encode's codes are never null/empty (an
+    # array() of m argmin literals), so outer is value-identical — but
+    # plain posexplode lets the optimizer infer `size(codes) > 0 AND
+    # isnotnull(codes)` and push that filter to the scan, re-running
+    # the ENTIRE m-subspace encode per inferred site on the pre-shuffle
+    # splits (PERF.md r5).
     exploded = codes_df.select(
-        F.col(id_col), F.posexplode("codes").alias("subspace", "code")
+        F.col(id_col), F.posexplode_outer("codes").alias("subspace", "code")
     )
     adc = (
         exploded.join(F.broadcast(table), ["subspace", "code"])
@@ -404,10 +410,13 @@ def ivfpq_search(
         )
     )
     cand = assigned_codes.join(F.broadcast(probes), "centroid_id")
+    # posexplode_OUTER for the same reason as pq_search: kill the
+    # generator-inferred size/isnotnull filter that would re-encode at
+    # the scan (codes are never null/empty)
     exploded = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.posexplode("codes").alias("subspace", "code"),
+        F.posexplode_outer("codes").alias("subspace", "code"),
     )
     adc = (
         exploded.join(F.broadcast(table), [query_id_col, "subspace", "code"])

@@ -583,7 +583,11 @@ def repetition_signals(
     ).otherwise(F.array().cast("array<string>"))
 
     uni_top = (
-        base.select(id_col, F.explode("words").alias("w"))
+        # one-step explode (inline expression, not the aliased `words`
+        # column): exploding the alias makes the optimizer infer
+        # size/isnotnull filters from the generator and push the
+        # filter+split expression to the scan side twice (PERF.md r5)
+        df.select(F.col(id_col), F.explode(words).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -1043,32 +1047,34 @@ def contamination_report(
         )
         .distinct()
     )
-    # ONE corpus scan: carry the per-doc gram count through the explode,
-    # LEFT-join the broadcast benchmark set to flag hits, and fold both
-    # counters in a single keyed aggregation (two consumers of the
-    # shingle stage would run the expensive n-gram assembly twice —
-    # advisor r3 finding). Shingles are never empty (the <n-words
-    # fallback emits the whole text), so no doc drops out of the explode.
-    exploded = corpus.repartition(n_parts, id_col).select(
-        F.col(id_col),
-        F.array_distinct(TX.shingles(text_col, n)).alias("_g"),
-    ).select(
-        id_col,
-        F.size("_g").cast("bigint").alias("_n_grams"),
-        F.explode("_g").alias("ngram"),
+    # TWO parallel branches over the corpus, joined on the doc key:
+    # per-doc gram counts as a row-local size() projection, and hit
+    # counts via a ONE-STEP explode -> broadcast-join -> per-doc agg.
+    # Shingles are never empty (the <n-words fallback emits the whole
+    # text), so no doc drops out of either branch. Shape history
+    # (PERF.md r5): carrying the count THROUGH the explode is a trap in
+    # both available forms — a two-step aliased array makes the
+    # optimizer infer size/isnotnull filters from the generator and
+    # push the full shingle expression to the scan side, while putting
+    # size(expr) in the SAME projection as explode(expr) re-evaluates
+    # the expression per GENERATED row (measured 15.6 s vs 0.5 s at
+    # sf0.1, a 32x cliff). Two parallel shingle passes cost ~1 s total.
+    _grams_expr = F.array_distinct(TX.shingles(text_col, n))
+    rep = corpus.repartition(n_parts, id_col)
+    per_doc = rep.select(
+        id_col, F.size(_grams_expr).cast("bigint").alias("n_grams")
     )
-    counted = (
-        exploded.join(
+    hits = (
+        rep.select(id_col, F.explode(_grams_expr).alias("ngram"))
+        .join(
             F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
             "ngram",
             "left",
         )
         .groupBy(id_col)
-        .agg(
-            F.first("_n_grams").alias("n_grams"),
-            F.count("_hit").cast("bigint").alias("n_hits"),
-        )
+        .agg(F.count("_hit").cast("bigint").alias("n_hits"))
     )
+    counted = per_doc.join(hits, id_col)
     frac = F.round(
         F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 6
     )
@@ -1675,29 +1681,62 @@ def gram_novelty(
     pure boilerplate scores ~0, the first doc to introduce a phrase
     gets credit for it.
 
-    Scale shape: per-doc distinct shingles (row-local), explode, ONE
-    hash aggregation keyed by gram for the global min(doc_id) with
-    map-side partials, then the gram->first_doc map joins back onto the
-    exploded frame (gram-keyed equi-join, AQE-planned) and re-aggregates
-    per doc. Two shuffles total, both on the gram/doc keys — the
-    minhash/boilerplate discipline; never all-pairs, no window."""
-    grams = df.select(
+    Scale shape: the gram strings cross the wire ONCE. Per-doc gram
+    counts are row-local expressions (size of the distinct-shingle
+    array — no explode, no shuffle); the novel-gram counts come from
+    one gram-keyed min(doc_id) aggregation (map-side partials collapse
+    boilerplate early) immediately re-aggregated to the tiny
+    (first_doc, n_novel) frame — so the only joins are |docs|-row on
+    the doc key. The first version of this operator joined the
+    gram->first_doc map back onto the exploded frame: a second full
+    gram-string shuffle that tripled the runtime (11.9 s -> benched
+    after rewrite in PERF.md); never do that when the join-back only
+    feeds a per-doc count. The input is repartitioned before the
+    expression-heavy shingle stage (the minhash discipline,
+    dedup.py:315): on a cluster the scan already yields many splits,
+    but a single small file would otherwise serialize all shingling
+    through one task — shingling IS the dominant cost here.
+
+    The explode is deliberately ONE-STEP (generator expression inline,
+    not `select(arr.alias(..)).select(explode(..))`): exploding an
+    ALIASED array column lets the optimizer infer `size(arr) > 0 AND
+    isnotnull(arr)` from the generator and push that filter below the
+    repartition exchange — the full shingle expression then evaluates
+    THREE times (size + isnotnull + project), on the pre-repartition
+    single-split side. Measured 4.3 s vs 0.4 s for the identical
+    explode at sf0.1 (PERF.md r5). The two branches below each scan
+    the source once instead of sharing an aliased array — two columnar
+    scans are cheaper than one tripled shingle pass."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rep = df.repartition(n_parts, id_col)
+    per_doc = rep.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(TX.shingles(text_col, n))
-        ).alias("ngram"),
+        F.size(F.array_distinct(TX.shingles(text_col, n)))
+        .cast("bigint")
+        .alias("n_grams"),
     )
-    first = grams.groupBy("ngram").agg(
-        F.min(id_col).alias("_first_doc")
+    novel = (
+        rep.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(TX.shingles(text_col, n))
+            ).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.min(id_col).alias("_first_doc"))
+        .groupBy("_first_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_novel"))
     )
     return (
-        grams.join(first, "ngram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(
-                F.when(F.col("_first_doc") == F.col(id_col), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
+        per_doc.join(
+            novel, per_doc[id_col] == novel["_first_doc"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("_n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
         )
         .select(
             id_col,
@@ -1723,26 +1762,47 @@ def lang_leakage(
     (a high-leakage pair means the lang-ID stage is bleeding, or one
     "language" is boilerplate-dominated).
 
-    Scale shape: distinct (gram, lang) first — a gram occurring in k
-    languages survives as k rows, so the self-join fan-out per gram is
-    bounded by |langs|^2 (a constant), never by document frequency.
-    One gram-keyed dedup shuffle + one gram-keyed equi-join."""
-    gl = df.select(
-        F.col(lang_col).alias("lang"),
+    Scale shape: the gram strings cross the wire ONCE — a single
+    gram-keyed collect_set(lang) aggregation (the partial collect_set
+    dedups (gram, lang) map-side, so the shuffle carries at most
+    |langs| lang bytes per distinct gram), then the unordered pairs
+    explode from the sorted per-gram language set as pure expressions
+    (fan-out bounded by |langs|^2, a constant) and re-aggregate on the
+    tiny pair key. The first version materialized distinct (gram,
+    lang) and self-joined on the gram — a second full gram-string
+    shuffle (6.5 s -> benched after rewrite in PERF.md). Repartition
+    before the shingle stage, same rationale as gram_novelty."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    per_gram = (
+        df.repartition(n_parts)  # round-robin: lang has ~5 values, too
+        # few to key the spread; downstream keying is by gram anyway
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.array_distinct(TX.shingles(text_col, n))
+            ).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.sort_array(F.collect_set("lang")).alias("_ls"))
+        .filter(F.size("_ls") >= 2)
+    )
+    pairs = per_gram.select(
         F.explode(
-            F.array_distinct(TX.shingles(text_col, n))
-        ).alias("ngram"),
-    ).distinct()
-    a, b = gl.alias("a"), gl.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.ngram") == F.col("b.ngram"))
-            & (F.col("a.lang") < F.col("b.lang")),
-        )
-        .groupBy(
-            F.col("a.lang").alias("lang_a"),
-            F.col("b.lang").alias("lang_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+            F.flatten(
+                F.transform(
+                    "_ls",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "_ls", i + 2, F.size("_ls") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("lang_a"), y.alias("lang_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.lang_a", "p.lang_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_grams")
     )
