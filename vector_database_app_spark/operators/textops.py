@@ -733,8 +733,11 @@ def boilerplate_ngrams(
     aggregation keyed by shingle with map-side partial counts — the
     shuffle carries |distinct shingles| rows, not |corpus|. The output is
     the boilerplate lexicon; anti-joining it back onto exploded docs is
-    the removal pass."""
-    grams = df.select(
+    the removal pass. Repartition before the shingle stage (the
+    dedup.py:315 discipline): a single small input split would
+    otherwise serialize all shingling through one task."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(n_parts, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(TX.shingles(text_col, n))).alias("ngram"),
     )
