@@ -87,6 +87,11 @@ HEADLINE = [
     "pack_sequences_bpe",
     "events_ewma",
     "source_mix_report",
+    # round 5b: two-phase domain cap, bigram PMI mining (two word-keyed
+    # shuffles + vocab joins), kNN label propagation over the kNN graph
+    "domain_cap",
+    "pmi_collocations",
+    "knn_classify",
 ]
 
 

@@ -106,10 +106,14 @@ def test_pii_scrub_is_scan_project_only(spark):
 
 def test_boilerplate_single_agg_shuffle(spark):
     """Per-doc distinct shingles happen BEFORE the explode, so the only
-    shuffle is the final shingle-keyed aggregation (partial+final)."""
+    gram-keyed shuffle is the final aggregation (partial+final). The
+    doc_id-keyed repartition ahead of the shingle stage (r5: spreads
+    shingling off a single small input split) is the one other
+    exchange — gram STRINGS still cross the wire exactly once."""
     df = QUERIES["boilerplate_ngrams"](spark, SF)
     plan = explain_str(df)
-    assert plan.count("hashpartitioning(") == 1, plan
+    assert plan.count("hashpartitioning(ngram") == 1, plan
+    assert plan.count("hashpartitioning(") == 2, plan
     assert plan.count("HashAggregate") >= 2, plan
 
 

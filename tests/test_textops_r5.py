@@ -1,0 +1,147 @@
+"""Constructed-input semantics for the round-5 additions: domain_cap's
+two-phase salted selection must equal the naive single-window ranking,
+pmi_collocations must produce textbook PMI values (and no fabricated
+pairs for 1-word docs — the sequence(1,0) descending-range hazard), and
+knn_classify must propagate cluster-majority labels. Unit-level checks
+the corpus-wide oracle mirror can't express."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from vector_database_app_spark.operators import search, textops
+
+
+# ---------------------------------------------------------------------------
+# domain_cap
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def capped_corpus(spark):
+    rows = [(i, "hot", f"doc {i}") for i in range(15)]
+    rows += [(100 + i, "cold", f"doc {100 + i}") for i in range(3)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _md5_rank(ids, cap):
+    """The naive single-window selection the two-phase form must equal."""
+    ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    return ranked[:cap]
+
+
+def test_domain_cap_matches_naive_md5_ranking(spark, capped_corpus):
+    out = {
+        r["source"]: r
+        for r in textops.domain_cap(capped_corpus, cap=10).collect()
+    }
+    hot_kept = _md5_rank(range(15), 10)
+    assert out["hot"]["n_docs"] == 15
+    assert out["hot"]["n_kept"] == 10
+    assert out["hot"]["n_dropped"] == 5
+    assert out["hot"]["kept_id_sum"] == sum(hot_kept)
+    # under-cap source: everything kept, nothing dropped
+    assert out["cold"]["n_docs"] == 3
+    assert out["cold"]["n_kept"] == 3
+    assert out["cold"]["n_dropped"] == 0
+    assert out["cold"]["kept_id_sum"] == 100 + 101 + 102
+
+
+def test_domain_cap_invariant_to_salt_count(spark, capped_corpus):
+    """The kept SET must not depend on how the two-phase split salts —
+    the global top-cap survives every per-salt cut."""
+    a = sorted(
+        map(tuple, textops.domain_cap(capped_corpus, cap=4, n_salts=1).collect())
+    )
+    b = sorted(
+        map(tuple, textops.domain_cap(capped_corpus, cap=4, n_salts=64).collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_textbook_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in textops.pmi_collocations(df, min_count=1).collect()
+    }
+    # unigrams: a:2 b:3 c:1 (N=6); bigrams: (a,b):2 (b,c):1 (N=3)
+    ab = out[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 2, 3)
+    assert ab["pmi"] == pytest.approx(math.log2((2 * 6 * 6) / (3 * 2 * 3)))
+    bc = out[("b", "c")]
+    assert (bc["n_ab"], bc["n_a"], bc["n_b"]) == (1, 3, 1)
+    assert bc["pmi"] == pytest.approx(2.0)
+    assert set(out) == {("a", "b"), ("b", "c")}
+
+
+def test_pmi_one_word_doc_yields_no_pair(spark):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty — an
+    unguarded bigram builder fabricates a (word, NULL) pair for every
+    1-word doc. The when-guard must keep solo docs out of the pair set
+    while still counting their unigram."""
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, "x y")], "doc_id long, text string"
+    )
+    rows = textops.pmi_collocations(df, min_count=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n_ab"]) == ("x", "y", 1)
+    # N_uni = 3 (solo, x, y), N_bi = 1: pmi = log2((1*3*3)/(1*1*1))
+    assert r["pmi"] == pytest.approx(math.log2(9.0))
+
+
+def test_pmi_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = textops.pmi_collocations(df, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# knn_classify
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_cluster_majority(spark):
+    """Two tight orthogonal clusters: every vector's 3-NN are its own
+    cluster mates, so predictions are the cluster majority — including
+    the deliberately mislabeled A member, which the vote corrects to
+    the cluster label (the label-noise-repair use case)."""
+    dim = 64
+
+    def vec(axis, i):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[axis + 2] = 0.001 * i  # break sim ties deterministically
+        return v
+
+    rows = [(i, vec(0, i), 0) for i in range(3)]
+    rows.append((3, vec(0, 3), 1))  # mislabeled A member
+    rows += [(10 + i, vec(1, i), 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r["true_label"], r["pred_label"]): r
+        for r in search.knn_classify(df, k=3).collect()
+    }
+    assert out[(0, 0)]["n_vecs"] == 3
+    assert out[(1, 0)]["n_vecs"] == 1  # the mislabeled one, repaired
+    assert out[(1, 1)]["n_vecs"] == 4
+    assert out[(0, 0)]["share"] == pytest.approx(0.375)
+    assert out[(1, 1)]["share"] == pytest.approx(0.5)
+    assert set(out) == {(0, 0), (1, 0), (1, 1)}

@@ -1042,3 +1042,65 @@ def knn_self_join(
         .filter(F.col("rk") <= k)
         .select("src_id", "nbr_id", "sim", "rk")
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    **knn_kwargs,
+) -> DataFrame:
+    """k-NN label propagation over the corpus: build the kNN graph with
+    `knn_self_join` (SRP-blocked equi-join, never a crossJoin), majority-
+    vote each vector's label from its k neighbors with an ALL-INTEGER
+    tie-break (vote count desc, label asc — no float ordering), and
+    report the true-vs-predicted confusion matrix plus each cell's
+    rounded share of total. The semi-supervised quality-labeling
+    primitive: propagate a small audited label set across a 100 TB
+    corpus without a model.
+
+    Scale shape: the vote and confusion aggs are keyed hash aggs with
+    map-side partials; the label lookup joins on the vector id — an
+    sf-scaling frame, so NO broadcast hint (AQE decides); the only
+    windows partition by src_id (the knn_self_join top-k) and the 1-row
+    prediction total broadcasts as a bounded cross join."""
+    nn = knn_self_join(
+        df, k=k, vec_col=vec_col, id_col=id_col, **knn_kwargs
+    )
+    lbl = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(label_col).cast("int").alias("nbr_label"),
+    )
+    votes = nn.join(lbl, "nbr_id").groupBy("src_id", "nbr_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("n"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("src_id", F.col("nbr_label").alias("pred_label"))
+    )
+    truth = df.select(
+        F.col(id_col).alias("src_id"),
+        F.col(label_col).cast("int").alias("true_label"),
+    )
+    total = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        pred.join(truth, "src_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .crossJoin(F.broadcast(total))  # 1-row total: bounded
+        .select(
+            "true_label",
+            "pred_label",
+            "n_vecs",
+            F.round(
+                F.col("n_vecs") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )

@@ -1809,3 +1809,168 @@ def lang_leakage(
     return pairs.groupBy("p.lang_a", "p.lang_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared_grams")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    *,
+    cap: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style domain balancing): keep
+    at most `cap` docs per source, chosen by a DETERMINISTIC hash
+    priority (md5 of the id — a stable uniform shuffle, not "first N in
+    scan order", which would bias toward old crawl segments). Returns
+    the per-source audit frame: total docs, kept, dropped, and the
+    kept-id checksum that makes the selection itself value-checkable.
+
+    Scale shape: a naive `row_number() OVER (PARTITION BY source)`
+    funnels every document of a hot domain through ONE task — at 100 TB
+    a single domain can be billions of rows. Instead the top-cap is a
+    two-phase selection (the agg_skew_twophase discipline): phase 1
+    ranks within (source, salt-of-id) — n_salts× narrower partitions —
+    and keeps ≤cap per salt; phase 2 ranks the surviving ≤ n_salts*cap
+    rows per source. The smallest-cap-hashes-per-source set is
+    invariant under this split (the global top-cap survives every
+    per-salt cut), so the result is identical to the single-window
+    form — which lives only in the oracle. Doc totals come from a
+    separate hash agg (map-side partials), never through the window."""
+    from pyspark.sql.window import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    salted = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        pri.alias("_pri"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_pri", "_id")
+    w2 = Window.partitionBy("source").orderBy("_pri", "_id")
+    kept = (
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= cap)
+        .withColumn("_rk2", F.row_number().over(w2))
+        .filter(F.col("_rk2") <= cap)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce("kept_id_sum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent
+    word pairs, PMI = log2(p(a,b) / (p(a)·p(b))) with p(a,b) over the
+    bigram total and p(·) over the unigram total — the classic phrase-
+    mining signal (tokenizer vocab seeding, stopword-phrase audits).
+    Emits every bigram with count ≥ min_count; no float top-k ranking,
+    so the output set is integer-determined and the only float is the
+    rounded PMI itself, computed with an IDENTICAL operation order in
+    both engines: ln((n_ab·N_uni·N_uni) / (N_bi·n_a·n_b)) / ln(2).
+
+    Scale shape: word strings cross the wire once per branch — one
+    bigram-keyed count (map-side partials collapse repeats early) and
+    one unigram-keyed count; the two corpus totals are row-local sizes
+    hash-aggregated to ONE row (broadcast as a cross join). The n_a /
+    n_b lookups are joins against the unigram-count frame keyed by
+    word; the frame is vocabulary-sized and data-dependent, so NO
+    broadcast hint — AQE picks broadcast when it fits (the registry
+    broadcast-guard discipline). Two scans of the source beat one
+    shared aliased-array branch (the generator-inferred-filter cliff,
+    gram_novelty docstring)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rep = df.repartition(n_parts)
+    w = F.filter(TX.words(text_col), lambda x: x != "")
+
+    uni = (
+        rep.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    # NOTE: sequence(1, size-1) must be when-guarded — Spark's
+    # sequence(1, 0) yields the DESCENDING [1, 0], not an empty array,
+    # so an unguarded form fabricates a (word, NULL) pair for 1-word
+    # docs. explode of NULL emits no rows, so the guard needs no
+    # otherwise branch (and stays a one-step inline explode — the
+    # generator-inferred-filter discipline, gram_novelty docstring).
+    bi = (
+        rep.select(
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = rep.select(
+        F.size(w).cast("bigint").alias("_nw"),
+        F.greatest(F.size(w) - 1, F.lit(0)).cast("bigint").alias("_nb"),
+    ).agg(
+        F.sum("_nw").cast("bigint").alias("n_uni"),
+        F.sum("_nb").cast("bigint").alias("n_bi"),
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_b"))
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))  # 1-row corpus totals: bounded
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_ab").cast("double")
+                        * F.col("n_uni")
+                        * F.col("n_uni")
+                    )
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("n_a")
+                        * F.col("n_b")
+                    )
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("pmi"),
+        )
+    )

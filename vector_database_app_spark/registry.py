@@ -6484,13 +6484,16 @@ QUERIES["decontaminate_semantic"] = q_decontaminate_semantic
 
 
 def q_image_features_png(spark, sf_dir):
-    """rows-only: the REAL image decode path end-to-end — every doc
+    """The REAL image decode path end-to-end — every doc
     gets a deterministic in-executor-synthesized PNG payload
     (multimodal.synthesize_png_payloads, stdlib codec) and
     decode_image_features runs its REAL branch: stdlib zlib/filter
     decode, true dims, per-channel mean/std features. Scalar projection
     (first two feature moments) for the driver canonicalizer. The
-    text-payload fake path stays covered by `image_features`."""
+    text-payload fake path stays covered by `image_features`.
+    Value-level oracle (r5): outputs are pure functions of doc_id, so
+    the pinned 200-row literal table replays in DuckDB
+    (media_oracle_literals.py)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payload = multimodal.synthesize_png_payloads(docs)
     out = multimodal.decode_image_features(payload)
@@ -6499,8 +6502,16 @@ def q_image_features_png(spark, sf_dir):
         "width",
         "height",
         "channels",
-        F.round(F.element_at("features", 1), 6).alias("mean_r"),
-        F.round(F.element_at("features", 2), 6).alias("std_r"),
+        # cast to double BEFORE rounding: round-of-float32 stays float32
+        # (a dtype the driver canonicalizer and the VALUES-literal
+        # oracle both disagree with); round-of-double lands exactly on
+        # the 6-decimal literal the oracle replays
+        F.round(F.element_at("features", 1).cast("double"), 6).alias(
+            "mean_r"
+        ),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias(
+            "std_r"
+        ),
     )
 
 
@@ -6508,18 +6519,32 @@ QUERIES["image_features_png"] = q_image_features_png
 
 
 def q_audio_features_wav(spark, sf_dir):
-    """rows-only: the REAL audio decode path end-to-end — every doc
+    """The REAL audio decode path end-to-end — every doc
     gets a deterministic in-executor-synthesized PCM-WAV sine tone
     (multimodal.synthesize_wav_payloads, stdlib wave codec) and
     decode_audio_features runs its REAL branch: true sample rate,
     sample count, duration, RMS. The text-payload fake path stays
-    covered by `audio_features`."""
+    covered by `audio_features`. Value-level oracle (r5): pinned
+    literal replay, media_oracle_literals.py."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payload = multimodal.synthesize_wav_payloads(docs)
     return multimodal.decode_audio_features(payload)
 
 
 QUERIES["audio_features_wav"] = q_audio_features_wav
+
+# Value-level oracles for the REAL decode paths (converted from
+# rows-only, r5): the payloads are pure functions of doc_id, so the
+# 200-row result tables are pinned literals replayed in DuckDB and
+# membership-joined against the corpus — see media_oracle_literals.py
+# for the regeneration recipe.
+from .media_oracle_literals import (  # noqa: E402
+    AUDIO_FEATURES_WAV_SQL,
+    IMAGE_FEATURES_PNG_SQL,
+)
+
+ORACLE["image_features_png"] = IMAGE_FEATURES_PNG_SQL
+ORACLE["audio_features_wav"] = AUDIO_FEATURES_WAV_SQL
 
 
 #: Fixture event vocabulary — pinned so the pivot's column set is a
@@ -8473,6 +8498,131 @@ ORACLE["events_ewma"] = """
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap with deterministic md5-hash priority
+    (textops.domain_cap): RefinedWeb-style domain balancing. The engine
+    runs the two-phase salted top-cap (no hot-domain single-task
+    window); the oracle is the single-window form the two-phase
+    selection provably equals. All output columns are integers."""
+    return textops.domain_cap(_t(spark, sf_dir, "documents"), cap=10)
+
+
+QUERIES["domain_cap"] = q_domain_cap
+
+ORACLE["domain_cap"] = """
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM r GROUP BY source
+"""
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Adjacent-word collocations by PMI (textops.pmi_collocations):
+    every bigram with count >= 5, integer counts plus one rounded PMI
+    computed with an identical double-op order in both engines — no
+    float ranking, so the result SET is integer-determined."""
+    return textops.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+
+ORACLE["pmi_collocations"] = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS ws
+        FROM documents
+    ), uni AS (
+        SELECT unnest(ws) AS word FROM w
+    ), ucnt AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_w
+        FROM uni GROUP BY word
+    ), bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+    ), bcnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+        FROM bi GROUP BY w1, w2
+        HAVING count(*) >= 5
+    ), tot AS (
+        SELECT CAST(sum(len(ws)) AS BIGINT) AS n_uni,
+               CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bi
+        FROM w
+    )
+    SELECT b.w1, b.w2, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+           round(
+               ln((CAST(b.n_ab AS DOUBLE) * t.n_uni * t.n_uni)
+                  / (CAST(t.n_bi AS DOUBLE) * a.n_w * c.n_w))
+               / ln(CAST(2.0 AS DOUBLE)), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt a ON b.w1 = a.word
+    JOIN ucnt c ON b.w2 = c.word
+    CROSS JOIN tot t
+"""
+
+
+def q_knn_classify(spark, sf_dir):
+    """k-NN label propagation (semi-supervised quality labeling at
+    corpus scale): build the kNN graph with the SRP-blocked self-join
+    (search.knn_self_join — never a crossJoin), majority-vote each
+    vector's label from its k=3 neighbors (count desc, label asc — an
+    all-integer tie-break), and report the true-vs-predicted confusion
+    matrix with a rounded share of total. The vote and confusion aggs
+    are keyed hash aggs; the label lookup joins on the vector id (an
+    sf-scaling frame — no broadcast hint, AQE decides); the only
+    window partitions by src_id. Value-level oracle: the knn_join
+    bucket replay extended with the same vote."""
+    return search.knn_classify(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+QUERIES["knn_classify"] = q_knn_classify
+
+ORACLE["knn_classify"] = f"""
+    WITH knn AS ({ORACLE["knn_join"]}),
+    votes AS (
+        SELECT k.src_id, CAST(e.label AS INT) AS nbr_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT src_id, nbr_label AS pred_label
+        FROM (
+            SELECT src_id, nbr_label,
+                   row_number() OVER (
+                       PARTITION BY src_id
+                       ORDER BY n DESC, nbr_label
+                   ) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM pred
+    )
+    SELECT CAST(e.label AS INT) AS true_label, p.pred_label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(count(*) / CAST(t.n_total AS DOUBLE), 6) AS share
+    FROM pred p
+    JOIN embeddings e ON p.src_id = e.vec_id
+    CROSS JOIN tot t
+    GROUP BY 1, 2, t.n_total
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
@@ -8558,11 +8708,16 @@ _DRIVER_WINDOW_R5 = [
 ]
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
-# above, the never-windowed oracle-backed remainder is exactly the six
-# queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1, PERF.md):
+# above, the never-windowed oracle-backed remainder is exactly the
+# eleven queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
-#     "source_mix_report", "events_ewma".
+#     "source_mix_report", "events_ewma", "domain_cap",
+#     "pmi_collocations", "knn_classify", and the two REAL-decode
+#     conversions "image_features_png", "audio_features_wav"
+#     (rows-only -> pinned-literal value oracles,
+#     media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
 # high-value earlier rows (flagship rag_topk_summary, the dedup/ANN
 # suite, corpus_pipeline). Verify any new window order with the sf0.01
