@@ -92,6 +92,8 @@ HEADLINE = [
     "domain_cap",
     "pmi_collocations",
     "knn_classify",
+    "char_entropy",
+    "events_ab_test",
 ]
 
 

@@ -112,6 +112,47 @@ def test_pmi_min_count_filters(spark):
 
 
 # ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_textbook_values(spark):
+    df = spark.createDataFrame(
+        [(0, "aab"), (1, "aaaa"), (2, "abcd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.char_entropy(df).collect()}
+    h_aab = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert out[0]["entropy"] == pytest.approx(h_aab, abs=1e-6)
+    assert out[0]["n_chars_sampled"] == 3
+    assert out[0]["n_distinct_chars"] == 2
+    # uniform single char: zero entropy, POSITIVE zero (the 0.0 - s form)
+    assert out[1]["entropy"] == 0.0
+    assert math.copysign(1.0, out[1]["entropy"]) == 1.0
+    # uniform over 4 chars: exactly 2 bits
+    assert out[2]["entropy"] == pytest.approx(2.0)
+
+
+def test_char_entropy_empty_text(spark):
+    df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    r = textops.char_entropy(df).collect()[0]
+    assert (r["n_chars_sampled"], r["n_distinct_chars"], r["entropy"]) == (
+        0,
+        0,
+        0.0,
+    )
+
+
+def test_char_entropy_respects_sample_cap(spark):
+    df = spark.createDataFrame(
+        [(0, "ab" * 100)], "doc_id long, text string"
+    )
+    r = textops.char_entropy(df, sample_chars=10).collect()[0]
+    assert r["n_chars_sampled"] == 10
+    assert r["entropy"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
 # knn_classify
 # ---------------------------------------------------------------------------
 

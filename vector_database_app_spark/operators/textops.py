@@ -1811,6 +1811,77 @@ def lang_leakage(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    *,
+    sample_chars: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-distribution entropy per document — the SQL-expressible
+    stand-in for the compression-ratio quality signal (CCNet/RedPajama
+    class): low-entropy text is repetitive/boilerplate/binary-garbage,
+    high-entropy is encrypted/base64 junk; natural prose sits in a
+    band. Computed over the first `sample_chars` characters (real
+    corpora cap the prefix so the cost is O(sample) per doc, not
+    O(doc)).
+
+    Cross-engine determinism: the per-char terms fold in CHARACTER-
+    SORTED order with an identical IEEE op sequence — Spark's
+    aggregate(init 0.0) left fold and DuckDB's list_reduce differ only
+    in the init term, and 0.0 + t == t bitwise for every term this
+    produces (terms are 0.0 or strictly negative, never -0.0); the
+    final negation is `0.0 - s` in both engines so a zero sum lands on
+    +0.0, not -0.0. Empty-string tokens are filtered on BOTH sides
+    (Java regex split and DuckDB string_split disagree about trailing
+    empties). Scale shape: the counting is an exploded (doc, char)
+    CODEGEN hash agg — the map-side partial collapses each doc's chars
+    to <=|alphabet| rows before the shuffle, so the wire carries ~40
+    rows/doc, not sample_chars — and only the <=|alphabet|-term fold
+    runs through interpreted HOFs. The first version counted with a
+    nested per-char array filter (row-local and shuffle-free, but
+    O(sample * alphabet) INTERPRETED lambda evals): 9.3 s vs ~1 s at
+    sf0.1 — HOF lambdas don't codegen; never put one on the per-char
+    hot path. Empty docs re-enter via a doc-keyed left join."""
+    t = F.substring(F.col(text_col), 1, sample_chars)
+    ws = F.filter(F.split(t, ""), lambda x: x != "")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # one-step inline explode (the gram_novelty discipline: an aliased
+    # array would let Catalyst infer a lambda-bearing size()>0 filter
+    # below the exchange and re-evaluate the split per site)
+    cnts = (
+        df.repartition(n_parts, id_col)
+        .select(F.col(id_col), F.explode(ws).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_doc = cnts.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ch"), F.col("c")))
+        ).alias("dist"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    joined = df.select(F.col(id_col)).join(per_doc, id_col, "left")
+    terms = F.transform(
+        "dist",
+        lambda st: (st["c"] / F.col("n")) * F.log2(st["c"] / F.col("n")),
+    )
+    fold = F.round(
+        F.lit(0.0)
+        - F.aggregate(terms, F.lit(0.0), lambda acc, term: acc + term),
+        6,
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_chars_sampled"),
+        F.coalesce(F.size("dist"), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_chars"),
+        # null dist (empty doc) folds to null -> coalesce to exact +0.0
+        F.coalesce(fold, F.lit(0.0)).alias("entropy"),
+    )
+
+
 def domain_cap(
     df: DataFrame,
     *,

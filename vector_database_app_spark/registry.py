@@ -8498,6 +8498,40 @@ ORACLE["events_ewma"] = """
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (textops.char_entropy): the
+    compression-ratio-class filter, computed as a pure row-local HOF
+    projection (no explode, no shuffle). The per-char terms fold in
+    char-sorted order with an identical IEEE op sequence in both
+    engines — see the operator docstring for the -0.0 and
+    trailing-empty-token hazards this construction removes."""
+    return textops.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["char_entropy"] = q_char_entropy
+
+ORACLE["char_entropy"] = """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split(substr(text, 1, 2048), ''),
+                           x -> x <> '') AS ws
+        FROM documents
+    ), d AS (
+        SELECT doc_id, ws, list_sort(list_distinct(ws)) AS dc FROM s
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_chars_sampled,
+           CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+           round(0.0 - coalesce(list_reduce(
+               list_transform(
+                   list_transform(dc,
+                       c -> len(list_filter(ws, x -> x = c))),
+                   c -> (c / len(ws)) * log2(c / len(ws))),
+               (a, b) -> a + b), 0.0), 6) AS entropy
+    FROM d
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-source document cap with deterministic md5-hash priority
     (textops.domain_cap): RefinedWeb-style domain balancing. The engine
@@ -8623,6 +8657,121 @@ ORACLE["knn_classify"] = f"""
 """
 
 
+def q_events_ab_test(spark, sf_dir):
+    """A/B experiment readout: users deterministically split into two
+    arms by the first hex digit of md5(user_id) — the same stable-hash
+    assignment a real experimentation system uses (no RNG, identical
+    in both engines) — then per event type: users, events, and exact
+    DECIMAL(18,4) value totals per arm, plus the per-event value lift
+    (B - A), rounded with an identical double-op order cross-engine.
+
+    Scale shape: ONE keyed hash agg per grain — (event_type, arm,
+    user) collapses to the user-count frame, (event_type, arm) carries
+    the event/value partials map-side — then the tiny |types|×2 frame
+    conditional-collapses to one row per type. No Expand-node multi-
+    distinct, no window, nothing driver-side."""
+    ev = _t(spark, sf_dir, "events")
+    arm_a = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    )
+    per_arm = (
+        ev.select(
+            "event_type",
+            arm_a.alias("is_a"),
+            "user_id",
+            F.round("value", 4).cast("decimal(18,4)").alias("v4"),
+        )
+        .groupBy("event_type", "is_a")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v4").alias("val"),
+        )
+    )
+    g = per_arm.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_a"), F.col("n_users"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("users_a"),
+        F.coalesce(
+            F.max(F.when(~F.col("is_a"), F.col("n_users"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("users_b"),
+        F.coalesce(
+            F.max(F.when(F.col("is_a"), F.col("n_events"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("events_a"),
+        F.coalesce(
+            F.max(F.when(~F.col("is_a"), F.col("n_events"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("events_b"),
+        F.max(F.when(F.col("is_a"), F.col("val")))
+        .cast("double")
+        .alias("value_a"),
+        F.max(F.when(~F.col("is_a"), F.col("val")))
+        .cast("double")
+        .alias("value_b"),
+    )
+    per_event_lift = F.when(
+        (F.col("events_a") > 0) & (F.col("events_b") > 0),
+        F.round(
+            F.col("value_b") / F.col("events_b")
+            - F.col("value_a") / F.col("events_a"),
+            6,
+        ),
+    )
+    return g.select(
+        "event_type",
+        "users_a",
+        "users_b",
+        "events_a",
+        "events_b",
+        "value_a",
+        "value_b",
+        per_event_lift.alias("per_event_lift"),
+    )
+
+
+QUERIES["events_ab_test"] = q_events_ab_test
+
+ORACLE["events_ab_test"] = """
+    WITH per_arm AS (
+        SELECT event_type,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS is_a,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS val
+        FROM events
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type,
+               CAST(coalesce(max(CASE WHEN is_a THEN n_users END), 0)
+                    AS BIGINT) AS users_a,
+               CAST(coalesce(max(CASE WHEN NOT is_a THEN n_users END), 0)
+                    AS BIGINT) AS users_b,
+               CAST(coalesce(max(CASE WHEN is_a THEN n_events END), 0)
+                    AS BIGINT) AS events_a,
+               CAST(coalesce(max(CASE WHEN NOT is_a THEN n_events END), 0)
+                    AS BIGINT) AS events_b,
+               CAST(max(CASE WHEN is_a THEN val END) AS DOUBLE)
+                   AS value_a,
+               CAST(max(CASE WHEN NOT is_a THEN val END) AS DOUBLE)
+                   AS value_b
+        FROM per_arm GROUP BY event_type
+    )
+    SELECT event_type, users_a, users_b, events_a, events_b,
+           value_a, value_b,
+           CASE WHEN events_a > 0 AND events_b > 0 THEN
+               round(value_b / events_b - value_a / events_a, 6)
+           END AS per_event_lift
+    FROM g
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
@@ -8709,15 +8858,15 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# eleven queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# thirteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
 #     "source_mix_report", "events_ewma", "domain_cap",
-#     "pmi_collocations", "knn_classify", and the two REAL-decode
-#     conversions "image_features_png", "audio_features_wav"
-#     (rows-only -> pinned-literal value oracles,
-#     media_oracle_literals.py).
+#     "pmi_collocations", "knn_classify", "events_ab_test",
+#     "char_entropy", and the two REAL-decode conversions
+#     "image_features_png", "audio_features_wav" (rows-only ->
+#     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
 # high-value earlier rows (flagship rag_topk_summary, the dedup/ANN
 # suite, corpus_pipeline). Verify any new window order with the sf0.01
