@@ -94,6 +94,8 @@ HEADLINE = [
     "knn_classify",
     "char_entropy",
     "events_ab_test",
+    "session_paths",
+    "t_closeness",
 ]
 
 

@@ -7,12 +7,14 @@ the corpus-wide oracle mirror can't express."""
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import math
 
 import pytest
 
 from vector_database_app_spark.operators import search, textops
+from vector_database_app_spark.registry import QUERIES
 
 
 # ---------------------------------------------------------------------------
@@ -186,3 +188,90 @@ def test_knn_classify_cluster_majority(spark):
     assert out[(0, 0)]["share"] == pytest.approx(0.375)
     assert out[(1, 1)]["share"] == pytest.approx(0.5)
     assert set(out) == {(0, 0), (1, 0), (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# t_closeness / session_paths — hand-computed fixtures through the real
+# registry entry points (a shared conceptual error in the Spark/DuckDB
+# twins would survive the oracle mirror; these are computed on paper)
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_hand_computed(spark, tmp_path):
+    """Two fully-separated groups at opposite ends of the 10-bin grid:
+    ordered EMD = 9·|cumP−cumQ| terms of 0.5 each / 9 = 0.5, failing
+    the t ≤ 0.2 verdict. On-paper: N_g=5, N=10, every i in 0..8 has
+    |cum_n·N − cum_m·N_g| = |5·10 − 5·5| = 25, sum 225,
+    t = 225/(5·10·9) = 0.5."""
+    rows = [(i, "en", "A", 0) for i in range(5)]
+    rows += [(10 + i, "en", "B", 600) for i in range(5)]  # 600//64=9
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in QUERIES["t_closeness"](spark, str(tmp_path)).collect()
+    }
+    assert out["A"]["t_value"] == pytest.approx(0.5)
+    assert out["B"]["t_value"] == pytest.approx(0.5)
+    assert out["A"]["t_close"] is False
+    assert out["B"]["t_close"] is False
+    assert out["A"]["n_docs"] == 5
+
+
+def test_t_closeness_group_matching_global_is_zero(spark, tmp_path):
+    """A group whose bucket distribution equals the corpus distribution
+    has t = 0 exactly (every cross-multiplied term cancels) and passes
+    the verdict as an integer comparison, no float boundary."""
+    rows = [(i, "en", "A", 0) for i in range(5)]
+    rows += [(10 + i, "en", "B", 64) for i in range(5)]
+    rows += [(20 + i, "en", "C", 0) for i in range(5)]
+    rows += [(30 + i, "en", "C", 64) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in QUERIES["t_closeness"](spark, str(tmp_path)).collect()
+    }
+    assert out["C"]["t_value"] == 0.0
+    assert out["C"]["t_close"] is True
+    # A and B each: one boundary term |5*20 - 10*5| = 50,
+    # t = 50/(5*20*9) = 0.055556 -> close
+    assert out["A"]["t_value"] == pytest.approx(50 / 900, abs=1e-6)
+    assert out["A"]["t_close"] is True
+
+
+def _ts(minutes):
+    return datetime.datetime(2026, 1, 1, 0, 0) + datetime.timedelta(
+        minutes=minutes
+    )
+
+
+def test_session_paths_split_and_truncation(spark, tmp_path):
+    """User 1: ten events a minute apart = ONE session, path truncated
+    to the first 8 types. User 2: two events 2 h apart = TWO singleton
+    sessions."""
+    rows = [
+        (i, _ts(i), 1, f"t{i}", 0.0, "{}") for i in range(10)
+    ]  # one session, types t0..t9
+    rows.append((100, _ts(0), 2, "x", 0.0, "{}"))
+    rows.append((101, _ts(120), 2, "y", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["path"]: r
+        for r in QUERIES["session_paths"](spark, str(tmp_path)).collect()
+    }
+    long_path = ">".join(f"t{i}" for i in range(8))  # truncated at 8
+    assert set(out) == {long_path, "x", "y"}
+    assert out[long_path]["n_sessions"] == 1
+    assert out[long_path]["n_events"] == 10  # count is the FULL session
+    assert out["x"]["n_sessions"] == 1
+    assert out["y"]["n_sessions"] == 1

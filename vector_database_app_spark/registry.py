@@ -8498,6 +8498,263 @@ ORACLE["events_ewma"] = """
 """
 
 
+def q_session_paths(spark, sf_dir):
+    """Top clickstream paths: lag-gap sessionize (the exact
+    events_sessionize construction — two window passes over ONE
+    (user, ts, event_id) exchange), collect each session's first 8
+    event types in deterministic (ts, event_id) order, and count
+    sessions per path string. Top-50 by (count desc, path) — an
+    all-integer/string ordering, so TakeOrderedAndProject is
+    deterministic. The path-mining readout funnels and Markov
+    transitions don't give: WHOLE ordered prefixes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("session_idx"),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                lambda e: e["event_type"],
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(50)
+    )
+
+
+QUERIES["session_paths"] = q_session_paths
+
+ORACLE["session_paths"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(is_start) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_idx,
+             array_to_string(
+                 list_slice(list(event_type ORDER BY ts, event_id),
+                            1, 8), '>') AS path,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 50
+"""
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    leg of the privacy triad next to k_anonymity and l_diversity, same
+    QI key (lang, source), sensitive attribute = doc length bucketed
+    to a 10-bin ordered grid. Per QI group: ordered-EMD distance
+    between the group's bucket distribution and the corpus
+    distribution, all in INTEGER cross-multiplied numerators
+    (|cum_n·N − cum_m·N_g|), so both the distance and the t ≤ 0.2
+    verdict (compared as sum·5 ≤ N_g·N·(m−1), exact) are
+    float-risk-free; the only float is the final rounded report value.
+
+    Scale shape: two hash aggs (QI×bucket, bucket) + a dense
+    |QI|×10-row spine (explode of a 10-element literal over the QI
+    frame); cum sums run in a window partitioned by QI over exactly 10
+    rows; the global bucket frame (≤10 rows, Aggregate-bounded)
+    broadcasts. Reducer state bounds by QI×bucket cardinality, never
+    rows. At 1000-executor scale the bigint cross-products approach
+    int64 (~1e9 rows squared) — promote the two products to
+    DECIMAL(38,0) there; same plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / F.lit(64)), F.lit(9)
+    ).cast("int")
+    bucketed = docs.select("lang", "source", bucket.alias("bkt"))
+    grp = bucketed.groupBy("lang", "source", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gj")
+    )
+    glob = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_j")
+    )
+    totals = bucketed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    n_total = bucketed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all")
+    )
+    spine = totals.select(
+        "lang",
+        "source",
+        "n_g",
+        F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("bkt"),
+    )
+    dense = (
+        spine.join(grp, ["lang", "source", "bkt"], "left")
+        .join(F.broadcast(glob), "bkt", "left")  # ≤10 rows, agg-bounded
+        .crossJoin(F.broadcast(n_total))  # 1-row total: bounded
+        .select(
+            "lang",
+            "source",
+            "bkt",
+            "n_g",
+            "n_all",
+            F.coalesce("n_gj", F.lit(0)).alias("n_gj"),
+            F.coalesce("m_j", F.lit(0)).alias("m_j"),
+        )
+    )
+    wc = (
+        Window.partitionBy("lang", "source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "lang",
+        "source",
+        "bkt",
+        "n_g",
+        "n_all",
+        F.sum("n_gj").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("m_j").over(wc).cast("bigint").alias("cum_m"),
+    )
+    terms = cum.filter(F.col("bkt") < 9).select(
+        "lang",
+        "source",
+        "n_g",
+        "n_all",
+        F.abs(
+            F.col("cum_n") * F.col("n_all")
+            - F.col("cum_m") * F.col("n_g")
+        ).alias("num"),
+    )
+    return (
+        terms.groupBy("lang", "source", "n_g", "n_all")
+        .agg(F.sum("num").cast("bigint").alias("sum_num"))
+        .select(
+            "lang",
+            "source",
+            F.col("n_g").alias("n_docs"),
+            F.round(
+                F.col("sum_num")
+                / (
+                    F.col("n_g").cast("double")
+                    * F.col("n_all")
+                    * F.lit(9.0)
+                ),
+                6,
+            ).alias("t_value"),
+            (
+                F.col("sum_num") * F.lit(5)
+                <= F.col("n_g") * F.col("n_all") * F.lit(9)
+            ).alias("t_close"),
+        )
+    )
+
+
+QUERIES["t_closeness"] = q_t_closeness
+
+ORACLE["t_closeness"] = """
+    WITH b AS (
+        SELECT lang, source,
+               CAST(least(CAST(floor(n_chars / 64) AS BIGINT), 9)
+                    AS INT) AS bkt
+        FROM documents
+    ), grp AS (
+        SELECT lang, source, bkt, CAST(count(*) AS BIGINT) AS n_gj
+        FROM b GROUP BY 1, 2, 3
+    ), gdist AS (
+        SELECT bkt, CAST(count(*) AS BIGINT) AS m_j FROM b GROUP BY 1
+    ), totals AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_g
+        FROM b GROUP BY 1, 2
+    ), n_total AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all FROM b
+    ), spine AS (
+        SELECT t.lang, t.source, t.n_g, CAST(i AS INT) AS bkt
+        FROM totals t, unnest(range(0, 10)) AS s(i)
+    ), dense AS (
+        SELECT s.lang, s.source, s.bkt, s.n_g, n.n_all,
+               coalesce(g.n_gj, 0) AS n_gj,
+               coalesce(gl.m_j, 0) AS m_j
+        FROM spine s
+        LEFT JOIN grp g
+          ON s.lang = g.lang AND s.source = g.source AND s.bkt = g.bkt
+        LEFT JOIN gdist gl ON s.bkt = gl.bkt
+        CROSS JOIN n_total n
+    ), cum AS (
+        SELECT lang, source, bkt, n_g, n_all,
+               CAST(sum(n_gj) OVER w AS BIGINT) AS cum_n,
+               CAST(sum(m_j) OVER w AS BIGINT) AS cum_m
+        FROM dense
+        WINDOW w AS (PARTITION BY lang, source ORDER BY bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lang, source, n_g AS n_docs,
+           round(CAST(sum(abs(cum_n * n_all - cum_m * n_g)) AS BIGINT)
+                 / (CAST(n_g AS DOUBLE) * n_all * 9.0), 6) AS t_value,
+           CAST(sum(abs(cum_n * n_all - cum_m * n_g)) AS BIGINT) * 5
+               <= n_g * n_all * 9 AS t_close
+    FROM cum
+    WHERE bkt < 9
+    GROUP BY lang, source, n_g, n_all
+"""
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-entropy quality signal (textops.char_entropy): the
     compression-ratio-class filter, computed as a pure row-local HOF
@@ -8858,13 +9115,14 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# thirteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# fifteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
 #     "source_mix_report", "events_ewma", "domain_cap",
 #     "pmi_collocations", "knn_classify", "events_ab_test",
-#     "char_entropy", and the two REAL-decode conversions
+#     "char_entropy", "session_paths", "t_closeness", and the two
+#     REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
