@@ -96,6 +96,7 @@ HEADLINE = [
     "events_ab_test",
     "session_paths",
     "t_closeness",
+    "cross_source_overlap",
 ]
 
 

@@ -275,3 +275,38 @@ def test_session_paths_split_and_truncation(spark, tmp_path):
     assert out[long_path]["n_events"] == 10  # count is the FULL session
     assert out["x"]["n_sessions"] == 1
     assert out["y"]["n_sessions"] == 1
+
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_overlap_containment_and_boilerplate_cap(spark):
+    """A and B share exactly one non-boilerplate 3-gram (of two each →
+    containment 0.5 both ways); the gram present in ALL THREE sources
+    exceeds df_cap=2 and must be dropped from shared counts AND totals;
+    C shares nothing and must produce no pair row."""
+    rows = [
+        (0, "A", "one two three four"),
+        (1, "B", "one two three five"),
+        (2, "C", "zzz yyy xxx"),
+        # boilerplate gram "common base gram" in every source
+        (3, "A", "common base gram"),
+        (4, "B", "common base gram"),
+        (5, "C", "common base gram"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in textops.cross_source_overlap(
+            df, n=3, df_cap=2
+        ).collect()
+    }
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["contain_a"] == pytest.approx(0.5)
+    assert r["contain_b"] == pytest.approx(0.5)

@@ -1882,6 +1882,102 @@ def char_entropy(
     )
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    df_cap: int = 16,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-vs-source redundancy audit: for every unordered source
+    pair, how many distinct word n-grams both sources contain, plus
+    BOTH containment directions (shared / each side's distinct-gram
+    count) — the measurement that justifies a domain_cap or a
+    source-level dedup pass: two crawl feeds of the same upstream show
+    up as a high-containment pair. Grams present in more than `df_cap`
+    sources are dropped BEFORE pairing — they are corpus boilerplate
+    (the dedup_winnow stop-fingerprint discipline), they would
+    dominate every pair uniformly, and they bound the pair fan-out per
+    gram at df_cap^2 regardless of how many sources the corpus has.
+    Totals use the SAME capped gram universe, so containment reads "of
+    this source's non-boilerplate grams, what fraction the other
+    source also has".
+
+    Scale shape: gram strings cross the wire ONCE — one gram-keyed
+    collect_set(source) agg (map-side partial dedups (gram, source));
+    totals re-aggregate the exploded ≤df_cap sets; pairs explode from
+    the sorted per-gram set as pure expressions and re-aggregate on
+    the tiny (src_a, src_b) key. The totals joins are
+    |sources|-row — AQE broadcasts them. Same repartition-before-
+    shingle and one-step-explode disciplines as gram_novelty."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    per_gram = (
+        df.repartition(n_parts)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.array_distinct(TX.shingles(text_col, n))
+            ).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.sort_array(F.collect_set("source")).alias("_ss"))
+        .filter(F.size("_ss") <= df_cap)
+    )
+    totals = (
+        per_gram.select(F.explode("_ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    )
+    pairs = (
+        per_gram.filter(F.size("_ss") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ss",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "_ss", i + 2, F.size("_ss") - i - 1
+                            ),
+                            lambda y: F.struct(
+                                x.alias("src_a"), y.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        pairs.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.col("n_a").cast("double"), 6
+            ).alias("contain_a"),
+            F.round(
+                F.col("n_shared") / F.col("n_b").cast("double"), 6
+            ).alias("contain_b"),
+        )
+    )
+
 def domain_cap(
     df: DataFrame,
     *,

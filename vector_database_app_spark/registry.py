@@ -8498,6 +8498,54 @@ ORACLE["events_ewma"] = """
 """
 
 
+def q_cross_source_overlap(spark, sf_dir):
+    """Source-pair n-gram redundancy matrix (textops.
+    cross_source_overlap): shared distinct 3-grams + both containment
+    directions per unordered source pair, boilerplate grams (df >
+    16 sources) dropped before pairing — the audit that justifies
+    domain_cap / source-dedup decisions. Oracle is the naive
+    (source, gram) self-join replay."""
+    return textops.cross_source_overlap(
+        _t(spark, sf_dir, "documents"), n=3, df_cap=16
+    )
+
+
+QUERIES["cross_source_overlap"] = q_cross_source_overlap
+
+ORACLE["cross_source_overlap"] = f"""
+    WITH gs AS (
+        SELECT DISTINCT source, unnest(list_distinct({_SQL_SHINGLES3.format(
+            ws="string_split(lower(text), ' ')", t="text")})) AS ngram
+        FROM documents
+    ), dfreq AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS nf
+        FROM gs GROUP BY ngram
+    ), capped AS (
+        SELECT g.source, g.ngram
+        FROM gs g JOIN dfreq d ON g.ngram = d.ngram
+        WHERE d.nf <= 16
+    ), totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM capped GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM capped a
+        JOIN capped b ON a.ngram = b.ngram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.n_shared,
+           ta.n_grams AS n_a, tb.n_grams AS n_b,
+           round(p.n_shared / CAST(ta.n_grams AS DOUBLE), 6)
+               AS contain_a,
+           round(p.n_shared / CAST(tb.n_grams AS DOUBLE), 6)
+               AS contain_b
+    FROM pairs p
+    JOIN totals ta ON p.src_a = ta.source
+    JOIN totals tb ON p.src_b = tb.source
+"""
+
+
 def q_session_paths(spark, sf_dir):
     """Top clickstream paths: lag-gap sessionize (the exact
     events_sessionize construction — two window passes over ONE
@@ -9115,14 +9163,14 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# fifteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# sixteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
 #     "source_mix_report", "events_ewma", "domain_cap",
 #     "pmi_collocations", "knn_classify", "events_ab_test",
-#     "char_entropy", "session_paths", "t_closeness", and the two
-#     REAL-decode conversions
+#     "char_entropy", "session_paths", "t_closeness",
+#     "cross_source_overlap", and the two REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
