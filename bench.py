@@ -97,6 +97,7 @@ HEADLINE = [
     "session_paths",
     "t_closeness",
     "cross_source_overlap",
+    "corpus_bootstrap_ci",
 ]
 
 

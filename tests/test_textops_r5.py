@@ -310,3 +310,35 @@ def test_cross_source_overlap_containment_and_boilerplate_cap(spark):
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
     assert r["contain_a"] == pytest.approx(0.5)
     assert r["contain_b"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# corpus_bootstrap_ci — pure-Python replay of the hash-derandomized
+# bootstrap on a constructed corpus
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_bootstrap_ci_matches_python_replay(spark, tmp_path):
+    rows = [(i, "en", "s", " ".join(["w"] * (5 + i))) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    r = QUERIES["corpus_bootstrap_ci"](spark, str(tmp_path)).collect()[0]
+
+    xs = {i: 5 + i for i in range(20)}
+    means = []
+    for rep in range(32):
+        swx = sw = 0
+        for d, x in xs.items():
+            w = int(hashlib.md5(f"{d}:{rep}".encode()).hexdigest()[17:32], 16) % 3
+            swx += w * x
+            sw += w
+        means.append(round(swx / sw, 6))
+    means.sort()
+    assert r["n_replicates"] == 32
+    assert r["n_docs"] == 20
+    assert r["point_mean"] == pytest.approx(sum(xs.values()) / 20)
+    assert r["ci_lo"] == pytest.approx(means[1], abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(means[30], abs=1e-9)
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]

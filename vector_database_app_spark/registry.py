@@ -8498,6 +8498,117 @@ ORACLE["events_ewma"] = """
 """
 
 
+def q_corpus_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for a corpus metric (mean words
+    per doc) with DETERMINISTIC resampling: replicate r reweights doc
+    d by md5(d:r) mod 3 (mean-1 integer weights — the multinomial
+    bootstrap's hash-derandomized twin), each replicate mean is one
+    exact bigint pair (Σwx, Σw) divided once, and the CI is the
+    2nd/31st order statistic of the 32 sorted replicate means. No RNG,
+    no float accumulation: identical replicate means bit-for-bit in
+    both engines, so even the ORDER of the sorted doubles agrees.
+
+    Scale shape: the 32× replicate fan-out collapses map-side — the
+    partial agg reduces each task's rows to 32 (Σwx, Σw) partials
+    before the shuffle, so the wire carries 32·tasks rows regardless
+    of corpus size; the 32-row replicate frame and the 1-row point
+    estimate then combine with bounded cross joins. The statistical-
+    rigor primitive corpus dashboards skip: report mean ± CI, not a
+    bare mean."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id"), TX.n_words("text").cast("bigint").alias("x")
+    )
+    reps = base.select(
+        "doc_id",
+        "x",
+        F.explode(F.array(*[F.lit(r) for r in range(32)])).alias("r"),
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                18,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    per = (
+        reps.select("r", (w * F.col("x")).alias("wx"), w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum("wx").cast("bigint").alias("swx"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .select(
+            F.round(
+                F.col("swx") / F.col("sw").cast("double"), 6
+            ).alias("m")
+        )
+    )
+    arr = per.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("x") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("point_mean"),
+    )
+    return arr.crossJoin(F.broadcast(point)).select(
+        "n_replicates",
+        "n_docs",
+        "point_mean",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 31).alias("ci_hi"),
+    )
+
+
+QUERIES["corpus_bootstrap_ci"] = q_corpus_bootstrap_ci
+
+ORACLE["corpus_bootstrap_ci"] = """
+    WITH x AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS BIGINT) AS x
+        FROM documents
+    ), reps AS (
+        SELECT CAST(i AS INT) AS r FROM unnest(range(0, 32)) t(i)
+    ), wx AS (
+        SELECT r.r,
+               (('0x' || substr(md5(x.doc_id || ':' || r.r), 18, 15))
+                ::BIGINT % 3) AS w,
+               x.x
+        FROM x CROSS JOIN reps r
+    ), per AS (
+        SELECT r, round(sum(w * x) / CAST(sum(w) AS DOUBLE), 6) AS m
+        FROM wx GROUP BY r
+    ), arr AS (
+        SELECT list_sort(list(m)) AS ms,
+               CAST(count(*) AS BIGINT) AS n_replicates
+        FROM per
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(x) / CAST(count(*) AS DOUBLE), 6)
+                   AS point_mean
+        FROM x
+    )
+    SELECT arr.n_replicates, pt.n_docs, pt.point_mean,
+           ms[2] AS ci_lo, ms[31] AS ci_hi
+    FROM arr CROSS JOIN pt
+"""
+
+
 def q_cross_source_overlap(spark, sf_dir):
     """Source-pair n-gram redundancy matrix (textops.
     cross_source_overlap): shared distinct 3-grams + both containment
@@ -9163,14 +9274,15 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# sixteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# seventeen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
 #     "source_mix_report", "events_ewma", "domain_cap",
 #     "pmi_collocations", "knn_classify", "events_ab_test",
 #     "char_entropy", "session_paths", "t_closeness",
-#     "cross_source_overlap", and the two REAL-decode conversions
+#     "cross_source_overlap", "corpus_bootstrap_ci", and the two
+#     REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
