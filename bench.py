@@ -98,6 +98,7 @@ HEADLINE = [
     "t_closeness",
     "cross_source_overlap",
     "corpus_bootstrap_ci",
+    "events_forecast_baseline",
 ]
 
 

@@ -8948,6 +8948,80 @@ ORACLE["char_entropy"] = """
 """
 
 
+def q_events_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive forecast-error baseline per event type: predict
+    each hour's count with the count 24 h earlier and report the mean
+    absolute error — the MASE denominator every fancier forecast must
+    beat, and the yardstick that turns anomaly thresholds into scaled
+    units. Pairs events_ewma (the smoother) and anomaly_outliers (the
+    fence) with the third monitoring primitive: the baseline.
+
+    Scale shape: identical to events_ewma — corpus-sized work is one
+    hash agg to the tiny |types|x|hours| rollup; the lag-24 match is an
+    equi-join on (type, bucket-24) over that rollup frame, never raw
+    events. All sums are integer; the two report ratios are rounded
+    bigint divisions."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.bucket") == F.col("b.bucket") + 24),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_now"),
+        F.col("b.n").alias("n_prev"),
+    )
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.abs(F.col("n_now") - F.col("n_prev")))
+        .cast("bigint")
+        .alias("sum_abs_err"),
+        F.max(F.abs(F.col("n_now") - F.col("n_prev")))
+        .cast("bigint")
+        .alias("max_abs_err"),
+        F.round(
+            F.sum(F.abs(F.col("n_now") - F.col("n_prev")))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae_naive"),
+        F.round(
+            F.sum("n_now") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_hourly_n"),
+    )
+
+
+QUERIES["events_forecast_baseline"] = q_events_forecast_baseline
+
+ORACLE["events_forecast_baseline"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err,
+           CAST(max(abs(a.n - b.n)) AS BIGINT) AS max_abs_err,
+           round(sum(abs(a.n - b.n)) / CAST(count(*) AS DOUBLE), 6)
+               AS mae_naive,
+           round(sum(a.n) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_hourly_n
+    FROM hourly a
+    JOIN hourly b
+      ON a.event_type = b.event_type AND a.bucket = b.bucket + 24
+    GROUP BY a.event_type
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-source document cap with deterministic md5-hash priority
     (textops.domain_cap): RefinedWeb-style domain balancing. The engine
@@ -9274,15 +9348,15 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# seventeen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# eighteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
 #     "source_mix_report", "events_ewma", "domain_cap",
 #     "pmi_collocations", "knn_classify", "events_ab_test",
 #     "char_entropy", "session_paths", "t_closeness",
-#     "cross_source_overlap", "corpus_bootstrap_ci", and the two
-#     REAL-decode conversions
+#     "cross_source_overlap", "corpus_bootstrap_ci",
+#     "events_forecast_baseline", and the two REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
