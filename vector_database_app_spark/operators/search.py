@@ -1070,7 +1070,10 @@ def knn_classify(
     nn = knn_self_join(
         df, k=k, vec_col=vec_col, id_col=id_col, **knn_kwargs
     )
-    lbl = df.select(
+    # vote from LABELED neighbors only: the semi-supervised case has
+    # unlabeled vectors, and a NULL label would also order differently
+    # across engines (Spark ASC puts nulls first, DuckDB last)
+    lbl = df.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("nbr_id"),
         F.col(label_col).cast("int").alias("nbr_label"),
     )

@@ -9123,6 +9123,7 @@ ORACLE["knn_classify"] = f"""
         SELECT k.src_id, CAST(e.label AS INT) AS nbr_label,
                CAST(count(*) AS BIGINT) AS n
         FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
+        WHERE e.label IS NOT NULL
         GROUP BY 1, 2
     ), pred AS (
         SELECT src_id, nbr_label AS pred_label
