@@ -99,6 +99,7 @@ HEADLINE = [
     "cross_source_overlap",
     "corpus_bootstrap_ci",
     "events_forecast_baseline",
+    "events_funnel_latency",
 ]
 
 

@@ -8948,6 +8948,104 @@ ORACLE["char_entropy"] = """
 """
 
 
+def q_events_funnel_latency(spark, sf_dir):
+    """Funnel conversion-latency distribution: the same stage chain as
+    events_funnel (earliest view → first later click → first later
+    purchase within 7 days), but reporting HOW LONG each transition
+    takes — per stage: converting users, interpolated p50/p90 and the
+    mean, all over integer microsecond latencies (Spark `percentile`
+    == DuckDB `quantile_cont`, the agg_percentile-proven pairing; the
+    grid is integral so interpolation arithmetic is identical).
+
+    Scale shape: the stage chain re-uses one user_id partitioning down
+    both joins (the events_funnel discipline); each percentile is a
+    per-stage exact aggregate over the one-row-per-converting-user
+    frame. At 100 TB swap percentile for approx_percentile (t-digest)
+    and give up oracle-exactness — documented trade, same plan."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def lat_stats(df, end_col, name):
+        lat = (
+            F.unix_micros(F.col(end_col)) - F.unix_micros(F.col("t_view"))
+        ).cast("bigint")
+        return df.select(lat.alias("lat_us")).agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.percentile("lat_us", F.lit(0.5)), 4).alias(
+                "p50_us"
+            ),
+            F.round(F.percentile("lat_us", F.lit(0.9)), 4).alias(
+                "p90_us"
+            ),
+            F.round(
+                F.sum("lat_us") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("mean_us"),
+        )
+    return lat_stats(c, "t_click", "view_to_click").unionAll(
+        lat_stats(p, "t_purchase", "view_to_purchase")
+    )
+
+
+QUERIES["events_funnel_latency"] = q_events_funnel_latency
+
+ORACLE["events_funnel_latency"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id, v.t_view
+    ), p AS (
+        SELECT e.user_id, c.t_view, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_view + INTERVAL 7 DAY
+        GROUP BY e.user_id, c.t_view
+    ), lc AS (
+        SELECT epoch_us(t_click) - epoch_us(t_view) AS lat_us FROM c
+    ), lp AS (
+        SELECT epoch_us(t_purchase) - epoch_us(t_view) AS lat_us FROM p
+    )
+    SELECT 'view_to_click' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(lat_us, 0.9), 4) AS p90_us,
+           round(sum(lat_us) / CAST(count(*) AS DOUBLE), 4) AS mean_us
+    FROM lc
+    UNION ALL
+    SELECT 'view_to_purchase' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+           round(quantile_cont(lat_us, 0.9), 4) AS p90_us,
+           round(sum(lat_us) / CAST(count(*) AS DOUBLE), 4) AS mean_us
+    FROM lp
+"""
+
+
 def q_events_forecast_baseline(spark, sf_dir):
     """Seasonal-naive forecast-error baseline per event type: predict
     each hour's count with the count 24 h earlier and report the mean
@@ -9349,7 +9447,7 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# eighteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# nineteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
@@ -9357,7 +9455,8 @@ _DRIVER_WINDOW_R5 = [
 #     "pmi_collocations", "knn_classify", "events_ab_test",
 #     "char_entropy", "session_paths", "t_closeness",
 #     "cross_source_overlap", "corpus_bootstrap_ci",
-#     "events_forecast_baseline", and the two REAL-decode conversions
+#     "events_forecast_baseline", "events_funnel_latency", and the
+#     two REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
