@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_bootstrap_ci",
     "events_forecast_baseline",
     "events_funnel_latency",
+    "source_hhi",
 ]
 
 

@@ -8948,6 +8948,60 @@ ORACLE["char_entropy"] = """
 """
 
 
+def q_source_hhi(spark, sf_dir):
+    """Per-language source-concentration audit: the Herfindahl index of
+    source shares (Σ s_i²) and its reciprocal (effective source count)
+    — "is this language's training data dominated by one crawl feed?"
+    The diversity metric that decides where domain_cap pressure goes.
+    Integer-exact: HHI = Σ n_i² / N² is two bigint aggregates and one
+    rounded division; effective sources = N² / Σ n_i², same integers
+    inverted — no float accumulation anywhere.
+
+    Scale shape: one (lang, source) hash agg (map-side partials), one
+    |langs|×|sources|-row re-agg; reducer state bounds by the key
+    cardinality. n_i² at 1e9-docs-per-source is ~1e18 — inside int64;
+    the DECIMAL(38,0) promotion applies beyond that (t_closeness
+    note)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(
+            F.sum(F.col("n") * F.col("n"))
+            / (
+                F.sum("n").cast("double") * F.sum("n").cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+        F.round(
+            (F.sum("n").cast("double") * F.sum("n").cast("double"))
+            / F.sum(F.col("n") * F.col("n")),
+            4,
+        ).alias("effective_sources"),
+    )
+
+
+QUERIES["source_hhi"] = q_source_hhi
+
+ORACLE["source_hhi"] = """
+    WITH per AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(sum(n * n) / (CAST(sum(n) AS DOUBLE)
+                               * CAST(sum(n) AS DOUBLE)), 6) AS hhi,
+           round((CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                 / sum(n * n), 4) AS effective_sources
+    FROM per GROUP BY lang
+"""
+
+
 def q_events_funnel_latency(spark, sf_dir):
     """Funnel conversion-latency distribution: the same stage chain as
     events_funnel (earliest view → first later click → first later
@@ -9447,7 +9501,7 @@ _DRIVER_WINDOW_R5 = [
 
 # _DRIVER_WINDOW_R6 (round-6 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# nineteen queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
+# twenty queries added mid-r5 (each verified sf0.001 + sf0.01 + sf0.1,
 # PERF.md):
 #     "bpe_encode", "pack_sequences_bpe" (converted from rows-only via
 #     the pinned-merge replay), "gram_novelty", "lang_leakage",
@@ -9455,8 +9509,8 @@ _DRIVER_WINDOW_R5 = [
 #     "pmi_collocations", "knn_classify", "events_ab_test",
 #     "char_entropy", "session_paths", "t_closeness",
 #     "cross_source_overlap", "corpus_bootstrap_ci",
-#     "events_forecast_baseline", "events_funnel_latency", and the
-#     two REAL-decode conversions
+#     "events_forecast_baseline", "events_funnel_latency",
+#     "source_hhi", and the two REAL-decode conversions
 #     "image_features_png", "audio_features_wav" (rows-only ->
 #     pinned-literal value oracles, media_oracle_literals.py).
 # Put them FIRST next round, then backfill with re-confirmations of
