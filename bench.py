@@ -138,7 +138,7 @@ def main() -> None:
     # queries (ann_planner_indexed, bpe_encode, knn_pca_search) run
     # their ONE-TIME index/model build here — the bench prices the
     # query, not the index-build lifecycle (artifacts persist under
-    # spark-warehouse/ann_artifacts, so this is a no-op except on a
+    # .artifacts/ann_artifacts, so this is a no-op except on a
     # fresh checkout). Construction is otherwise lazy (enforced by
     # tests/test_driver_compat.py), so non-trainer queries cost nothing.
     for name in HEADLINE:

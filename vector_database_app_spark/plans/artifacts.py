@@ -20,7 +20,7 @@ persists; the data stays in the lake):
 - every later build: load lazily (explicit schema ⇒ no inference job;
   in-process memo for literal-consuming forms ⇒ zero jobs).
 
-Artifacts live under ``<repo>/spark-warehouse/ann_artifacts`` (already
+Artifacts live under ``<repo>/.artifacts/ann_artifacts`` (hidden,
 gitignored). The key fingerprints the source parquet's size+mtime, so a
 regenerated dataset invalidates stale artifacts instead of silently
 serving old centroids.
@@ -45,7 +45,7 @@ _MEMO: dict[str, object] = {}
 def artifacts_root() -> str:
     """Repo-anchored artifact directory (independent of cwd)."""
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(os.path.dirname(pkg), "spark-warehouse", "ann_artifacts")
+    return os.path.join(os.path.dirname(pkg), ".artifacts", "ann_artifacts")
 
 
 #: Bump when a trainer's ALGORITHM changes in a value-affecting way —

@@ -18,6 +18,7 @@ cluster first, then validated on local[32]:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep Spark's managed-table warehouse out of the repo root
+        # (default is ./spark-warehouse in cwd — repo litter).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "vector_database_app_spark-warehouse"),
+        )
     )
     return builder.getOrCreate()
 
