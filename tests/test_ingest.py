@@ -704,3 +704,217 @@ def test_no_tounicode_font_keeps_cp1252_behavior():
     assert FB.pdf_pages_text(
         _build_minimal_pdf(["plain cp1252 page"])
     ) == ["plain cp1252 page"]
+
+
+# ---------------------------------------------------------------------------
+# r6: predictor-coded FlateDecode streams + /Pages resource-tree
+# inheritance in the PDF fallback (r5-verdict tasks 2 and 3)
+# ---------------------------------------------------------------------------
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _png_filter_encode(raw: bytes, rowlen: int, bpp: int, ftype: int) -> bytes:
+    """Forward PNG row filter (the writer side of png_unfilter): tag
+    byte + filtered row, per spec §9. Pure-Python independent
+    implementation so the round-trip property actually cross-checks
+    the decoder."""
+    assert len(raw) % rowlen == 0
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r0 in range(0, len(raw), rowlen):
+        row = raw[r0 : r0 + rowlen]
+        out.append(ftype)
+        for x in range(rowlen):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _predictor_stream_body(
+    raw: bytes, columns: int, ftype: int, predictor: int = 12
+) -> bytes:
+    filtered = _png_filter_encode(raw, columns, 1, ftype)
+    payload = zlib.compress(filtered)
+    return (
+        b"<</Length %d /Filter /FlateDecode /DecodeParms "
+        b"<</Predictor %d /Columns %d>>>>\nstream\n%s\nendstream"
+        % (len(payload), predictor, columns, payload)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.integers(min_value=1, max_value=8),
+    columns=st.integers(min_value=1, max_value=24),
+    ftype=st.integers(min_value=0, max_value=4),
+    data=st.data(),
+)
+def test_png_predictor_stream_roundtrip_property(rows, columns, ftype, data):
+    """Any byte matrix survives filter-encode -> deflate -> _stream_bytes
+    for every PNG filter type — the decoder reverses an independently
+    written encoder (generated predictor-coded fixtures, r5-verdict
+    task 2)."""
+    raw = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=rows * columns,
+                max_size=rows * columns,
+            )
+        )
+    )
+    body = _predictor_stream_body(raw, columns, ftype)
+    assert FB._stream_bytes(body) == raw
+
+
+def test_tiff_predictor2_stream_roundtrip():
+    raw = bytes(range(40)) * 3  # 120 bytes = 6 rows of 20
+    enc = bytearray()
+    for r0 in range(0, len(raw), 20):
+        row = raw[r0 : r0 + 20]
+        enc.append(row[0])
+        for x in range(1, 20):
+            enc.append((row[x] - row[x - 1]) & 0xFF)
+    payload = zlib.compress(bytes(enc))
+    body = (
+        b"<</Filter /FlateDecode /DecodeParms "
+        b"<</Predictor 2 /Columns 20>>>>\nstream\n%s\nendstream" % payload
+    )
+    assert FB._stream_bytes(body) == raw
+
+
+def test_predictor_malformed_payload_quarantines_stream():
+    """A predictor-coded stream whose payload is not whole rows must
+    return None (stream quarantined), not raise."""
+    payload = zlib.compress(b"\x00abc\x00de")  # rowlen 3 -> 8 % 4 != 0
+    body = (
+        b"<</Filter /FlateDecode /DecodeParms "
+        b"<</Predictor 12 /Columns 3>>>>\nstream\n%s\nendstream" % payload
+    )
+    assert FB._stream_bytes(body) is None
+
+
+def _build_predictor_pdf(pages: list[str], ftype: int) -> bytes:
+    """Like _build_minimal_pdf but every content stream is FlateDecode +
+    PNG /Predictor 12 coded — the layout real xref-stream writers emit."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    page_ids = [3 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    font_id = 3 + 2 * n_pages
+    objs.append(b"<</Type /Catalog /Pages 2 0 R>>")
+    objs.append(f"<</Type /Pages /Kids [{kids}] /Count {n_pages}>>".encode())
+    for i, text in enumerate(pages):
+        objs.append(
+            (
+                f"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {page_ids[i] + 1} 0 R "
+                f"/Resources <</Font <</F1 {font_id} 0 R>>>>>>"
+            ).encode()
+        )
+        stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        columns = 16
+        pad = (-len(stream)) % columns
+        objs.append(_predictor_stream_body(stream + b" " * pad, columns, ftype))
+    objs.append(b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in enumerate(objs, start=1):
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(b"trailer\n<</Root 1 0 R>>\n%%EOF\n")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_predictor_coded_pdf_extracts_text(ftype):
+    pages = ["alpha predictor page", "beta predictor page"]
+    got = FB.pdf_pages_text(_build_predictor_pdf(pages, ftype))
+    assert [t.strip() for t in got] == pages
+
+
+def _build_inherited_resources_pdf() -> bytes:
+    """Pages WITHOUT their own /Resources; the /Font (with ToUnicode)
+    lives on the parent /Pages node — the inheritable-attribute layout
+    the fallback used to be blind to (hex strings decoded as soup)."""
+    codes = {1: "He", 2: "llo", 3: " inherited"}
+    bfchar = "\n".join(
+        f"<{code:04x}> <{''.join(f'{ord(c):04x}' for c in text)}>"
+        for code, text in codes.items()
+    )
+    cmap = (
+        "begincmap\n"
+        "1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchar}\nendbfchar\n"
+        "endcmap\n"
+    ).encode()
+    stream = b"BT /F1 12 Tf 72 720 Td <000100020003> Tj ET"
+    objs = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (
+            2,
+            b"<</Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources <</Font <</F1 5 0 R>>>>>>",
+        ),
+        (
+            3,
+            b"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R>>",
+        ),
+        (4, b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream)),
+        (
+            5,
+            b"<</Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+            b"/ToUnicode 6 0 R>>",
+        ),
+        (6, b"<</Length %d>>\nstream\n%s\nendstream" % (len(cmap), cmap)),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs:
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(b"trailer\n<</Root 1 0 R>>\n%%EOF\n")
+    return bytes(out)
+
+
+def test_pages_tree_inherited_font_resources_decode():
+    """r5-verdict task 3 'done' criterion: a fixture with inherited
+    /Font resources decoding to real text."""
+    assert FB.pdf_pages_text(_build_inherited_resources_pdf()) == [
+        "Hello inherited"
+    ]
+
+
+def test_resources_cycle_guard_degrades_not_hangs():
+    """A /Parent cycle with no /Resources anywhere must terminate and
+    yield the page with no fonts (cp1252 path), not loop forever."""
+    stream = b"BT (cycle ok) Tj ET"
+    objs = [
+        (2, b"<</Type /Pages /Kids [3 0 R] /Count 1 /Parent 2 0 R>>"),
+        (
+            3,
+            b"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R>>",
+        ),
+        (4, b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream)),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs:
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(b"%%EOF\n")
+    assert FB.pdf_pages_text(bytes(out)) == ["cycle ok"]

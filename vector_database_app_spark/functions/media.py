@@ -96,23 +96,39 @@ def png_decode(b: bytes) -> np.ndarray:
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    return png_unfilter(raw, stride, c).reshape(h, w, c)
+
+
+def png_unfilter(raw: bytes, rowlen: int, bpp: int) -> np.ndarray:
+    """Un-apply the five PNG row filters (None/Sub/Up/Average/Paeth,
+    spec §9) to a stream of ``(1 filter-tag byte + rowlen data bytes)``
+    rows; returns the unfiltered rows as a ``(h, rowlen)`` uint8 array.
+
+    Shared by :func:`png_decode` and the PDF fallback's
+    ``/Predictor >= 10`` stream decoder (PDF 32000-1 §7.4.4.4 defines
+    stream predictors AS PNG filters; reusing the image decoder's
+    filter math keeps one implementation of Paeth in the repo —
+    r5-verdict task 2)."""
+    if rowlen <= 0 or len(raw) % (rowlen + 1):
+        raise ValueError("filtered payload is not whole (1+rowlen) rows")
+    h = len(raw) // (rowlen + 1)
+    out = np.empty((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        ftype = raw[y * (rowlen + 1)]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=rowlen, offset=y * (rowlen + 1) + 1
         ).copy()
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev).astype(np.uint8)
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(cur[x - c]) if x >= c else 0
+            cur = np.zeros(rowlen, dtype=np.uint8)
+            for x in range(rowlen):
+                left = int(cur[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
-                ul = int(prev[x - c]) if x >= c else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     rec = line[x] + left
                 elif ftype == 3:
@@ -134,7 +150,7 @@ def png_decode(b: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur
         prev = cur
-    return out.reshape(h, w, c)
+    return out
 
 
 def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:

@@ -34,6 +34,7 @@ from .operators import (
     search,
     textops,
     tokenize,
+    unigram,
 )
 from .sources import ingest
 from .sources.catalog import load_table
@@ -6220,6 +6221,104 @@ def q_bpe_encode(spark, sf_dir):
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+def _unigram_pieces(spark, sf_dir) -> list[dict]:
+    """Load-or-train the unigram-LM piece table through the artifact
+    store — seeding + EM rounds run ONCE per (dataset, params); later
+    constructions are zero-job (the _bpe_merges discipline)."""
+    from .plans import artifacts as ART  # noqa: PLC0415
+
+    raw = ART.load_or_build_object(
+        sf_dir,
+        "unigram_pieces",
+        {"vocab_size": 24, "max_piece_len": 4, "em_rounds": 2},
+        lambda: {
+            "pieces": unigram.unigram_train(
+                _t(spark, sf_dir, "documents"),
+                vocab_size=24,
+                max_piece_len=4,
+                em_rounds=2,
+            )
+        },
+        source="documents.parquet",
+    )
+    return raw["pieces"]
+
+
+def q_unigram_train(spark, sf_dir):
+    """rows-only: unigram-LM tokenizer training (operators/unigram,
+    Kudo 2018 arXiv:1804.10959) — substring seeding + EM rounds with
+    prune-by-loss over the word-vocabulary frame; not SQL-expressible
+    (the EM fixed point is float-iterative). The piece table is the
+    bounded driver artifact, persisted via the artifact store;
+    determinism is byte-pinned in tests/test_unigram.py against
+    unigram.PINNED_PIECES."""
+    pieces = _unigram_pieces(spark, sf_dir)
+    return spark.createDataFrame(pieces, schema=unigram.PIECE_SCHEMA)
+
+
+QUERIES["unigram_train"] = q_unigram_train
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Fertility of the FROZEN unigram tokenizer
+    (operators/unigram.unigram_encode_counts over unigram.PINNED_PIECES)
+    — per-doc word/char/token counts and chars-per-token under greedy
+    global maximal matching (length-DESC, piece-ASC priority; uncovered
+    chars one token each — the unigram char-fallback). Pieces apply to
+    the DISTINCT word frame (vocab-sized replace-fold, pure JVM
+    expressions); corpus rows are touched only by the explode and the
+    word-key join-back. Value-level oracle: DuckDB replays the same
+    priority-ordered replace chain (every matched piece collapses to
+    chr(1), so token count == final string length). Training AT the
+    input sf remains the rows-only `unigram_train`."""
+    return unigram.unigram_encode_counts(
+        _t(spark, sf_dir, "documents"), unigram.PINNED_PIECES
+    )
+
+
+QUERIES["unigram_encode"] = q_unigram_encode
+
+
+def _unigram_replace_chain_sql(col: str) -> str:
+    """DuckDB replay of `unigram.match_fold_expr` over PINNED_PIECES:
+    sequential left-to-right non-overlapping `replace` per multi-char
+    piece in (length DESC, piece ASC) priority — identical semantics to
+    Spark's F.replace fold because both consume matches left-to-right
+    and resume after the replacement, and the chr(1) marker can never
+    be part of a later piece (pieces are corpus text; asserted marker-
+    free in tests/test_unigram.py)."""
+    expr = col
+    for p in unigram.encode_order(unigram.PINNED_PIECES):
+        pe = p.replace("'", "''")
+        expr = f"replace({expr}, '{pe}', chr(1))"
+    return expr
+
+
+ORACLE["unigram_encode"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT w, {_unigram_replace_chain_sql("w")} AS s
+        FROM (SELECT DISTINCT w FROM toks)
+    ), vt AS (
+        SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
+               CAST(len(s) AS BIGINT) AS w_tokens
+        FROM enc
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.w_chars) AS BIGINT) AS n_chars,
+           CAST(sum(v.w_tokens) AS BIGINT) AS n_unigram_tokens,
+           round(CAST(sum(v.w_chars) AS BIGINT)
+                 / CAST(sum(v.w_tokens) AS BIGINT), 6) AS chars_per_token
+    FROM toks t JOIN vt v USING (w)
+    GROUP BY t.doc_id
+"""
 
 
 def q_knn_pca_search(spark, sf_dir):

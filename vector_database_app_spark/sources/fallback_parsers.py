@@ -20,11 +20,17 @@ What each fallback honestly is:
   ToUnicode CMap when the page's font resources carry one (``Tf``
   operators tracked through the stream; bfchar/bfrange parsed, UTF-16BE
   targets — subset CID fonts with a ToUnicode map now decode to real
-  text, r4), else cp1252. REMAINING LIMITATIONS (why PyMuPDF stays the
-  primary): no encryption, no predictor-coded streams, CID fonts WITHOUT
-  a ToUnicode map still decode as soup (the printable-ratio guard drops
-  such strings), resource inheritance from the /Pages tree is not
-  walked (page-local /Resources only), and no layout analysis — callers
+  text, r4), else cp1252. Predictor-coded FlateDecode streams (PNG
+  /Predictor >= 10 — what real xref-stream writers emit — and TIFF
+  /Predictor 2) are un-predicted after decompression, sharing the PNG
+  filter math with functions/media.py's image decoder (r6); /Resources
+  is resolved per the spec's inheritable-attribute rule by walking the
+  /Parent chain to the nearest ancestor that carries one (r6), so
+  fonts declared on a /Pages node now reach the pages below it.
+  REMAINING LIMITATIONS (why PyMuPDF stays the primary): no
+  encryption, CID fonts WITHOUT a ToUnicode map still decode as soup
+  (the printable-ratio guard drops such strings), and no layout
+  analysis — callers
   re-chunk the per-page text with the engine's word-window chunker
   instead of PyMuPDF's layout blocks, so row GRANULARITY differs from
   the reference golden (272 layout blocks → ~45 word-window chunks for
@@ -55,6 +61,10 @@ from collections.abc import Iterator
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct-integer /Length only (indirect `/Length 7 0 R` falls back to
+# the endstream-delimited regex)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 # One alternation scanned left-to-right so every byte belongs to exactly
 # one token class: a `<2>` INSIDE a literal `(<2>)` is consumed by the
 # literal branch and can never re-match as a hex string, and mixed
@@ -71,6 +81,11 @@ _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+0\s+R")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BITSPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_DICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+0\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
@@ -137,17 +152,79 @@ def _mostly_printable(s: str) -> bool:
     return ok / len(s) >= 0.8
 
 
-def _stream_bytes(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+def _unpredict(data: bytes, head: bytes) -> bytes | None:
+    """Un-apply the stream's /DecodeParms predictor (PDF 32000-1
+    §7.4.4.4). Predictor 1 is identity; 2 is TIFF horizontal
+    differencing; >= 10 is "PNG prediction": each row is one PNG
+    filter-tag byte plus the row bytes, un-filtered exactly as in a PNG
+    image — delegated to functions.media.png_unfilter so Paeth/Average
+    live in one place. Returns None (caller quarantines the stream)
+    on a malformed payload rather than raising."""
+    pm = _PREDICTOR_RE.search(head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+    cols_m = _COLUMNS_RE.search(head)
+    colors_m = _COLORS_RE.search(head)
+    bpc_m = _BITSPC_RE.search(head)
+    columns = int(cols_m.group(1)) if cols_m else 1
+    colors = int(colors_m.group(1)) if colors_m else 1
+    bpc = int(bpc_m.group(1)) if bpc_m else 8
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
         return None
-    head = body.split(b"stream", 1)[0]
-    if b"/FlateDecode" in head:
-        try:
-            return zlib.decompress(m.group(1))
-        except zlib.error:
+    if pred == 2:  # TIFF horizontal differencing (8-bit components only)
+        if bpc != 8 or len(data) % rowlen:
             return None
-    return m.group(1)
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            for x in range(bpp, rowlen):
+                out[r0 + x] = (out[r0 + x] + out[r0 + x - bpp]) & 0xFF
+        return bytes(out)
+    if pred >= 10:  # PNG filters, tagged per row
+        from vector_database_app_spark.functions import media  # noqa: PLC0415
+
+        try:
+            return media.png_unfilter(data, rowlen, bpp).tobytes()
+        except ValueError:
+            return None
+    return None
+
+
+def _stream_candidates(body: bytes) -> Iterator[bytes]:
+    """Possible raw payloads of the object's stream, best first: the
+    exact /Length slice when the length is a direct integer (binary
+    Flate payloads may END in 0x0D or CONTAIN b"\\nendstream", either
+    of which corrupts the regex's non-greedy cut — found by the r6
+    predictor round-trip property), then the endstream-delimited
+    regex match as the fallback for indirect /Length refs."""
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
+        return
+    lm = _LENGTH_RE.search(body[: sm.start()])
+    if lm:
+        n = int(lm.group(1))
+        cand = body[sm.end() : sm.end() + n]
+        if len(cand) == n:
+            yield cand
+    m = _STREAM_RE.search(body)
+    if m:
+        yield m.group(1)
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    head = body.split(b"stream", 1)[0]
+    flate = b"/FlateDecode" in head
+    for raw in _stream_candidates(body):
+        if not flate:
+            return raw
+        try:
+            data = zlib.decompress(raw)
+        except zlib.error:
+            continue
+        return _unpredict(data, head)
+    return None
 
 
 def _unpack_object_streams(objs: dict[int, bytes]) -> None:
@@ -232,17 +309,46 @@ def _parse_cmap(data: bytes) -> dict | None:
     return {"width": width, "map": mapping}
 
 
+def _resolve_resources(head: bytes, objs: dict[int, bytes]) -> bytes:
+    """Nearest /Resources dict per the PDF inheritable-attribute rule
+    (PDF 32000-1 §7.7.3.4): the page's own /Resources, if present,
+    wins entirely; otherwise walk the /Parent chain up the /Pages tree
+    and take the first ancestor's. Returns the dict bytes (inline
+    dicts return the whole node body — the font regexes scan within
+    it), or b"" when no node in the chain declares resources. Depth-
+    and cycle-guarded: a malformed tree degrades to "no resources",
+    never loops."""
+    node = head
+    seen: set[int] = set()
+    for _ in range(64):
+        if b"/Resources" in node:
+            rm = _RESOURCES_REF_RE.search(node)
+            if rm:
+                return objs.get(int(rm.group(1)), b"")
+            return node
+        pm = _PARENT_RE.search(node)
+        if not pm:
+            return b""
+        pnum = int(pm.group(1))
+        if pnum in seen:
+            return b""
+        seen.add(pnum)
+        parent = objs.get(pnum)
+        if parent is None:
+            return b""
+        node = parent.split(b"stream", 1)[0]
+    return b""
+
+
 def _page_font_cmaps(
     head: bytes, objs: dict[int, bytes]
 ) -> dict[str, dict]:
-    """Per-page ``{font_name: cmap}`` from the page's /Resources /Font
-    entries that carry a /ToUnicode stream. Page-local resources only
-    (inline dict or one indirection); /Pages-tree inheritance is a
-    documented non-goal of the fallback."""
-    res = head
-    rm = _RESOURCES_REF_RE.search(head)
-    if rm:
-        res = objs.get(int(rm.group(1)), b"")
+    """Per-page ``{font_name: cmap}`` from the page's effective
+    /Resources /Font entries that carry a /ToUnicode stream. Resources
+    are resolved with /Pages-tree inheritance (r6): fonts declared on
+    an ancestor /Pages node apply to every page below it unless the
+    page declares its own /Resources."""
+    res = _resolve_resources(head, objs)
     fm = _FONT_DICT_RE.search(res)
     if fm:
         entries_src = fm.group(1)

@@ -563,6 +563,149 @@ def run_stream_dedup_probe(
         bands.unpersist()
 
 
+def run_stream_dedup_minhash(
+    doc_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_n: int | None = None,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> None:
+    """Continuous MinHash near-dup detection against an ACCUMULATING
+    corpus — the streaming twin of `dedup.minhash_near_dups_md5`
+    (r5-verdict task 6). `dropDuplicatesWithinWatermark` covers exact
+    event dedup; this covers the near-dup family: each micro-batch of
+    arriving documents band-joins against everything seen so far AND
+    adds itself to the store, so every near-dup pair is emitted exactly
+    once — when its LATER member arrives (candidates always contain at
+    least one new doc; old-old pairs can never re-form).
+
+    Store layout (the read-merge-write discipline of
+    run_stream_index_update): ``{store_dir}/bands`` holds the banded
+    md5-minhash index rows (id, band, key) and ``{store_dir}/docs`` the
+    raw texts the exact-Jaccard verify needs. Both grow by plain
+    appends — a batch writes its OWN rows only, never rewrites history.
+
+    Per-batch plan, all equi-joins on the band blocking key (never
+    all-pairs): batch band keys (batch-sized) join the accumulated band
+    store; merged buckets over `max_bucket_size` are excluded exactly
+    like the batch operator's degenerate-bucket cap; surviving
+    candidate pairs (least,greatest, distinct) verify with exact
+    shingle Jaccard over the doc store; verified pairs >= threshold
+    append to ``out_dir``. Output rows carry (id_a, id_b, jaccard) —
+    the batch operator's exact shape, so a replayed drain reproduces
+    `minhash_near_dups_md5` on the union corpus row-for-row
+    (parity-pinned in tests/test_streaming.py).
+
+    CAP CAVEAT: the bucket cap applies to the bucket's size AT ARRIVAL
+    TIME; a bucket that later outgrows the cap has already emitted its
+    early pairs, where a full-batch run would suppress the whole
+    bucket. Parity therefore holds whenever no bucket crosses the cap
+    mid-stream (the cap exists to bound degenerate buckets — empty
+    docs, boilerplate — not as a semantic filter).
+
+    Scale: per-batch cost is (batch bands) x (store band scan) — in a
+    production deployment the bands store is partitioned/bucketed by
+    key range and bucket COUNTS are maintained incrementally alongside
+    it, turning the scan into a pruned probe; the correctness contract
+    here is unchanged by that layout optimization."""
+    from ..operators.dedup import (
+        MD5_LSH_DEFAULTS,
+        md5_band_keys,
+        ngram_jaccard,
+    )
+
+    n_hashes = n_hashes or MD5_LSH_DEFAULTS["n_hashes"]
+    bands = bands or MD5_LSH_DEFAULTS["bands"]
+    shingle_n = shingle_n or MD5_LSH_DEFAULTS["shingle_n"]
+    spark = doc_stream.sparkSession
+    bands_dir = f"{store_dir.rstrip('/')}/bands"
+    docs_dir = f"{store_dir.rstrip('/')}/docs"
+
+    def _exists(path: str) -> bool:
+        # Hadoop FS probe, not os.path — works for any scheme the
+        # session addresses (run_stream_index_update's lesson)
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        batch_docs = batch_df.select(
+            F.col(id_col), F.col(text_col)
+        ).persist()
+        new_bands = md5_band_keys(
+            batch_docs,
+            text_col,
+            id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        ).persist()
+        try:
+            old_bands = (
+                spark.read.parquet(bands_dir) if _exists(bands_dir) else None
+            )
+            all_bands = (
+                new_bands
+                if old_bands is None
+                else old_bands.unionByName(new_bands)
+            )
+            ok_keys = (
+                all_bands.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(
+                    (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
+                )
+                .select("band", "key")
+            )
+            probe = new_bands.withColumnRenamed(id_col, "_new_id")
+            pairs = (
+                all_bands.join(ok_keys, ["band", "key"], "left_semi")
+                .join(F.broadcast(probe), ["band", "key"])
+                .filter(F.col(id_col) != F.col("_new_id"))
+                .select(
+                    F.least(id_col, "_new_id").alias("id_a"),
+                    F.greatest(id_col, "_new_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            old_docs = (
+                spark.read.parquet(docs_dir) if _exists(docs_dir) else None
+            )
+            all_docs = (
+                batch_docs
+                if old_docs is None
+                else old_docs.unionByName(batch_docs)
+            )
+            verified = ngram_jaccard(
+                all_docs, pairs, text_col, id_col, shingle_n=shingle_n
+            ).filter(F.col("jaccard") >= threshold)
+            # emit BEFORE growing the store: the store reads above are
+            # lazy, and appending first would let this batch's own rows
+            # re-enter as "old"
+            verified.write.mode("append").parquet(out_dir)
+            new_bands.write.mode("append").parquet(bands_dir)
+            batch_docs.write.mode("append").parquet(docs_dir)
+        finally:
+            new_bands.unpersist()
+            batch_docs.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_admission(
     doc_stream: DataFrame,
     store: DataFrame,
