@@ -101,6 +101,19 @@ HEADLINE = [
     "events_forecast_baseline",
     "events_funnel_latency",
     "source_hhi",
+    # round 6: the top-5 most expensive previously-unbenched queries,
+    # found by a one-off full sweep of all non-headline queries at
+    # sf0.1 (PERF.md r6) — promoted so the bench has no invisible cost
+    # pockets. The sweep also exposed the similarity_join verify
+    # hotspot (72 s -> 11 s via the counting-form Jaccard).
+    "dedup_similarity_join",
+    "dedup_lsh_sweep",
+    "doc_winnow",
+    "ann_pq_search",
+    "graph_pagerank",
+    # round 6: the unigram-LM tokenizer encode path (vocab-frame
+    # replace-fold + word-key join-back)
+    "unigram_encode",
 ]
 
 
@@ -163,6 +176,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # no-silent-caps (r5-verdict task 4): name what this bench does NOT
+    # time, every run, on stderr (stdout stays the one JSON line). The
+    # excluded set was full-swept once at sf0.1 (PERF.md r6) and its
+    # top-5 most expensive members promoted into HEADLINE.
+    excluded = sorted(set(QUERIES) - set(HEADLINE))
+    print(
+        f"bench: timed {len(HEADLINE)} headline queries; "
+        f"excluded {len(excluded)}: {' '.join(excluded)}",
+        file=sys.stderr,
+    )
     print(json.dumps(out))
 
 

@@ -1015,7 +1015,17 @@ def similarity_join(
     prefixes (Bayardo et al., WWW'07) — so candidates shrink by orders of
     magnitude on hot shingles while the result stays EXACT (asserted
     equal in tests/test_properties.py). Costs one extra aggregation
-    (global shingle frequencies) + a per-doc rank."""
+    (global shingle frequencies) + a per-doc rank.
+
+    Verify uses the COUNTING form of Jaccard (the same form the DuckDB
+    oracle replays): |A∩B| from joining candidate pairs back to the
+    exploded shingle stream, |A∪B| = nA + nB - |A∩B| — set-identical to
+    array_intersect/union on distinct shingles. Measured at sf0.1
+    (409k candidates): 7.6 s vs 72 s for the per-pair re-shingling
+    verify (`ngram_jaccard`) — re-deriving both docs' shingle arrays
+    inside every pair row made the verify 97% of the query (r6). The
+    pair stream stays keyed joins + one hash agg end to end; every
+    candidate shares >= 1 shingle so the counting agg loses no pair."""
     # ONE-STEP explode (generator expression inline): exploding an
     # aliased array column lets the optimizer infer `size(arr) > 0 AND
     # isnotnull(arr)` from the generator and push those filters to the
@@ -1051,9 +1061,37 @@ def similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    return ngram_jaccard(
-        df, cand, text_col, id_col, shingle_n=shingle_n, scale=scale
-    ).filter(F.col("jaccard") >= threshold)
+    # counting-form exact verify (see docstring): candidate pairs join
+    # back to the exploded distinct-shingle stream for |A∩B|, per-doc
+    # set sizes give |A∪B| — no per-pair re-shingling
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")),
+                scale,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def connected_components(
