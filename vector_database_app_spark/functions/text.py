@@ -32,6 +32,22 @@ LANG_MARKERS: list[tuple[str, list[str]]] = [
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def let(val: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate `val` ONCE per row
+    and pass it to `body` as a lambda variable — the single-element
+    ``transform(array(val), x -> body(x))[1]`` trick.
+
+    Why it exists: Catalyst's CollapseProject inlines a withColumn
+    alias into every downstream reference, so an expensive array
+    expression referenced N times in the final projection executes N
+    times per row. Binding it as an HOF lambda variable pins exactly
+    one evaluation (measured on doc_winnow: 20.9 s -> 4.0 s at sf0.1,
+    where the md5-shingle array was being re-derived inside each of its
+    three consumers). Nested `let`s compose — inner lambdas close over
+    outer variables lexically, same as Spark SQL's nested HOFs."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -45,14 +61,27 @@ def words(text: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined). Docs shorter than n words fall
     back to a single whole-text shingle. Pure expressions — no explode, so
-    shingling is row-local and shuffle-free."""
-    w = words(text)
-    k = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-    )
-    return F.when(k >= n, grams).otherwise(F.array(F.lower(_c(text))))
+    shingling is row-local and shuffle-free.
+
+    The word array is `let`-bound: HOF bodies evaluate interpreted, so
+    an outer non-variable subtree like the split is re-executed on
+    EVERY lambda invocation — with ~k grams × n element_at references
+    that made shingling O(k·n) splits per row. Binding `w` as a lambda
+    variable pins one split per row (doc_fingerprint 6.2 s -> measured
+    after fix in PERF.md; every shingle consumer inherits it)."""
+    t = _c(text)
+
+    def _grams(w: Column) -> Column:
+        k = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(k >= n, grams).otherwise(F.array(F.lower(t)))
+
+    return let(words(t), _grams)
 
 
 def lang_id(text: Column | str) -> Column:

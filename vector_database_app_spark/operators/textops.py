@@ -2141,3 +2141,68 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture weights over sources (the multilingual /
+    multi-domain sampling scheme of mBERT/XLM-R and data-mixture work:
+    w_i ∝ n_i^α flattens the head and upweights the tail; Conneau &
+    Lample 2019, arXiv:1901.07291 §3.1). α is FIXED at 0.5 — sqrt is a
+    correctly-rounded IEEE-754 operation, so both engines compute
+    bit-identical weights from the same integer counts, where a general
+    pow(x, 0.7) is only faithfully rounded and may differ in the last
+    ulp per libm. One row per source: doc count, sampling weight,
+    the doc budget it buys (floor — budgets never overshoot), and the
+    effective epochs over that source (>1 = the tail is repeated).
+
+    Determinism recipe (cross-engine rounding rule): each sqrt is
+    rounded to 6 dp and cast DECIMAL(18,6); the denominator is an EXACT
+    decimal sum of those rounded values; the final division runs in
+    double on identical inputs. Scale shape: one (source) hash agg
+    (map-side partials), then a bounded |sources|-row frame crossed
+    with its broadcast 1-row total — no corpus-sized second pass."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    scaled = per.select(
+        source_col,
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")), 6)
+        .cast("decimal(18,6)")
+        .alias("_s"),
+    )
+    denom = scaled.agg(F.sum("_s").alias("_denom"))
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(
+                F.col("_s").cast("double") / F.col("_denom").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "weight",
+            F.floor(F.col("weight") * F.lit(float(budget)))
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "weight",
+            "target_docs",
+            F.round(F.col("target_docs") / F.col("n_docs"), 6).alias(
+                "effective_epochs"
+            ),
+        )
+    )

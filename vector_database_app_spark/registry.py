@@ -5748,41 +5748,56 @@ def q_doc_winnow(spark, sf_dir):
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
     )
-    d = docs.select("doc_id", toks.alias("w")).withColumn(
-        "s_cnt", F.greatest(F.size("w") - F.lit(2), F.lit(0))
-    )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.col("s_cnt")),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at("w", i),
-                F.element_at("w", i + F.lit(1)),
-                F.element_at("w", i + F.lit(2)),
-            )
-        ),
-    )
-    d = d.withColumn("h", F.when(F.col("s_cnt") > 0, sh).otherwise(
-        F.array().cast("array<string>")
-    ))
-    n_win = F.when(
-        F.col("s_cnt") >= 4, F.col("s_cnt") - F.lit(3)
-    ).otherwise(F.least(F.col("s_cnt"), F.lit(1)))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice("h", i, 4)),
-    )
-    d = d.withColumn(
-        "fp", F.when(n_win > 0, F.array_distinct(mins)).otherwise(
+
+    def _h_of(w):
+        s_cnt = F.greatest(F.size(w) - F.lit(2), F.lit(0))
+        sh = F.transform(
+            F.sequence(F.lit(1), s_cnt),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + F.lit(1)),
+                    F.element_at(w, i + F.lit(2)),
+                )
+            ),
+        )
+        return F.when(s_cnt > 0, sh).otherwise(
             F.array().cast("array<string>")
         )
+
+    def _fp_of(h):
+        n_win = F.when(
+            F.size(h) >= 4, F.size(h) - F.lit(3)
+        ).otherwise(F.least(F.size(h), F.lit(1)))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(h, i, 4)),
+        )
+        return F.when(n_win > 0, F.array_distinct(mins)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # TX.let-bound so the token / shingle-hash / fingerprint arrays each
+    # evaluate ONCE per row — the collapsed-projection form re-derived
+    # the md5 array inside every consumer (20.9 s -> 4.0 s at sf0.1)
+    out = TX.let(
+        toks,
+        lambda w: TX.let(
+            _h_of(w),
+            lambda h: TX.let(
+                _fp_of(h),
+                lambda fp: F.struct(
+                    F.greatest(F.size(w) - F.lit(2), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_shingles"),
+                    F.size(fp).cast("bigint").alias("n_fingerprints"),
+                    F.array_min(fp).alias("min_fp"),
+                ),
+            ),
+        ),
     )
-    return d.select(
-        "doc_id",
-        F.col("s_cnt").cast("bigint").alias("n_shingles"),
-        F.size("fp").cast("bigint").alias("n_fingerprints"),
-        F.array_min("fp").alias("min_fp"),
-    )
+    return docs.select("doc_id", out.alias("o")).select("doc_id", "o.*")
 
 
 QUERIES["doc_winnow"] = q_doc_winnow
@@ -9515,6 +9530,281 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based source mixture (textops.temperature_mixture,
+    arXiv:1901.07291 §3.1): w_i ∝ sqrt(n_i) sampling weights, the doc
+    budget each source buys, and effective epochs — the step that turns
+    source counts into a training-mixture spec. α pinned at 0.5 because
+    sqrt is correctly rounded in IEEE-754 (identical across engines);
+    rounded sqrts sum EXACTLY as DECIMAL(18,6) before the one double
+    division (cross-engine rounding rule)."""
+    return textops.temperature_mixture(
+        _t(spark, sf_dir, "documents"), budget=100_000
+    )
+
+
+QUERIES["temperature_mixture"] = q_temperature_mixture
+
+ORACLE["temperature_mixture"] = """
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS s
+        FROM documents GROUP BY source
+    ), d AS (
+        SELECT sum(s) AS denom FROM per
+    ), w AS (
+        SELECT source, n_docs,
+               round(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+                   AS weight
+        FROM per, d
+    )
+    SELECT source, n_docs, weight,
+           CAST(floor(weight * 100000.0) AS BIGINT) AS target_docs,
+           round(CAST(floor(weight * 100000.0) AS BIGINT) / n_docs, 6)
+               AS effective_epochs
+    FROM w
+"""
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Daily-volume anomaly screen per event type: z-score of each
+    day's event count against the type's own daily distribution, flag
+    at |z| > 3 — the ops-dashboard "did ingestion spike or stall" audit
+    next to events_ewma's smoothed monitor.
+
+    Integer-exact z: with S = Σc, Q = Σc² over a type's n days (all
+    bigint aggregates), z_d = (c·n − S) / sqrt(n·Q − S²) — algebra on
+    exact integers and ONE correctly-rounded sqrt, so both engines
+    produce identical doubles (round 6). Constant series (n·Q = S²)
+    yield NULL z, not a division error (ANSI guard). n·Q at 1e9
+    events/day/type crosses int64 around 3e18 — the same DECIMAL(38,0)
+    promotion note as source_hhi applies at that scale.
+
+    Scale shape: one (type, day) hash agg over raw events (map-side
+    partials), then per-type scalar stats over the TINY daily frame
+    re-joined by type — the window-free two-pass form; no raw event is
+    touched twice."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("n_events").cast("bigint").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    den2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    z = F.round(
+        (F.col("n_events") * F.col("_n") - F.col("_s"))
+        / F.sqrt(den2),
+        6,
+    )
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day_us",
+            "n_events",
+            F.when(den2 > 0, z).alias("z_score"),
+            F.when(den2 > 0, F.abs(z) > F.lit(3.0))
+            .otherwise(F.lit(False))
+            .alias("anomaly"),
+        )
+    )
+
+
+QUERIES["events_anomaly"] = q_events_anomaly
+
+ORACLE["events_anomaly"] = """
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) AS day_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS q
+        FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day_us, d.n_events,
+           CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+               round((d.n_events * st.n - st.s)
+                     / sqrt(st.n * st.q - st.s * st.s), 6)
+           END AS z_score,
+           CASE WHEN st.n * st.q - st.s * st.s > 0 THEN
+               abs(round((d.n_events * st.n - st.s)
+                         / sqrt(st.n * st.q - st.s * st.s), 6)) > 3.0
+           ELSE FALSE END AS anomaly
+    FROM daily d JOIN stats st USING (event_type)
+"""
+
+
+def q_embedding_dim_variance(spark, sf_dir):
+    """Per-DIMENSION embedding audit: mean and variance of every
+    coordinate across the corpus, with a dead-dimension flag (variance
+    < 1e-4) — the check that catches collapsed or constant dimensions
+    after a model refresh, complementing the per-VECTOR
+    embedding_outliers and the one-row profile_embeddings.
+
+    Determinism: the _label_centroids recipe — per-dim EXACT
+    DECIMAL(38,20) sums of the double-cast coordinates (and of their
+    IEEE-exact squares), one double division each, round 6. Variance
+    uses E[v²] − E[v]² on those identical doubles. Scale shape: one
+    posexplode + (pos) hash agg, map-side combinable; |dims| rows out;
+    no window, no join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        )
+    )
+    agg = exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("val").cast("decimal(38,20)")).alias("_sv"),
+        F.sum(
+            (F.col("val") * F.col("val")).cast("decimal(38,20)")
+        ).alias("_sq"),
+    )
+    mean_d = F.col("_sv").cast("double") / F.col("n")
+    msq_d = F.col("_sq").cast("double") / F.col("n")
+    var = F.round(msq_d - mean_d * mean_d, 6)
+    return agg.select(
+        F.col("pos").cast("int").alias("dim"),
+        "n",
+        F.round(mean_d, 6).alias("mean"),
+        var.alias("variance"),
+        (var < F.lit(1e-4)).alias("dead_dim"),
+    )
+
+
+QUERIES["embedding_dim_variance"] = q_embedding_dim_variance
+
+ORACLE["embedding_dim_variance"] = """
+    WITH ex AS (
+        SELECT u.dim, u.val FROM (
+            SELECT unnest(list_transform(embedding,
+                (v, i) -> struct_pack(dim := i - 1,
+                                      val := CAST(v AS DOUBLE)))) AS u
+            FROM embeddings)
+    ), agg AS (
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(val AS DECIMAL(38,20))) AS sv,
+               sum(CAST(val * val AS DECIMAL(38,20))) AS sq
+        FROM ex GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+           round(CAST(sq AS DOUBLE) / n
+                 - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n),
+                 6) AS variance,
+           (round(CAST(sq AS DOUBLE) / n
+                  - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n),
+                  6) < 0.0001) AS dead_dim
+    FROM agg
+"""
+
+
+def q_tokenizer_fertility_compare(spark, sf_dir):
+    """Tokenizer evaluation over the corpus: per SOURCE, chars-per-token
+    under the frozen BPE merge table vs the frozen unigram piece table
+    — the A/B a pipeline runs before committing to a tokenizer (lower
+    fertility = fewer tokens per char = cheaper training). Both encode
+    paths run on the DISTINCT word frame (two pure-expression folds per
+    word, one pass), join back on the word key, and aggregate per
+    source — corpus rows touched exactly twice, same as bpe_encode.
+    Value oracle: both pinned replay chains side by side in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(TX.words("text"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.length("w").cast("bigint").alias("w_chars"),
+            F.size(
+                tokenize.apply_merges_expr(
+                    F.split("w", ""), tokenize.PINNED_MERGES
+                )
+            )
+            .cast("bigint")
+            .alias("w_bpe"),
+            unigram.match_fold_expr(F.col("w"), unigram.PINNED_PIECES)
+            .cast("bigint")
+            .alias("w_uni"),
+        )
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_chars").cast("bigint").alias("n_chars"),
+            F.sum("w_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("w_uni").cast("bigint").alias("n_unigram_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            "n_unigram_tokens",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "bpe_chars_per_token"
+            ),
+            F.round(
+                F.col("n_chars") / F.col("n_unigram_tokens"), 6
+            ).alias("unigram_chars_per_token"),
+        )
+    )
+
+
+QUERIES["tokenizer_fertility_compare"] = q_tokenizer_fertility_compare
+
+ORACLE["tokenizer_fertility_compare"] = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT w,
+               {_bpe_replace_chain_sql("w")} AS sb,
+               {_unigram_replace_chain_sql("w")} AS su
+        FROM (SELECT DISTINCT w FROM toks)
+    ), vt AS (
+        SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
+               CAST(len(sb) - len(replace(sb, '\x1f', '')) AS BIGINT)
+                   AS w_bpe,
+               CAST(len(su) AS BIGINT) AS w_uni
+        FROM enc
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(v.w_chars) AS BIGINT) AS n_chars,
+           CAST(sum(v.w_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(v.w_uni) AS BIGINT) AS n_unigram_tokens,
+           round(CAST(sum(v.w_chars) AS BIGINT)
+                 / CAST(sum(v.w_bpe) AS BIGINT), 6)
+               AS bpe_chars_per_token,
+           round(CAST(sum(v.w_chars) AS BIGINT)
+                 / CAST(sum(v.w_uni) AS BIGINT), 6)
+               AS unigram_chars_per_token
+    FROM toks t JOIN vt v USING (w)
+    GROUP BY t.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -9658,6 +9948,16 @@ _DRIVER_WINDOW_R6 = [
     "ann_matryoshka",
     "hybrid_search",
 ]
+
+# _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
+# above, the never-windowed oracle-backed remainder is exactly the
+# five queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
+# "events_anomaly", "embedding_dim_variance",
+# "tokenizer_fertility_compare" — put them FIRST next round, then
+# backfill with re-confirmations (TPC-H set, text-analysis suite,
+# events suite). Verify any new window order with the sf0.01 mirror
+# BEFORE shipping.
 
 # Ledger hygiene (judge r4, "What's wrong" #3): dedup_minhash,
 # dedup_simhash and ingest_chunks carry r01 `no_oracle` reds from the
