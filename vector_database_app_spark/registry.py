@@ -9530,6 +9530,336 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_minhash_estimator_quality(spark, sf_dir):
+    """Estimator-quality audit for the md5 minhash family: on the fixed
+    (doc_id, doc_id+125) pair set (the ngram_containment convention),
+    the signature-estimated Jaccard (matching minima / n_hashes, the
+    unbiased 1-perm-per-slot estimator) against the EXACT shingle
+    Jaccard, with the signed error — the calibration table that says
+    whether 8 hashes are enough BEFORE trusting dedup_minhash verdicts
+    (measure, don't guess; completes lsh_band_sweep, which audits the
+    banding rather than the estimator).
+
+    Shares `_md5_signatures` with every other md5-family consumer (one
+    definition of the signature stage) and the counting-form exact
+    verify with similarity_join. Pair list is inner-join bounded; all
+    comparisons integer/string; two rounded divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    n_hashes = 8
+    sigs = dedup._md5_signatures(
+        docs, "text", "doc_id", n_hashes=n_hashes, shingle_n=3
+    )
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + F.lit(125)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        matches.cast("bigint").alias("n_matching"),
+        F.round(matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+    )
+    exact = dedup.ngram_jaccard(docs, est.select("id_a", "id_b"), "text",
+                                "doc_id", shingle_n=3)
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_matching",
+            "est_jaccard",
+            F.col("jaccard").alias("exact_jaccard"),
+            F.round(F.col("est_jaccard") - F.col("jaccard"), 6).alias(
+                "est_error"
+            ),
+        )
+    )
+
+
+QUERIES["minhash_estimator_quality"] = q_minhash_estimator_quality
+
+ORACLE["minhash_estimator_quality"] = f"""
+    WITH d AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+        FROM documents
+    ), shs AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS ss
+        FROM d
+    ), sh AS (
+        SELECT doc_id, unnest(ss) AS s FROM shs
+    ), sigs AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5(s || '|{i}')) AS m{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT doc_id AS id_a, doc_id + 125 AS id_b FROM documents
+    ), est AS (
+        SELECT p.id_a, p.id_b,
+               CAST({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8))}
+                    AS BIGINT) AS n_matching
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.id_a
+        JOIN sigs b ON b.doc_id = p.id_b
+    ), exact AS (
+        SELECT p.id_a, p.id_b,
+               round(len(list_intersect(sa.ss, sb.ss))
+                     / len(list_distinct(sa.ss || sb.ss)), 6) AS exact_j
+        FROM pairs p
+        JOIN shs sa ON sa.doc_id = p.id_a
+        JOIN shs sb ON sb.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b, e.n_matching,
+           round(e.n_matching / 8.0, 6) AS est_jaccard,
+           x.exact_j AS exact_jaccard,
+           round(round(e.n_matching / 8.0, 6) - x.exact_j, 6) AS est_error
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+"""
+
+
+def q_embed_feature_hash(spark, sf_dir):
+    """Hashing-trick document embeddings (Weinberger et al. 2009,
+    arXiv:0902.2206): each char trigram of the first 256 chars hashes
+    to one of 16 buckets with a ±1 sign bit (both from md5, so the
+    whole embedding replays in any engine), per-bucket signed counts
+    are L2-normalized — a model-free embedding column for cheap
+    similarity/clustering when no trained encoder is available, and
+    the deterministic stand-in shape for a real one.
+
+    Scalar-only output (h0..h15 + norm): the driver canonicalizer
+    rejects array cells (ingest_chunks lesson). Determinism: integer
+    signed counts, norm = sqrt of an exact integer sum of squares
+    (correctly rounded IEEE), one rounded division per bucket. Scale:
+    one explode + ONE 17-aggregate hash agg per doc — map-side
+    combinable, no window, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.substring("text", 1, 256))
+    # when-guard: Spark's sequence(1, 0) counts DOWN (default step -1)
+    # where DuckDB's range(1, 1) is empty — short docs must yield no
+    # grams in both engines
+    grams = TX.let(
+        t,
+        lambda s: F.when(
+            F.length(s) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 2),
+                lambda i: s.substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    bucket = F.conv(F.substring(F.md5("g"), 1, 2), 16, 10).cast("int") % 16
+    sign = F.when(
+        F.conv(F.substring(F.md5("g"), 3, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    counted = ex.select("doc_id", bucket.alias("b"), sign.alias("s"))
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("b") == i, F.col("s"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i in range(16)
+    ]
+    raw = counted.groupBy("doc_id").agg(*aggs)
+    norm = F.sqrt(
+        sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(16)).cast(
+            "double"
+        )
+    )
+    return raw.select(
+        "doc_id",
+        F.round(norm, 6).alias("norm"),
+        *[
+            F.when(norm > 0, F.round(F.col(f"c{i}") / norm, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"h{i}")
+            for i in range(16)
+        ],
+    )
+
+
+QUERIES["embed_feature_hash"] = q_embed_feature_hash
+
+ORACLE["embed_feature_hash"] = f"""
+    WITH base AS (
+        SELECT doc_id, lower(substr(text, 1, 256)) AS t FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(list_filter(
+            list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> substr(t, CAST(i AS INTEGER), 3)),
+            g -> len(g) = 3)) AS g
+        FROM base
+    ), m AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 2)) AS INTEGER) % 16 AS b,
+               CASE WHEN CAST(('0x' || substr(md5(g), 3, 1)) AS INTEGER)
+                         % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM ex
+    ), raw AS (
+        SELECT doc_id,
+               {", ".join(f"CAST(coalesce(sum(CASE WHEN b = {i} THEN s END), 0) AS BIGINT) AS c{i}" for i in range(16))}
+        FROM m GROUP BY doc_id
+    ), n AS (
+        SELECT *, sqrt(CAST({" + ".join(f"c{i} * c{i}" for i in range(16))}
+                            AS DOUBLE)) AS nr
+        FROM raw
+    )
+    SELECT doc_id, round(nr, 6) AS norm,
+           {", ".join(f"CASE WHEN nr > 0 THEN round(c{i} / nr, 6) ELSE 0.0 END AS h{i}" for i in range(16))}
+    FROM n
+"""
+
+
+def q_events_resample(spark, sf_dir):
+    """Regularized hourly time series per event type: gap-filled grid
+    from each type's first to last active hour, zero-filled counts, and
+    last-observation-carried-forward average value — the resampling
+    step every downstream forecaster/monitor assumes (events_ewma and
+    events_forecast_baseline both consume regular grids; this is what
+    makes them safe on sparse types).
+
+    Determinism: per-hour value sums use the events_ab_test recipe
+    (round(value,4) summed exactly as DECIMAL(18,4)); the per-hour
+    average is one double division rounded 6; LOCF is a
+    last(ignorenulls) window ON THE ROLLUP frame partitioned by type —
+    never a window over raw events, never SinglePartition. Scale: one
+    corpus hash agg to |types|×|hours| rows; the grid explode and the
+    join run on that tiny frame."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("value"), 4).cast("decimal(18,4)")
+        ).alias("_val"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("_b0", "_b1")).alias("bucket"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "bucket"], "left")
+    avg_val = F.when(
+        F.col("n").isNotNull(),
+        F.round(F.col("_val").cast("double") / F.col("n"), 6),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        avg_val.alias("avg_value"),
+        F.last(avg_val, ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+QUERIES["events_resample"] = q_events_resample
+
+ORACLE["events_resample"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS val
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM hourly GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket FROM span
+    ), filled AS (
+        SELECT g.event_type, g.bucket,
+               coalesce(h.n, 0) AS n_events,
+               CASE WHEN h.n IS NOT NULL THEN
+                   round(CAST(h.val AS DOUBLE) / h.n, 6)
+               END AS avg_value
+        FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_events AS BIGINT) AS n_events, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM filled
+"""
+
+
+def q_events_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users per event type by day — the audience-
+    growth curve. Running COUNT DISTINCT has no window form at scale;
+    the two-phase shape: (user, type) -> first-seen day (one hash agg
+    over raw events), daily new-user counts (second tiny agg), then a
+    running sum over the |types|×|days| rollup — the window never sees
+    raw events (the events_rolling_active discipline). All integers."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(
+            F.unix_micros(F.date_trunc("day", "ts"))
+        ).alias("day_us")
+    )
+    daily_new = first_seen.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        "day_us",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+QUERIES["events_cumulative_users"] = q_events_cumulative_users
+
+ORACLE["events_cumulative_users"] = """
+    WITH first_seen AS (
+        SELECT event_type, user_id,
+               min(epoch_us(date_trunc('day', ts))) AS day_us
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT event_type, day_us,
+               CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, day_us, new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type ORDER BY day_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+"""
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-based source mixture (textops.temperature_mixture,
     arXiv:1901.07291 §3.1): w_i ∝ sqrt(n_i) sampling weights, the doc
@@ -9951,13 +10281,15 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# five queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# nine queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
-# "tokenizer_fertility_compare" — put them FIRST next round, then
-# backfill with re-confirmations (TPC-H set, text-analysis suite,
-# events suite). Verify any new window order with the sf0.01 mirror
-# BEFORE shipping.
+# "tokenizer_fertility_compare", "events_resample",
+# "events_cumulative_users", "minhash_estimator_quality",
+# "embed_feature_hash" — put them FIRST next round, then backfill
+# with re-confirmations (TPC-H set, text-analysis suite, events
+# suite). Verify any new window order with the sf0.01 mirror BEFORE
+# shipping.
 
 # Ledger hygiene (judge r4, "What's wrong" #3): dedup_minhash,
 # dedup_simhash and ingest_chunks carry r01 `no_oracle` reds from the
