@@ -137,3 +137,77 @@ def test_encode_counts_schema_and_sanity(spark):
     for r in rows:
         assert r["n_unigram_tokens"] <= r["n_chars"]
         assert r["n_unigram_tokens"] >= r["n_words"]
+
+
+# ---------------------------------------------------------------------------
+# independent-reference parity for the greedy maximal-match fold
+# ---------------------------------------------------------------------------
+
+
+def _py_maximal_match_count(word: str, ordered: list[str]) -> int:
+    """Independent reference for the replace-fold semantics: consume
+    non-overlapping occurrences piece by piece in priority order over a
+    POSITION MASK of the original word (replacing a span with one
+    marker char never makes its neighbours adjacent, so mask-world ==
+    replace-world); every piece found and every leftover char is one
+    token."""
+    consumed = [False] * len(word)
+    found = 0
+    for p in ordered:
+        i = 0
+        while i + len(p) <= len(word):
+            if word[i : i + len(p)] == p and not any(
+                consumed[i : i + len(p)]
+            ):
+                for j in range(i, i + len(p)):
+                    consumed[j] = True
+                found += 1
+                i += len(p)
+            else:
+                i += 1
+    return found + sum(not c for c in consumed)
+
+
+def test_match_fold_parity_with_independent_reference(spark):
+    """100 random (word, piece-set) cases in ONE Spark job: the
+    replace-fold column expression equals the mask-based reference."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(100):
+        alpha = "ab" if rng.random() < 0.5 else "abc"
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        n_pieces = rng.randint(1, 5)
+        pieces = list(
+            {
+                "".join(
+                    rng.choice(alpha)
+                    for _ in range(rng.randint(2, 4))
+                )
+                for _ in range(n_pieces)
+            }
+        )
+        cases.append((word, sorted(pieces)))
+    # group cases by piece set so each set is one fold expression
+    from collections import defaultdict
+
+    by_set = defaultdict(list)
+    for word, pieces in cases:
+        by_set[tuple(pieces)].append(word)
+    for pieces, words in by_set.items():
+        piece_dicts = [{"piece": p} for p in pieces]
+        df = spark.createDataFrame(
+            [(w,) for w in words], "w string"
+        ).select(
+            "w",
+            unigram.match_fold_expr(F.col("w"), piece_dicts).alias("n"),
+        )
+        got = {r["w"]: r["n"] for r in df.collect()}
+        order = unigram.encode_order(piece_dicts)
+        for w in words:
+            assert got[w] == _py_maximal_match_count(w, order), (
+                w,
+                pieces,
+                got[w],
+            )

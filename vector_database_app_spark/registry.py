@@ -9530,6 +9530,145 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters with an exactness audit (Cormode &
+    Muthukrishnan 2005): a d=4 × w=64 CMS over the corpus word stream
+    (md5 row hashes — deterministic, so the SKETCH itself is
+    value-checkable, unlike RNG-seeded implementations), then the
+    estimated count vs the exact count for the top-20 exact heavy
+    hitters, with the overestimate — the mergeable-sketch answer to
+    "top terms without a full vocabulary shuffle" and the missing
+    member of the sketch family next to HLL (agg_hll_rollup) and
+    t-digest (agg_approx).
+
+    Scale shape: the sketch is ONE hash agg to d·w = 256 cells
+    (map-side combinable — each partition's partial sketch merges by
+    cell addition, the CMS property); estimates for the audit set need
+    only the broadcast 256-cell table joined to the top-20 frame. CMS
+    guarantees estimate >= exact; the audit column shows the collision
+    overestimate concretely."""
+    docs = _t(spark, sf_dir, "documents")
+    d, w = 4, 64
+    toks = docs.select(
+        F.explode(
+            F.filter(TX.words("text"), lambda x: x != F.lit(""))
+        ).alias("tok")
+    )
+    rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(F.md5(
+                                    F.concat(F.col("tok"), F.lit(f"|{r}"))
+                                ), 1, 4),
+                                16,
+                                10,
+                            ).cast("int")
+                            % w
+                        ).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc"),
+    )
+    sketch = rows.groupBy("rc.r", "rc.c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+    )
+    probe = exact_top.select(
+        "tok",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(F.md5(
+                                    F.concat(F.col("tok"), F.lit(f"|{r}"))
+                                ), 1, 4),
+                                16,
+                                10,
+                            ).cast("int")
+                            % w
+                        ).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        probe.join(
+            F.broadcast(sketch),
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
+        )
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell").cast("bigint").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+QUERIES["heavy_hitters_cms"] = q_heavy_hitters_cms
+
+ORACLE["heavy_hitters_cms"] = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS tok
+        FROM documents
+    ), rc AS (
+        SELECT tok, u.r, u.c FROM (
+            SELECT tok, unnest([
+                {", ".join(
+                    "struct_pack(r := %d, c := CAST(('0x' || substr(md5(tok || '|%d'), 1, 4)) AS INTEGER) %% 64)" % (r, r)
+                    for r in range(4)
+                )}
+            ]) AS u
+            FROM toks)
+    ), sketch AS (
+        SELECT r, c, CAST(count(*) AS BIGINT) AS cell
+        FROM rc GROUP BY r, c
+    ), exact_top AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY tok
+        ORDER BY exact_count DESC, tok LIMIT 20
+    ), probe AS (
+        SELECT e.tok, e.exact_count, u.r, u.c FROM (
+            SELECT tok, exact_count, unnest([
+                {", ".join(
+                    "struct_pack(r := %d, c := CAST(('0x' || substr(md5(tok || '|%d'), 1, 4)) AS INTEGER) %% 64)" % (r, r)
+                    for r in range(4)
+                )}
+            ]) AS u
+            FROM exact_top) AS e(tok, exact_count, u)
+    )
+    SELECT p.tok, p.exact_count,
+           CAST(min(s.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(s.cell) - p.exact_count AS BIGINT) AS overestimate
+    FROM probe p JOIN sketch s ON s.r = p.r AND s.c = p.c
+    GROUP BY p.tok, p.exact_count
+"""
+
+
 def q_minhash_estimator_quality(spark, sf_dir):
     """Estimator-quality audit for the md5 minhash family: on the fixed
     (doc_id, doc_id+125) pair set (the ngram_containment convention),
@@ -10281,12 +10420,13 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# nine queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# ten queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
-# "embed_feature_hash" — put them FIRST next round, then backfill
+# "embed_feature_hash", "heavy_hitters_cms" — put them FIRST next
+# round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.

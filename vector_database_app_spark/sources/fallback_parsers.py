@@ -97,7 +97,10 @@ _BFRANGE_ITEM_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[(?:[^\]]*)\])",
     re.S,
 )
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
+# the text-block scan consumes literal strings ATOMICALLY so an "ET"
+# inside `(…)` cannot terminate the block early (hypothesis-found on
+# page text "ET", r6); hex strings can't contain the byte 'T'
+_BT_ET_RE = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|.)*?)ET", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 _PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
