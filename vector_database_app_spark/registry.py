@@ -9530,6 +9530,101 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training (the
+    in-batch-negatives upgrade every retrieval-model pipeline runs:
+    anchor, hardest same-label positive, top-3 hardest OTHER-label
+    negatives, and the margin — triplets with small or negative margin
+    are the training signal). Anchors are the 8 lowest vec_ids; corpus
+    is the rest.
+
+    Scale shape: the 8-anchor frame broadcasts into ONE corpus scan
+    (cosine per (anchor, candidate)); the top-k is a row_number window
+    keyed (anchor, same-label flag) — 16 corpus-sized groups here, the
+    knn_batch trade documented there: for anchor batches beyond
+    broadcast size, chunk or switch to the IVF path. Margin is a
+    subtraction of two already-rounded sims (cross-engine rounding
+    rule)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    scored = corpus.crossJoin(F.broadcast(anchors)).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        cosine_rounded("embedding", "anchor_embedding").alias("sim"),
+        (F.col("label") == F.col("anchor_label")).alias("same"),
+    )
+    ranked = relational.top_k_per_group(
+        scored,
+        ["anchor_id", "same"],
+        [F.desc("sim"), F.asc("vec_id")],
+        3,
+    )
+    pos = ranked.filter(F.col("same") & (F.col("rk") == 1)).select(
+        "anchor_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = ranked.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("rk").cast("int").alias("neg_rank"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_rank",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+    )
+
+
+QUERIES["contrastive_triplets"] = q_contrastive_triplets
+
+ORACLE["contrastive_triplets"] = f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               embedding AS ae
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+               {_SQL_COS.format(a="e.embedding", b="a.ae")} AS sim,
+               e.label = a.anchor_label AS same
+        FROM embeddings e, anchors a
+        WHERE e.vec_id >= 8
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id, same
+            ORDER BY sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    ), pos AS (
+        SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim
+        FROM ranked WHERE same AND rk = 1
+    ), neg AS (
+        SELECT anchor_id, CAST(rk AS INTEGER) AS neg_rank,
+               vec_id AS neg_id, sim AS neg_sim
+        FROM ranked WHERE NOT same AND rk <= 3
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim,
+           n.neg_rank, n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
 def q_heavy_hitters_cms(spark, sf_dir):
     """Count-min-sketch heavy hitters with an exactness audit (Cormode &
     Muthukrishnan 2005): a d=4 × w=64 CMS over the corpus word stream
@@ -10420,13 +10515,13 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# ten queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# eleven queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
-# "embed_feature_hash", "heavy_hitters_cms" — put them FIRST next
-# round, then backfill
+# "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets"
+# — put them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
