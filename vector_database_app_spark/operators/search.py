@@ -106,6 +106,97 @@ def knn_batch(
     )
 
 
+def knn_batch_twophase(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_space: str | None = None,
+    query_space: str | None = None,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """The 100 TB form of :func:`knn_batch`: identical rows and ranks,
+    different physical strategy. knn_batch's per-query row_number window
+    shuffles EVERY scored corpus row to |queries| reducer partitions —
+    at a 100 TB corpus with a handful of queries that is a handful of
+    reducers sorting the world. This version does distributed top-k the
+    takeOrdered way: per-(query, input-partition) LOCAL top-k via one
+    hash aggregation (map-side partial; shuffle carries only
+    |partitions|·|queries|·k candidate structs of (sim, id) — never
+    corpus rows), then a final per-query merge-sort-slice of the
+    |partitions|·k candidates. Output columns == knn_batch
+    ((corpus cols) + sim + rk), rows bit-identical (same rounded sim,
+    same (sim DESC, id ASC) total order — equality property-pinned in
+    tests/test_search_twophase.py).
+
+    The candidate structs carry ONLY (sim, id); full corpus columns
+    re-attach by an id equi-join at the end (k·|queries| rows), so wide
+    corpus rows never enter the aggregation state. Agg state per task =
+    partition rows × |queries| 16-byte structs before the slice —
+    ObjectHashAggregate spills if a pathological partition×batch
+    combination exceeds memory, where the window form would instead
+    ship it all to one reducer."""
+    _check_spaces(corpus_space, query_space)
+    sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("_cid"),
+            sim.alias("sim"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    # (sim DESC, id ASC) as an ascending struct sort. The sort key is
+    # `0.0 - sim`, not `-sim`: subtraction sends BOTH zero signs to
+    # +0.0 (window ORDER BY normalizes -0.0 == 0.0; a raw negation
+    # would let java.lang.Double.compare order them and diverge from
+    # the window form on rounded sims of -0.0). The final rows re-read
+    # the original sim from the struct, never the negated key.
+    cand = F.struct(
+        (F.lit(0.0) - F.col("sim")).alias("nsim"),
+        F.col("_cid").alias("cid"),
+        F.col("sim").alias("s"),
+    )
+    local = (
+        scored.withColumn("_c", cand)
+        .groupBy(query_id_col, "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("_c")), 1, k
+            ).alias("_top")
+        )
+    )
+    merged = (
+        local.groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_top"))), 1, k
+            ).alias("_top")
+        )
+        .select(
+            query_id_col,
+            F.posexplode("_top").alias("_pos", "_c"),
+        )
+        .select(
+            query_id_col,
+            F.col("_c.cid").alias(id_col),
+            F.col("_c.s").alias("sim"),
+            (F.col("_pos") + 1).alias("rk"),
+        )
+    )
+    # re-attach the full corpus row by id (k·|queries| rows)
+    out_cols = [c for c in corpus.columns]
+    return (
+        merged.join(corpus.select(*out_cols), id_col)
+        .select(*out_cols, query_id_col, "sim", "rk")
+    )
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

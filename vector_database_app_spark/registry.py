@@ -9530,6 +9530,47 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_knn_batch_scaled(spark, sf_dir):
+    """Batched exact top-k through the TWO-PHASE distributed top-k
+    (search.knn_batch_twophase): per-(query, partition) local top-k via
+    hash aggregation, candidate-only shuffle, per-query merge — the
+    100 TB replacement for knn_batch's per-query window (which funnels
+    every scored corpus row into |queries| reducers). Same rows/ranks
+    as the window form (equality + partitioning-invariance pinned in
+    tests/test_search_twophase.py); the oracle is the plain ranked SQL
+    both forms equal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.knn_batch_twophase(corpus, queries, k=5).select(
+        "query_id", "vec_id", "label", "sim", F.col("rk").cast("int").alias("rk")
+    )
+
+
+QUERIES["knn_batch_scaled"] = q_knn_batch_scaled
+
+ORACLE["knn_batch_scaled"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM embeddings e, q WHERE e.vec_id >= 3
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, label, sim, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
 def q_contrastive_triplets(spark, sf_dir):
     """Hard-negative mining for contrastive embedding training (the
     in-batch-negatives upgrade every retrieval-model pipeline runs:
@@ -10515,13 +10556,13 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# eleven queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# twelve queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
-# "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets"
-# — put them FIRST next round, then backfill
+# "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
+# "knn_batch_scaled" — put them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
