@@ -551,3 +551,49 @@ def test_stream_admission_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == batch_docs.count()
+
+
+def test_stream_events_anomaly_equals_batch(spark, tmp_path):
+    """Continuous anomaly monitoring (SW.run_stream_events_anomaly):
+    events replayed in two waves through the merge-by-addition daily
+    rollup; after the full drain the audit table equals the batch
+    events_anomaly registry query on the same events."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    # stage as plain-timestamp parquet so the stream schema is simple
+    w1 = ev.filter("event_id % 2 = 0")
+    w2 = ev.filter("event_id % 2 = 1")
+    w1.coalesce(1).write.parquet(str(arrivals / "w1"))
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(w1.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_events_anomaly(stream, store_dir, out_dir, ckpt)
+
+    _drain()
+    n_mid = spark.read.parquet(out_dir).count()
+    assert n_mid > 0
+    w2.coalesce(1).write.parquet(str(arrivals / "w2"))
+    _drain()
+
+    def keyed(df):
+        return {
+            (r.event_type, r.day_us, r.n_events, r.z_score, r.anomaly)
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["events_anomaly"](spark, SF))
+    assert got == want

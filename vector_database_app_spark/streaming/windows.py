@@ -706,6 +706,87 @@ def run_stream_dedup_minhash(
     q.awaitTermination()
 
 
+def run_stream_events_anomaly(
+    event_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous daily-volume anomaly monitoring — the streaming twin
+    of the batch `events_anomaly` registry query (integer-exact
+    z-scores per event type over the type's own daily distribution).
+
+    State is the |types|×|days| daily-count rollup, maintained by
+    MERGE-BY-ADDITION: each micro-batch aggregates its own events to
+    (type, day, n) — the only corpus-sized work — then unions the tiny
+    persisted rollup and re-sums, rewriting the store and recomputing
+    the full z-score audit into ``out_dir`` (both overwrite: the audit
+    is a VIEW of all data so far, not an append log — re-running a
+    drain after new arrivals updates every day's z because the
+    distribution itself moved). Store and audit are rollup-sized, so
+    the per-batch rewrite is bounded regardless of corpus size.
+
+    Parity (tests/test_streaming.py): after draining the full replayed
+    event stream, the audit table equals the batch `events_anomaly`
+    output row-for-row."""
+    spark = event_stream.sparkSession
+
+    def _exists(path: str) -> bool:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
+    def _monitor(batch_df: DataFrame, batch_id: int) -> None:
+        daily = batch_df.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        if _exists(store_dir):
+            prev = spark.read.parquet(store_dir)
+            daily = (
+                prev.unionByName(daily)
+                .groupBy("event_type", "day_us")
+                .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+            )
+        # materialize BEFORE overwriting the store the plan reads from
+        rows = daily.collect()  # rollup-sized: |types| x |days|
+        merged = spark.createDataFrame(
+            rows, "event_type string, day_us bigint, n_events bigint"
+        )
+        merged.write.mode("overwrite").parquet(store_dir)
+        stats = merged.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("n_events").cast("bigint").alias("_s"),
+            F.sum(F.col("n_events") * F.col("n_events"))
+            .cast("bigint")
+            .alias("_q"),
+        )
+        den2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+        z = F.round(
+            (F.col("n_events") * F.col("_n") - F.col("_s")) / F.sqrt(den2),
+            6,
+        )
+        audit = merged.join(stats, "event_type").select(
+            "event_type",
+            "day_us",
+            "n_events",
+            F.when(den2 > 0, z).alias("z_score"),
+            F.when(den2 > 0, F.abs(z) > F.lit(3.0))
+            .otherwise(F.lit(False))
+            .alias("anomaly"),
+        )
+        audit.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        event_stream.writeStream.foreachBatch(_monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_admission(
     doc_stream: DataFrame,
     store: DataFrame,
