@@ -27,7 +27,7 @@ from ..functions.embed import (
     embedding_space_tag,
 )
 from ..functions.vector import cosine_rounded
-from .search import knn_batch
+from .search import knn_batch_twophase as knn_batch
 
 
 def search_range_filter(

@@ -88,11 +88,14 @@ def knn_batch(
     query_space: str | None = None,
     sim_scale: int = 6,
 ) -> DataFrame:
-    """Top-k per query for a broadcastable batch of queries.
-
-    corpus ⋈ broadcast(queries) keeps the corpus partition-local; the window
-    top-k shuffles only by query_id. For query batches too large to
-    broadcast, chunk the batch or switch to `ivf_search`.
+    """Top-k per query for a broadcastable batch of queries — the
+    REFERENCE window form: corpus ⋈ broadcast(queries), row_number per
+    query_id. Kept as the semantic definition and the equality baseline
+    for tests/test_search_twophase.py; every in-repo consumer runs
+    :func:`knn_batch_twophase` (r6), whose candidate-only shuffle
+    replaces this form's corpus-sized shuffle into |queries| reducers.
+    For query batches too large to broadcast, chunk or switch to
+    `ivf_search`.
     """
     _check_spaces(corpus_space, query_space)
     joined = corpus.crossJoin(
@@ -825,7 +828,7 @@ def mmr_rerank(
     is therefore bit-identical in any engine replaying the same steps.
     """
     _check_spaces(corpus_space, query_space)
-    short = knn_batch(
+    short = knn_batch_twophase(
         corpus,
         queries,
         k=shortlist,

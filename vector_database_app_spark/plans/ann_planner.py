@@ -178,7 +178,7 @@ def plan_topk_similarity(
         reason = f"size {size} <= brute_force_max_bytes {brute_force_max_bytes}"
         if index is not None:
             reason += "; registered index skipped below threshold"
-        df = search.knn_batch(corpus, queries, **common)
+        df = search.knn_batch_twophase(corpus, queries, **common)
         return PlannedSearch("brute_force", reason, size, df)
 
     if isinstance(index, IvfIndex):
@@ -248,5 +248,5 @@ def plan_topk_similarity(
         "falling back to exact scan (register an IvfIndex/SrpIndex, or "
         "opt into MatryoshkaFallback for an index-free approximate path)",
         size,
-        search.knn_batch(corpus, queries, **common),
+        search.knn_batch_twophase(corpus, queries, **common),
     )
