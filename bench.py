@@ -114,6 +114,19 @@ HEADLINE = [
     # round 6: the unigram-LM tokenizer encode path (vocab-frame
     # replace-fold + word-key join-back)
     "unigram_encode",
+    # round 6b: every remaining mid-r6 addition priced from day one —
+    # no invisible cost pockets among the window-7 queue
+    "temperature_mixture",
+    "events_anomaly",
+    "embedding_dim_variance",
+    "tokenizer_fertility_compare",
+    "events_resample",
+    "events_cumulative_users",
+    "minhash_estimator_quality",
+    "embed_feature_hash",
+    "heavy_hitters_cms",
+    "contrastive_triplets",
+    "knn_batch_scaled",
 ]
 
 

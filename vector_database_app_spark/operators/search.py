@@ -142,7 +142,14 @@ def knn_batch_twophase(
     partition rows × |queries| 16-byte structs before the slice —
     ObjectHashAggregate spills if a pathological partition×batch
     combination exceeds memory, where the window form would instead
-    ship it all to one reducer."""
+    ship it all to one reducer.
+
+    CAVEAT: the re-attach executes the corpus PLAN a second time. For a
+    parquet scan that is a cheap pruned rescan; for an expensive
+    DERIVED corpus (a trained projection, a UDF-embedded frame),
+    persist() the corpus first or use the window form — measured at
+    sf0.1 the double-execution costs ~0.5-1 s on the clipstub-embedded
+    multimodal corpus and would dominate on a heavy one."""
     _check_spaces(corpus_space, query_space)
     sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
     scored = (
