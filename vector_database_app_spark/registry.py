@@ -9934,6 +9934,13 @@ def q_embed_feature_hash(spark, sf_dir):
         ).otherwise(F.array().cast("array<string>")),
     )
     ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    # md5 appears twice DELIBERATELY: hashing twice inside whole-stage
+    # codegen beats hashing once through a TX.let binding, because the
+    # let wrapper turns the whole scalar projection into an interpreted
+    # HOF (measured: 2.9 s let-bound vs 1.5 s codegen at sf0.1 on the
+    # 1.3M exploded grams — the inverse of the shingles lesson: let
+    # pays on O(k)-re-evaluated ARRAY subtrees, not on a scalar
+    # double-evaluation)
     bucket = F.conv(F.substring(F.md5("g"), 1, 2), 16, 10).cast("int") % 16
     sign = F.when(
         F.conv(F.substring(F.md5("g"), 3, 1), 16, 10).cast("int") % 2 == 0,
