@@ -127,6 +127,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "contrastive_triplets",
     "knn_batch_scaled",
+    "dp_release_counts",
 ]
 
 

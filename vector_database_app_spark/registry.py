@@ -9530,6 +9530,88 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_dp_release_counts(spark, sf_dir):
+    """Differentially-private (lang, source) count release — the
+    publish step after the k-anonymity/l-diversity/t-closeness audits:
+    each cell's count is perturbed with TWO-SIDED GEOMETRIC noise
+    (discrete Laplace; Ghosh-Roughgarden-Sundararajan 2009, the
+    universally optimal mechanism for counts), ε = ln 2, sensitivity 1.
+
+    Determinism recipe (the corpus_bootstrap_ci derandomization
+    discipline): noise = G1 − G2 with each G a Geometric(1/2) drawn by
+    INTEGER-ONLY inverse CDF from a 48-bit md5 stream — G = 48 −
+    bitlen(m) for m uniform on [0, 2^48) (P(G=g) = 2^-(g+1), the m=0
+    tail carries exactly 2^-48). bitlen is the LENGTH OF THE BASE-2
+    STRING (Spark conv / DuckDB bin), so no float op exists anywhere in
+    the mechanism and both engines replay it bit-for-bit. ε is FIXED at
+    ln 2 because p = 1/2 makes the inverse CDF dyadic-exact — the
+    temperature_mixture α=0.5 trick applied to privacy. The true count
+    rides along because this registry form is the MECHANISM AUDIT; a
+    production release would drop it (and the post-processed max(0,·)
+    is included as the published value).
+
+    Scale shape: one (lang, source) hash agg; the noise is a pure
+    column expression on the |cells|-row rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+
+    def geom(tag: str) -> Column:
+        m = F.conv(
+            F.substring(
+                F.md5(F.concat("lang", F.lit("|"), "source", F.lit(tag))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(m == 0, F.lit(48)).otherwise(
+            F.lit(48) - F.length(F.conv(m.cast("string"), 10, 2))
+        )
+
+    noise = (geom("|g1") - geom("|g2")).cast("bigint")
+    return per.select(
+        "lang",
+        "source",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).cast("bigint").alias("noisy_count"),
+        F.greatest(F.col("true_count") + noise, F.lit(0))
+        .cast("bigint")
+        .alias("released_count"),
+    )
+
+
+QUERIES["dp_release_counts"] = q_dp_release_counts
+
+ORACLE["dp_release_counts"] = """
+    WITH per AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS true_count
+        FROM documents GROUP BY 1, 2
+    ), noised AS (
+        SELECT lang, source, true_count,
+               CAST(CASE WHEN m1 = 0 THEN 48
+                    ELSE 48 - len(bin(m1)) END
+                  - CASE WHEN m2 = 0 THEN 48
+                    ELSE 48 - len(bin(m2)) END AS BIGINT) AS noise
+        FROM (
+            SELECT *,
+                CAST(('0x' || substr(md5(lang || '|' || source || '|g1'),
+                                     1, 12)) AS BIGINT) AS m1,
+                CAST(('0x' || substr(md5(lang || '|' || source || '|g2'),
+                                     1, 12)) AS BIGINT) AS m2
+            FROM per)
+    )
+    SELECT lang, source, true_count, noise,
+           CAST(true_count + noise AS BIGINT) AS noisy_count,
+           CAST(greatest(true_count + noise, 0) AS BIGINT)
+               AS released_count
+    FROM noised
+"""
+
+
 def q_knn_batch_scaled(spark, sf_dir):
     """Batched exact top-k through the TWO-PHASE distributed top-k
     (search.knn_batch_twophase): per-(query, partition) local top-k via
@@ -10563,13 +10645,14 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# twelve queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# thirteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
-# "knn_batch_scaled" — put them FIRST next round, then backfill
+# "knn_batch_scaled", "dp_release_counts" — put them FIRST next
+# round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
