@@ -853,3 +853,54 @@ def test_pdf_tounicode_cmap_roundtrips_arbitrary_bmp_text(chars):
     codes = {i + 1: c for i, c in enumerate(chars)}
     pdf = _build_cmap_pdf(codes, list(codes))
     assert FB.pdf_pages_text(pdf) == ["".join(chars)]
+
+
+_pptx_safe = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20,
+        max_codepoint=0x7E,
+        blacklist_characters="<>&",  # XML-escaped chars out of scope for
+        # the generator (the fallback reads real XML, where they'd be
+        # entity-encoded by the writer; python builder writes them raw)
+    ),
+    min_size=1,
+    max_size=30,
+).map(str.strip).filter(bool)
+
+
+@given(st.lists(st.lists(_pptx_safe, min_size=1, max_size=3),
+                min_size=1, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_pptx_fallback_roundtrips_generated_decks(slides):
+    """Any texts planted shape-by-shape into a structurally valid PPTX
+    come back from the stdlib zip+XML extractor verbatim, slide-aligned
+    — the S4 twin of the PDF round-trip property."""
+    import io
+    import zipfile
+
+    from vector_database_app_spark.sources import fallback_parsers as FB
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for si, shapes in enumerate(slides, start=1):
+            sps = "".join(
+                f'<p:sp><p:nvSpPr><p:cNvPr id="{j}" name="s{j}"/>'
+                f"</p:nvSpPr><p:txBody>"
+                f'<a:p><a:r><a:t>{text}</a:t></a:r></a:p>'
+                f"</p:txBody></p:sp>"
+                for j, text in enumerate(shapes, start=1)
+            )
+            z.writestr(
+                f"ppt/slides/slide{si}.xml",
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" '
+                'xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+                '2006/main"><p:cSld><p:spTree>'
+                f"{sps}</p:spTree></p:cSld></p:sld>",
+            )
+    got: dict[int, list[str]] = {}
+    for shape in FB.pptx_shapes(buf.getvalue()):
+        assert shape["content_type"] == "text_chunk"
+        got.setdefault(shape["page_num"], []).append(shape["content_raw"])
+    want = {i: texts for i, texts in enumerate(slides)}
+    assert got == want
