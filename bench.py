@@ -128,6 +128,7 @@ HEADLINE = [
     "contrastive_triplets",
     "knn_batch_scaled",
     "dp_release_counts",
+    "query_expansion",
 ]
 
 

@@ -9530,6 +9530,123 @@ ORACLE["events_ab_test"] = """
 
 
 
+_QE_TERMS = ["spark", "join", "merge", "window", "vector"]
+
+
+def q_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 / PRF —
+    the classic sparse-retrieval second pass): BM25-rank the corpus for
+    the fixed query, take the top-5 pseudo-relevant docs, and surface
+    the 10 highest feedback-TF × idf terms NOT already in the query —
+    the terms a retrieval stack would add before the second round.
+    Composes the oracle-checked bm25_rank (same query-term list) with
+    tfidf_top_terms' statistics machinery.
+
+    Determinism: feedback tf and document frequency are integer
+    aggregates; the score is one ln on an exact integer ratio times an
+    integer, rounded 6 (the bm25 discipline); final top-10 is
+    TakeOrderedAndProject with a term tie-break. Scale shape: the
+    pseudo-relevant set is a 5-row semi-join probe; corpus df is one
+    (doc,term)-distinct hash agg; N joins as a broadcast 1-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    top5 = textops.bm25_rank(docs, _QE_TERMS, top_k=5).select("doc_id")
+    fb_toks = docs.join(F.broadcast(top5), "doc_id", "left_semi").select(
+        F.explode(
+            F.filter(TX.words("text"), lambda w: w != F.lit(""))
+        ).alias("term")
+    )
+    fb_tf = fb_toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fb_tf")
+    )
+    all_doc_terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(TX.words("text"), lambda w: w != F.lit(""))
+            )
+        ).alias("term"),
+    )
+    dfreq = all_doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        fb_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(~F.col("term").isin(_QE_TERMS))
+        .select(
+            "term",
+            "fb_tf",
+            "df",
+            F.round(
+                F.col("fb_tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("expansion_score"),
+        )
+        .orderBy(F.desc("expansion_score"), F.asc("term"))
+        .limit(10)
+    )
+
+
+QUERIES["query_expansion"] = q_query_expansion
+
+ORACLE["query_expansion"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS dl,
+             unnest(list_filter(string_split(lower(text), ' '),
+                    w -> list_contains(['spark','join','merge','window','vector'], w)))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, dl, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS sum_dl
+      FROM documents
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * ((tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))), 8)
+             AS DECIMAL(18,8)) AS part
+      FROM tf JOIN dfq USING (term) CROSS JOIN st
+    ), top5 AS (
+      SELECT doc_id FROM sc GROUP BY doc_id
+      ORDER BY CAST(round(sum(part), 4) AS DOUBLE) DESC, doc_id ASC
+      LIMIT 5
+    ), fb AS (
+      SELECT unnest(list_filter(string_split(lower(d.text), ' '),
+                                w -> w <> '')) AS term
+      FROM documents d JOIN top5 USING (doc_id)
+    ), fb_tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS fb_tf FROM fb GROUP BY term
+    ), corpus_df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+        SELECT DISTINCT doc_id, unnest(list_distinct(
+            list_filter(string_split(lower(text), ' '), w -> w <> '')))
+            AS term
+        FROM documents)
+      GROUP BY term
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT f.term, f.fb_tf, c.df,
+           round(f.fb_tf * ln(CAST(n_docs AS DOUBLE) / c.df), 6)
+               AS expansion_score
+    FROM fb_tf f JOIN corpus_df c USING (term) CROSS JOIN nd
+    WHERE NOT list_contains(['spark','join','merge','window','vector'],
+                            f.term)
+    ORDER BY expansion_score DESC, f.term ASC
+    LIMIT 10
+"""
+
+
 def q_dp_release_counts(spark, sf_dir):
     """Differentially-private (lang, source) count release — the
     publish step after the k-anonymity/l-diversity/t-closeness audits:
@@ -10645,14 +10762,14 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# thirteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# fourteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
-# "knn_batch_scaled", "dp_release_counts" — put them FIRST next
-# round, then backfill
+# "knn_batch_scaled", "dp_release_counts", "query_expansion" — put
+# them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
