@@ -129,6 +129,7 @@ HEADLINE = [
     "knn_batch_scaled",
     "dp_release_counts",
     "query_expansion",
+    "join_skew_report",
 ]
 
 

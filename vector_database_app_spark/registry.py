@@ -9530,6 +9530,76 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_join_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic — the "should I salt this join" audit
+    that precedes every `join_salted`/AQE-skew decision: for a join key
+    (lineitem.l_suppkey here), the top-10 heaviest keys with their row
+    share, alongside the global key-space statistics (total rows,
+    distinct keys, p50/p99 group sizes and their skew ratio). A p99/p50
+    ratio near 1 means AQE alone is fine; a hot key holding percents of
+    the table means salting (the operational complement of the
+    cross-join/broadcast/window plan gates: those prevent structural
+    killers, this MEASURES the data-dependent one).
+
+    Determinism: group sizes are integers; p50/p99 use the exact
+    interpolated percentile (Spark percentile == DuckDB quantile_cont,
+    the agg_percentile pairing); shares are one rounded division.
+    Scale: one hash agg keyed on the join key, percentile + top-10 over
+    the |keys|-row group-size frame, stats broadcast back as a 1-row
+    frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_group"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_group"),
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(10)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("l_suppkey").alias("key"),
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+            "n_total",
+            "n_keys",
+            "p50_group",
+            "p99_group",
+            F.round(F.col("p99_group") / F.col("p50_group"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+    )
+
+
+QUERIES["join_skew_report"] = q_join_skew_report
+
+ORACLE["join_skew_report"] = """
+    WITH counts AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ), stats AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               round(quantile_cont(n, 0.5), 4) AS p50_group,
+               round(quantile_cont(n, 0.99), 4) AS p99_group
+        FROM counts
+    ), top AS (
+        SELECT l_suppkey, n FROM counts
+        ORDER BY n DESC, l_suppkey ASC LIMIT 10
+    )
+    SELECT t.l_suppkey AS key, t.n,
+           round(t.n / s.n_total, 6) AS share,
+           s.n_total, s.n_keys, s.p50_group, s.p99_group,
+           round(s.p99_group / s.p50_group, 6) AS skew_ratio
+    FROM top t CROSS JOIN stats s
+"""
+
+
 _QE_TERMS = ["spark", "join", "merge", "window", "vector"]
 
 
@@ -10762,14 +10832,14 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# fourteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# fifteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
-# "knn_batch_scaled", "dp_release_counts", "query_expansion" — put
-# them FIRST next round, then backfill
+# "knn_batch_scaled", "dp_release_counts", "query_expansion",
+# "join_skew_report" — put them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
