@@ -130,6 +130,7 @@ HEADLINE = [
     "dp_release_counts",
     "query_expansion",
     "join_skew_report",
+    "enrich_scd2",
 ]
 
 

@@ -9530,6 +9530,99 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_enrich_scd2(spark, sf_dir):
+    """Point-in-time-correct enrichment against an SCD2 dimension — the
+    feature-store lookup rule (no leakage from the future): each fact
+    row (order) joins the dimension version whose [valid_from,
+    valid_to) interval contains the fact's timestamp. The dimension is
+    the engine's own scd_type2 history (same build as the driver-green
+    `scd_type2` row); the probe is each order's own date, so every
+    version range is exercised and the expected attribute is
+    self-consistent by construction.
+
+    Scale shape: ONE equi-join on the dimension key with the interval
+    predicate as the join residual — fan-out per fact row is bounded by
+    that key's VERSION count (attribute-change count, not history
+    length), and versions-per-key is already collapsed by the scd
+    build's run aggregation. No window over facts; the dimension-side
+    windows run on the per-key history exactly as in scd_type2."""
+    orders = _t(spark, sf_dir, "orders")
+    hist = relational.scd_type2(
+        orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).select(
+        F.col("o_custkey").alias("_k"),
+        F.col("o_orderpriority").alias("attr_at_time"),
+        "version",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    facts = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    cond = (
+        (facts["o_custkey"] == hist["_k"])
+        & (hist["valid_from"] <= facts["o_orderdate"])
+        & (
+            hist["valid_to"].isNull()
+            | (facts["o_orderdate"] < hist["valid_to"])
+        )
+    )
+    return facts.join(hist, cond, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "probe_us"
+        ),
+        "attr_at_time",
+        F.col("version").cast("bigint").alias("version_at_time"),
+        "is_current",
+    )
+
+
+QUERIES["enrich_scd2"] = q_enrich_scd2
+
+ORACLE["enrich_scd2"] = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev,
+             row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ), runs AS (
+      SELECT *,
+             sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+                      THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run
+      FROM seq
+    ), grouped AS (
+      SELECT o_custkey, run, o_orderpriority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM runs GROUP BY 1, 2, 3
+    ), hist AS (
+      SELECT o_custkey AS k, o_orderpriority AS attr_at_time,
+             CAST(run AS BIGINT) AS version, valid_from,
+             lead(valid_from) OVER (
+                 PARTITION BY o_custkey ORDER BY run) AS valid_to
+      FROM grouped
+    )
+    SELECT f.o_orderkey, f.o_custkey,
+           CAST(epoch_us(f.o_orderdate) AS BIGINT) AS probe_us,
+           h.attr_at_time,
+           CAST(h.version AS BIGINT) AS version_at_time,
+           h.valid_to IS NULL AS is_current
+    FROM orders f
+    LEFT JOIN hist h
+      ON h.k = f.o_custkey
+     AND h.valid_from <= f.o_orderdate
+     AND (h.valid_to IS NULL OR f.o_orderdate < h.valid_to)
+"""
+
+
 def q_join_skew_report(spark, sf_dir):
     """Join-key skew diagnostic — the "should I salt this join" audit
     that precedes every `join_salted`/AQE-skew decision: for a join key
@@ -10832,14 +10925,15 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# fifteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# sixteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
-# "join_skew_report" — put them FIRST next round, then backfill
+# "join_skew_report", "enrich_scd2" — put them FIRST next round,
+# then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
