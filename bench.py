@@ -131,6 +131,7 @@ HEADLINE = [
     "query_expansion",
     "join_skew_report",
     "enrich_scd2",
+    "attribution_multitouch",
 ]
 
 

@@ -9530,6 +9530,91 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_attribution_multitouch(spark, sf_dir):
+    """Multi-touch (linear) attribution — the upgrade over the
+    last-touch `stream_attribution` join: every click in the 30-minute
+    window before a purchase gets EQUAL credit 1/n of that purchase's
+    value, so channel reporting sums to total purchase value instead of
+    over-crediting the final click. One row per (purchase, click) pair
+    with the credit weight and the credited value.
+
+    Determinism: n is an integer count windowed per purchase on the
+    JOINED pair frame (bounded by clicks-in-window, never raw events);
+    weight = round(1/n, 6), credited value = round(round(value,4)/n, 6)
+    — both single divisions of exact operands. Scale: the same
+    user-keyed equi-join with a time-range residual as the
+    attribution stream twin; the per-purchase window runs on pair rows
+    only."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (purchases["user_id"] == clicks["_cu"])
+        & (clicks["click_ts"] <= purchases["purchase_ts"])
+        & (
+            clicks["click_ts"]
+            >= purchases["purchase_ts"] - F.expr("INTERVAL 30 minutes")
+        )
+    )
+    pairs = purchases.join(clicks, cond).select(
+        "purchase_id",
+        "user_id",
+        "purchase_value",
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+    w = Window.partitionBy("purchase_id")
+    n = F.count(F.lit(1)).over(w)
+    return pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "click_us",
+        n.cast("bigint").alias("n_touches"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+        F.round(F.col("purchase_value") / n, 6).alias("credited_value"),
+    )
+
+
+QUERIES["attribution_multitouch"] = q_attribution_multitouch
+
+ORACLE["attribution_multitouch"] = """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               round(value, 4) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), pairs AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_value,
+               c.click_id, epoch_us(c.click_ts) AS click_us
+        FROM p JOIN c
+          ON c.cu = p.user_id
+         AND c.click_ts <= p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    )
+    SELECT purchase_id, user_id, click_id, click_us,
+           CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_touches,
+           round(1.0 / count(*) OVER (PARTITION BY purchase_id), 6)
+               AS weight,
+           round(purchase_value
+                 / count(*) OVER (PARTITION BY purchase_id), 6)
+               AS credited_value
+    FROM pairs
+"""
+
+
 def q_enrich_scd2(spark, sf_dir):
     """Point-in-time-correct enrichment against an SCD2 dimension — the
     feature-store lookup rule (no leakage from the future): each fact
@@ -10925,15 +11010,15 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# sixteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# seventeen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
-# "join_skew_report", "enrich_scd2" — put them FIRST next round,
-# then backfill
+# "join_skew_report", "enrich_scd2", "attribution_multitouch" — put
+# them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
