@@ -132,6 +132,7 @@ HEADLINE = [
     "join_skew_report",
     "enrich_scd2",
     "attribution_multitouch",
+    "graph_bfs_reach",
 ]
 
 

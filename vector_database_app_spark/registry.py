@@ -9530,6 +9530,99 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_graph_bfs_reach(spark, sf_dir):
+    """Multi-source BFS hop distance over the supplier↔customer trade
+    graph (edges as in graph_pagerank): distance 0..3 from the SEED set
+    (the 5 highest-degree hubs, deterministic (degree DESC, node ASC)
+    pick), NULL-free — unreached nodes are absent, reached ones carry
+    their first-visit hop. The reachability/propagation primitive next
+    to triangles (cohesion), pagerank (centrality), and
+    connected_components (equivalence): "how many hops from the hubs is
+    everyone" is the influence-radius audit.
+
+    Fixed-iteration unrolled relational rounds (the pagerank/rag_mmr
+    discipline — no driver loop, one lazy plan): each round is one
+    frontier⋈edges equi-join + one min-dist hash agg; at 100 TB each
+    round shuffles on the node key and AQE handles hub skew. All
+    integers; replays exactly as unrolled SQL CTEs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(5)
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    dist = seeds
+    for hop in (1, 2, 3):
+        frontier = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        "node", F.col("dist").cast("int").alias("hops")
+    )
+
+
+QUERIES["graph_bfs_reach"] = q_graph_bfs_reach
+
+ORACLE["graph_bfs_reach"] = """
+    WITH fwd AS (
+        SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), seeds AS (
+        SELECT src AS node, 0 AS dist FROM deg
+        ORDER BY deg DESC, src ASC LIMIT 5
+    ), d1 AS (
+        SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+            SELECT node, dist FROM seeds
+            UNION ALL
+            SELECT e.dst AS node, 1 AS dist
+            FROM seeds s JOIN edges e ON e.src = s.node
+        ) GROUP BY node
+    ), d2 AS (
+        SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.dst AS node, 2 AS dist
+            FROM d1 JOIN edges e ON e.src = d1.node
+        ) GROUP BY node
+    ), d3 AS (
+        SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.dst AS node, 3 AS dist
+            FROM d2 JOIN edges e ON e.src = d2.node
+        ) GROUP BY node
+    )
+    SELECT node, dist AS hops FROM d3
+"""
+
+
 def q_attribution_multitouch(spark, sf_dir):
     """Multi-touch (linear) attribution — the upgrade over the
     last-touch `stream_attribution` join: every click in the 30-minute
@@ -11010,15 +11103,15 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# seventeen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# eighteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
 # "events_cumulative_users", "minhash_estimator_quality",
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
-# "join_skew_report", "enrich_scd2", "attribution_multitouch" — put
-# them FIRST next round, then backfill
+# "join_skew_report", "enrich_scd2", "attribution_multitouch",
+# "graph_bfs_reach" — put them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
