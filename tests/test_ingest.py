@@ -918,3 +918,43 @@ def test_resources_cycle_guard_degrades_not_hangs():
         out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
     out.extend(b"%%EOF\n")
     assert FB.pdf_pages_text(bytes(out)) == ["cycle ok"]
+
+
+# ---------------------------------------------------------------------------
+# r6 review findings: /Length backtracking + nested-paren literals
+# ---------------------------------------------------------------------------
+
+
+def test_length_regex_rejects_indirect_multidigit_ref():
+    """`/Length 123 0 R` must NOT match as a direct length of 12 — the
+    \\d+ used to backtrack one digit past the negative lookahead and
+    serve a bogus 12-byte slice for non-Flate streams (review r6)."""
+    assert FB._LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+    m = FB._LENGTH_RE.search(b"<< /Length 123 >>")
+    assert m and m.group(1) == b"123"
+
+
+def test_indirect_length_stream_uses_endstream_fallback():
+    """A non-Flate stream with an indirect /Length decodes via the
+    endstream-delimited fallback, full payload intact."""
+    body = (
+        b"<< /Length 123 0 R >>\nstream\n"
+        b"this payload is much longer than twelve bytes"
+        b"\nendstream"
+    )
+    assert FB._stream_bytes(body) == (
+        b"this payload is much longer than twelve bytes"
+    )
+
+
+def test_nested_paren_literal_with_embedded_ET():
+    """Balanced nested parens need no escaping (PDF 32000-1 §7.3.4.2);
+    an 'ET' inside such a literal must not terminate the BT..ET block
+    (review r6 — the flat-literal pattern cut the block mid-literal)."""
+    stream = b"BT /F1 12 Tf ((nested) ET more) Tj ( tail) Tj ET"
+    assert FB._text_of_content_stream(stream) == "(nested) ET more tail"
+
+
+def test_nested_paren_literal_three_levels():
+    stream = b"BT (a(b(c)d)e) Tj ET"
+    assert FB._text_of_content_stream(stream) == "a(b(c)d)e"

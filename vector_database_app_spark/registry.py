@@ -10230,18 +10230,27 @@ def q_heavy_hitters_cms(spark, sf_dir):
             F.filter(TX.words("text"), lambda x: x != F.lit(""))
         ).alias("tok")
     )
-    rows = toks.select(
-        "tok",
-        F.explode(
+    def _rc_structs():
+        # ONE definition of the CMS hash family, used by BOTH the
+        # sketch build and the probe — the estimate >= exact guarantee
+        # holds only while the two stay bit-identical (review r6;
+        # the _md5_signatures sharing discipline)
+        return F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
                         (
                             F.conv(
-                                F.substring(F.md5(
-                                    F.concat(F.col("tok"), F.lit(f"|{r}"))
-                                ), 1, 4),
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col("tok"), F.lit(f"|{r}")
+                                        )
+                                    ),
+                                    1,
+                                    4,
+                                ),
                                 16,
                                 10,
                             ).cast("int")
@@ -10251,8 +10260,9 @@ def q_heavy_hitters_cms(spark, sf_dir):
                     for r in range(d)
                 ]
             )
-        ).alias("rc"),
-    )
+        ).alias("rc")
+
+    rows = toks.select("tok", _rc_structs())
     sketch = rows.groupBy("rc.r", "rc.c").agg(
         F.count(F.lit(1)).cast("bigint").alias("cell")
     )
@@ -10262,30 +10272,7 @@ def q_heavy_hitters_cms(spark, sf_dir):
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(20)
     )
-    probe = exact_top.select(
-        "tok",
-        "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            F.conv(
-                                F.substring(F.md5(
-                                    F.concat(F.col("tok"), F.lit(f"|{r}"))
-                                ), 1, 4),
-                                16,
-                                10,
-                            ).cast("int")
-                            % w
-                        ).alias("c"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rc"),
-    )
+    probe = exact_top.select("tok", "exact_count", _rc_structs())
     return (
         probe.join(
             F.broadcast(sketch),
@@ -10385,8 +10372,13 @@ def q_minhash_estimator_quality(spark, sf_dir):
         matches.cast("bigint").alias("n_matching"),
         F.round(matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
     )
-    exact = dedup.ngram_jaccard(docs, est.select("id_a", "id_b"), "text",
-                                "doc_id", shingle_n=3)
+    # verify against the PLAIN pairs frame, not est.select(...): routing
+    # the pair list through est would embed the whole signature pipeline
+    # in the exact branch and run the corpus-sized minhash aggregation
+    # twice per query (review r6 finding). Row-identical: ngram_jaccard's
+    # inner joins drop exactly the ids est's joins drop (every doc has
+    # >= 1 shingle via the whole-text fallback).
+    exact = dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingle_n=3)
     return (
         est.join(exact, ["id_a", "id_b"])
         .select(

@@ -60,11 +60,23 @@ from collections.abc import Iterator
 # ---------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+# PDF literal string, with BALANCED NESTED PARENS handled to 3 levels
+# (PDF 32000-1 §7.3.4.2: balanced parens inside a literal need no
+# escaping — a flat-literal pattern let an 'ET' inside a nested literal
+# terminate the text block early; review r6 finding). Regexes can't
+# count, so the pattern is the flat literal expanded 3 deep — deeper
+# nesting degrades to the old behavior rather than failing the parse.
+_LIT0 = rb"\((?:[^()\\]|\\.)*\)"
+_LIT1 = rb"\((?:[^()\\]|\\." + rb"|" + _LIT0 + rb")*\)"
+_LIT2 = rb"\((?:[^()\\]|\\." + rb"|" + _LIT1 + rb")*\)"
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-# direct-integer /Length only (indirect `/Length 7 0 R` falls back to
-# the endstream-delimited regex)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# direct-integer /Length only (indirect `/Length 12 0 R` falls back to
+# the endstream-delimited regex). The (?!\d|...) guard forbids the
+# \d+ from BACKTRACKING a digit to defeat the lookahead — without it
+# `/Length 123 0 R` matched "12" and served a bogus 12-byte slice
+# (review r6 finding, repro in tests/test_ingest.py).
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d|\s+0\s+R)")
 # One alternation scanned left-to-right so every byte belongs to exactly
 # one token class: a `<2>` INSIDE a literal `(<2>)` is consumed by the
 # literal branch and can never re-match as a hex string, and mixed
@@ -74,7 +86,7 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 # tracks `/Name size Tf` font selection so hex strings decode through
 # the selected font's ToUnicode CMap.
 _SHOW_TOKEN_RE = re.compile(
-    rb"(?P<lit>\((?:[^()\\]|\\.)*\))|<(?P<hex>[0-9A-Fa-f\s]+)>"
+    rb"(?P<lit>" + _LIT2 + rb")|<(?P<hex>[0-9A-Fa-f\s]+)>"
     rb"|/(?P<font>[^\s/<>()\[\]]+)\s+[0-9.]+\s+Tf"
 )
 _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
@@ -100,7 +112,7 @@ _BFRANGE_ITEM_RE = re.compile(
 # the text-block scan consumes literal strings ATOMICALLY so an "ET"
 # inside `(…)` cannot terminate the block early (hypothesis-found on
 # page text "ET", r6); hex strings can't contain the byte 'T'
-_BT_ET_RE = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|.)*?)ET", re.S)
+_BT_ET_RE = re.compile(rb"BT((?:" + _LIT2 + rb"|.)*?)ET", re.S)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 _PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
