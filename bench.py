@@ -133,6 +133,7 @@ HEADLINE = [
     "enrich_scd2",
     "attribution_multitouch",
     "graph_bfs_reach",
+    "knn_pca_search_pinned",
 ]
 
 

@@ -9530,6 +9530,85 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_knn_pca_search_pinned(spark, sf_dir):
+    """Coarse-to-fine ANN through a FROZEN learned rotation — the
+    value-oracled twin of the rows-only `knn_pca_search`: the pinned
+    4-axis PCA rotation (pca_oracle_literals.PINNED_PCA_AXES, trained
+    once at sf0.001, shipped unchanged at every scale — the way a real
+    pipeline deploys a projection) projects corpus and queries, the
+    4-dim dot picks a 50-deep shortlist per query, exact full-dim
+    cosine re-ranks to top-5. Every stage replays in DuckDB: the
+    projection is a literal-axis list_dot_product (sequential fold ==
+    Spark's zip_with+aggregate), the coarse score a 4-term sequential
+    sum rounded 6, shortlist and re-rank the standard ranked-SQL
+    windows. This puts the learned-projection ANN TRAJECTORY itself
+    under the value gate, not just its recall floor."""
+    from .pca_oracle_literals import PINNED_PCA_AXES  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return search.pca_search(
+        corpus, queries, PINNED_PCA_AXES, k=5, shortlist=50
+    ).select("query_id", "vec_id", "label", "coarse_sim", "sim", "rk")
+
+
+QUERIES["knn_pca_search_pinned"] = q_knn_pca_search_pinned
+
+
+def _pca_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import PINNED_PCA_AXES  # noqa: PLC0415
+
+    def axis_lit(c):
+        return "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+
+    def projs(src, prefix):
+        return ",\n               ".join(
+            f"list_dot_product({src}::DOUBLE[], {axis_lit(c)}) AS {prefix}{j}"
+            for j, c in enumerate(PINNED_PCA_AXES)
+        )
+
+    coarse = " + ".join(f"c.pc{j} * q.qc{j}" for j in range(len(PINNED_PCA_AXES)))
+    return f"""
+    WITH cp AS (
+        SELECT vec_id, label, embedding,
+               {projs("embedding", "pc")}
+        FROM embeddings WHERE vec_id >= 3
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe,
+               {projs("embedding", "qc")}
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id, c.label, c.embedding, q.qe,
+               round(0.0 + {coarse}, 6) AS coarse_sim
+        FROM cp c, qp q
+    ), short AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse_sim DESC, vec_id
+        ) AS crk
+        FROM scored
+    ), fine AS (
+        SELECT query_id, vec_id, label, coarse_sim,
+               {_SQL_COS.format(a="embedding", b="qe")} AS sim
+        FROM short WHERE crk <= 50
+    )
+    SELECT query_id, vec_id, label, coarse_sim, sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id
+        ) AS rk
+        FROM fine
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["knn_pca_search_pinned"] = _pca_pinned_oracle_sql()
+
+
 def q_graph_bfs_reach(spark, sf_dir):
     """Multi-source BFS hop distance over the supplier↔customer trade
     graph (edges as in graph_pagerank): distance 0..3 from the SEED set
@@ -11095,7 +11174,7 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# eighteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# nineteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
@@ -11103,7 +11182,8 @@ _DRIVER_WINDOW_R6 = [
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
 # "join_skew_report", "enrich_scd2", "attribution_multitouch",
-# "graph_bfs_reach" — put them FIRST next round, then backfill
+# "graph_bfs_reach", "knn_pca_search_pinned" — put them FIRST next
+# round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
