@@ -134,6 +134,7 @@ HEADLINE = [
     "attribution_multitouch",
     "graph_bfs_reach",
     "knn_pca_search_pinned",
+    "ann_pq_search_pinned",
 ]
 
 

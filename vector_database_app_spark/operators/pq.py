@@ -286,7 +286,18 @@ def pq_search(
     adc = (
         exploded.join(F.broadcast(table), ["subspace", "code"])
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("partial"), _ADC_SCALE).alias("adc_score"))
+        .agg(
+            # partials are 6-dp-rounded doubles; summing them as
+            # DECIMAL(18,6) is EXACT, so the ADC score is independent
+            # of accumulation order AND engine (the cross-engine
+            # rounded-value-sum rule; enables the pinned value oracle)
+            F.round(
+                F.sum(F.col("partial").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                _ADC_SCALE,
+            ).alias("adc_score")
+        )
     )
 
     w = Window.partitionBy(query_id_col).orderBy(
@@ -421,7 +432,18 @@ def ivfpq_search(
     adc = (
         exploded.join(F.broadcast(table), [query_id_col, "subspace", "code"])
         .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("partial"), _ADC_SCALE).alias("adc_score"))
+        .agg(
+            # partials are 6-dp-rounded doubles; summing them as
+            # DECIMAL(18,6) is EXACT, so the ADC score is independent
+            # of accumulation order AND engine (the cross-engine
+            # rounded-value-sum rule; enables the pinned value oracle)
+            F.round(
+                F.sum(F.col("partial").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                _ADC_SCALE,
+            ).alias("adc_score")
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("adc_score"), F.asc(id_col)

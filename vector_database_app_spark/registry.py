@@ -9530,6 +9530,119 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_ann_pq_search_pinned(spark, sf_dir):
+    """Product quantization under the value gate — the pinned twin of
+    the rows-only `ann_pq_search`: the frozen codebooks
+    (pca_oracle_literals.PINNED_PQ_CODEBOOKS, trained once at sf0.001)
+    drive encode → ADC → exact re-rank unchanged at every scale, and
+    every stage replays in DuckDB: the per-subspace argmin scores and
+    ADC partials are sequential-fold dots on literal centroids (== the
+    zip_with/aggregate expressions bit-for-bit, with the -|c|²/2 terms
+    emitted from the same Python computation into both sides), the ADC
+    sum is DECIMAL-exact over 6-dp partials (order-independent — the
+    r6 pq.py change this query motivated), and shortlist/re-rank are
+    the standard ranked-SQL windows."""
+    from .operators import pq as PQ  # noqa: PLC0415
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = PQ.pq_encode(emb, PINNED_PQ_CODEBOOKS)
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, cent)
+            for s, rows in sorted(PINNED_PQ_CODEBOOKS.items())
+            for c, cent in rows
+        ],
+        _PQ_SCHEMA,
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.pq_search(
+        codes, codebooks, queries, k=5, m=8, shortlist=50, refine_with=emb
+    )
+
+
+QUERIES["ann_pq_search_pinned"] = q_ann_pq_search_pinned
+
+
+def _pq_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    sub = 8
+    rows = []
+    for s, entries in sorted(PINNED_PQ_CODEBOOKS.items()):
+        for code, cent in entries:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            # the -|c|²/2 term must be the SAME double literal Spark's
+            # _l2_argmin_code embeds: computed by the identical Python
+            # expression here
+            nh = repr(sum(v * v for v in cent) / 2.0)
+            rows.append(f"({s}, {code}, {lit}, {nh})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH cb(subspace, code, centroid, nh) AS (VALUES
+        {values}
+    ), enc_scored AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               round(list_dot_product(
+                   (e.embedding::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid) - b.nh, 6) AS score
+        FROM embeddings e, cb b
+    ), codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY score DESC, code ASC
+            ) AS rk
+            FROM enc_scored
+        ) WHERE rk = 1
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), adc_table AS (
+        SELECT q.query_id, b.subspace, b.code,
+               CAST(round(list_dot_product(
+                   (q.qe::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid), 6) AS DECIMAL(18,6)) AS partial
+        FROM qp q, cb b
+    ), adc AS (
+        SELECT t.query_id, c.vec_id,
+               round(CAST(sum(t.partial) AS DOUBLE), 6) AS adc_score
+        FROM codes c
+        JOIN adc_table t USING (subspace, code)
+        GROUP BY t.query_id, c.vec_id
+    ), short AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, vec_id ASC
+            ) AS crk
+            FROM adc
+        ) WHERE crk <= 50
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qp q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, sim, adc_score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+        ) AS rk
+        FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["ann_pq_search_pinned"] = _pq_pinned_oracle_sql()
+
+
 def q_knn_pca_search_pinned(spark, sf_dir):
     """Coarse-to-fine ANN through a FROZEN learned rotation — the
     value-oracled twin of the rows-only `knn_pca_search`: the pinned
@@ -11174,7 +11287,7 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# nineteen queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# twenty queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
@@ -11182,8 +11295,8 @@ _DRIVER_WINDOW_R6 = [
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
 # "join_skew_report", "enrich_scd2", "attribution_multitouch",
-# "graph_bfs_reach", "knn_pca_search_pinned" — put them FIRST next
-# round, then backfill
+# "graph_bfs_reach", "knn_pca_search_pinned", "ann_pq_search_pinned"
+# — put them FIRST next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
