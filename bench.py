@@ -135,6 +135,7 @@ HEADLINE = [
     "graph_bfs_reach",
     "knn_pca_search_pinned",
     "ann_pq_search_pinned",
+    "ann_ivfpq_search_pinned",
 ]
 
 

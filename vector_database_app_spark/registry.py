@@ -9643,6 +9643,158 @@ def _pq_pinned_oracle_sql() -> str:
 ORACLE["ann_pq_search_pinned"] = _pq_pinned_oracle_sql()
 
 
+def q_ann_ivfpq_search_pinned(spark, sf_dir):
+    """IVF-PQ (FAISS IVFADC) under the value gate — the pinned twin of
+    the rows-only `ann_ivfpq_search`, completing the trained-ANN
+    oracle sweep: the deterministic stand-in centroids (ann_ivf's
+    first-per-label recipe) drive assignment + probes, the FROZEN
+    codebooks drive encode + ADC, the DECIMAL-exact ADC sum and the
+    exact re-rank close it out — every stage already individually
+    replayable, composed here into the full two-level system's DuckDB
+    replay."""
+    from .operators import pq as PQ  # noqa: PLC0415
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, cent)
+            for s, rows in sorted(PINNED_PQ_CODEBOOKS.items())
+            for c, cent in rows
+        ],
+        _PQ_SCHEMA,
+    )
+    assigned_codes = (
+        search.ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .join(PQ.pq_encode(emb, PINNED_PQ_CODEBOOKS), "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.ivfpq_search(
+        assigned_codes,
+        centroids,
+        codebooks,
+        queries,
+        k=5,
+        n_probe=2,
+        m=8,
+        shortlist=50,
+        refine_with=emb,
+    )
+
+
+QUERIES["ann_ivfpq_search_pinned"] = q_ann_ivfpq_search_pinned
+
+
+def _ivfpq_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    sub = 8
+    rows = []
+    for s, entries in sorted(PINNED_PQ_CODEBOOKS.items()):
+        for code, cent in entries:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            nh = repr(sum(v * v for v in cent) / 2.0)
+            rows.append(f"({s}, {code}, {lit}, {nh})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH cb(subspace, code, centroid, nh) AS (VALUES
+        {values}
+    ), cents AS (
+        SELECT label AS centroid_id, embedding AS centroid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn = 1
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS rk
+            FROM embeddings e, cents c
+        ) WHERE rk = 1
+    ), enc_scored AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               round(list_dot_product(
+                   (e.embedding::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid) - b.nh, 6) AS score
+        FROM embeddings e, cb b
+    ), codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY score DESC, code ASC
+            ) AS rk
+            FROM enc_scored
+        ) WHERE rk = 1
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS prk
+            FROM qp q, cents c
+        ) WHERE prk <= 2
+    ), cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assign a JOIN probes p USING (centroid_id)
+    ), adc_table AS (
+        SELECT q.query_id, b.subspace, b.code,
+               CAST(round(list_dot_product(
+                   (q.qe::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid), 6) AS DECIMAL(18,6)) AS partial
+        FROM qp q, cb b
+    ), adc AS (
+        SELECT n.query_id, n.vec_id,
+               round(CAST(sum(t.partial) AS DOUBLE), 6) AS adc_score
+        FROM cand n
+        JOIN codes c USING (vec_id)
+        JOIN adc_table t
+          ON t.query_id = n.query_id
+         AND t.subspace = c.subspace AND t.code = c.code
+        GROUP BY n.query_id, n.vec_id
+    ), short AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, vec_id ASC
+            ) AS crk
+            FROM adc
+        ) WHERE crk <= 50
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qp q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, sim, adc_score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+        ) AS rk
+        FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["ann_ivfpq_search_pinned"] = _ivfpq_pinned_oracle_sql()
+
+
 def q_knn_pca_search_pinned(spark, sf_dir):
     """Coarse-to-fine ANN through a FROZEN learned rotation — the
     value-oracled twin of the rows-only `knn_pca_search`: the pinned
@@ -11287,7 +11439,7 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# twenty queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# twenty-one queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
@@ -11295,8 +11447,9 @@ _DRIVER_WINDOW_R6 = [
 # "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
 # "join_skew_report", "enrich_scd2", "attribution_multitouch",
-# "graph_bfs_reach", "knn_pca_search_pinned", "ann_pq_search_pinned"
-# — put them FIRST next round, then backfill
+# "graph_bfs_reach", "knn_pca_search_pinned",
+# "ann_pq_search_pinned", "ann_ivfpq_search_pinned" — put them FIRST
+# next round, then backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
