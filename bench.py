@@ -136,6 +136,7 @@ HEADLINE = [
     "knn_pca_search_pinned",
     "ann_pq_search_pinned",
     "ann_ivfpq_search_pinned",
+    "quality_classifier_pinned",
 ]
 
 

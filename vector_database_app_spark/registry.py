@@ -9530,6 +9530,70 @@ ORACLE["events_ab_test"] = """
 
 
 
+def q_quality_classifier_pinned(spark, sf_dir):
+    """The TRAINED quality classifier's serving path under the value
+    gate — pinned twin of the rows-only `quality_classifier_trained`:
+    the frozen MLlib LogisticRegression weights
+    (pca_oracle_literals.PINNED_QUALITY_LR) serve as pure column
+    expressions over the four round(·,6) quality features, and DuckDB
+    replays logit = b + Σ wᵢfᵢ term-for-term (left-assoc on identical
+    double literals and identically-rounded features — the same
+    feature SQL the fixed-weight `quality_classifier` oracle already
+    value-matches). keep is decided on the EMITTED rounded logit."""
+    from .pca_oracle_literals import PINNED_QUALITY_LR  # noqa: PLC0415
+
+    return textops.serve_quality_classifier(
+        _t(spark, sf_dir, "documents"),
+        PINNED_QUALITY_LR["weights"],
+        PINNED_QUALITY_LR["intercept"],
+    )
+
+
+QUERIES["quality_classifier_pinned"] = q_quality_classifier_pinned
+
+
+def _quality_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import PINNED_QUALITY_LR  # noqa: PLC0415
+
+    w = [repr(float(x)) for x in PINNED_QUALITY_LR["weights"]]
+    b = repr(float(PINNED_QUALITY_LR["intercept"]))
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS nw,
+             coalesce(round(len(list_filter(
+                 list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                 x -> list_contains(['the','a','and','of','to','in','is'], x)))
+               / nullif(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')), 0), 6), 0.0) AS f_stop,
+             coalesce(round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / nullif(length(text), 0), 6), 0.0) AS f_punct,
+             round(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                                 x -> x <> '')))
+               / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1),
+               6) AS f_distinct
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             round(least(nw, 200) / 200.0, 6) AS f_len,
+             f_stop, f_punct, f_distinct
+      FROM f
+    )
+    SELECT doc_id,
+           round({b} + {w[0]} * f_len + {w[1]} * f_stop
+                 + {w[2]} * f_punct + {w[3]} * f_distinct, 6)
+               AS quality_logit,
+           round({b} + {w[0]} * f_len + {w[1]} * f_stop
+                 + {w[2]} * f_punct + {w[3]} * f_distinct, 6) > 0.0
+               AS keep
+    FROM feats
+"""
+
+
+ORACLE["quality_classifier_pinned"] = _quality_pinned_oracle_sql()
+
+
 def q_ann_pq_search_pinned(spark, sf_dir):
     """Product quantization under the value gate — the pinned twin of
     the rows-only `ann_pq_search`: the frozen codebooks
@@ -11439,7 +11503,7 @@ _DRIVER_WINDOW_R6 = [
 
 # _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# twenty-one queries added mid-r6 (each verified at sf0.001 + sf0.01 +
+# twenty-two queries added mid-r6 (each verified at sf0.001 + sf0.01 +
 # sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
 # "events_anomaly", "embedding_dim_variance",
 # "tokenizer_fertility_compare", "events_resample",
@@ -11448,8 +11512,9 @@ _DRIVER_WINDOW_R6 = [
 # "knn_batch_scaled", "dp_release_counts", "query_expansion",
 # "join_skew_report", "enrich_scd2", "attribution_multitouch",
 # "graph_bfs_reach", "knn_pca_search_pinned",
-# "ann_pq_search_pinned", "ann_ivfpq_search_pinned" — put them FIRST
-# next round, then backfill
+# "ann_pq_search_pinned", "ann_ivfpq_search_pinned",
+# "quality_classifier_pinned" — put them FIRST next round, then
+# backfill
 # with re-confirmations (TPC-H set, text-analysis suite, events
 # suite). Verify any new window order with the sf0.01 mirror BEFORE
 # shipping.
