@@ -11501,23 +11501,73 @@ _DRIVER_WINDOW_R6 = [
     "hybrid_search",
 ]
 
-# _DRIVER_WINDOW_R7 (round-7 planning): after this round banks the 50
-# above, the never-windowed oracle-backed remainder is exactly the
+# ROUND-7 WINDOW: round 6 banked its 50 green (CORRECTNESS_r06.json,
+# 50/50). The never-windowed oracle-backed remainder is exactly the
 # twenty-two queries added mid-r6 (each verified at sf0.001 + sf0.01 +
-# sf0.1, PERF.md r6): "unigram_encode", "temperature_mixture",
-# "events_anomaly", "embedding_dim_variance",
-# "tokenizer_fertility_compare", "events_resample",
-# "events_cumulative_users", "minhash_estimator_quality",
-# "embed_feature_hash", "heavy_hitters_cms", "contrastive_triplets",
-# "knn_batch_scaled", "dp_release_counts", "query_expansion",
-# "join_skew_report", "enrich_scd2", "attribution_multitouch",
-# "graph_bfs_reach", "knn_pca_search_pinned",
-# "ann_pq_search_pinned", "ann_ivfpq_search_pinned",
-# "quality_classifier_pinned" — put them FIRST next round, then
-# backfill
-# with re-confirmations (TPC-H set, text-analysis suite, events
-# suite). Verify any new window order with the sf0.01 mirror BEFORE
-# shipping.
+# sf0.1, PERF.md r6) — they go FIRST (positions 1-22). The remaining
+# 28 slots re-confirm per the r6 verdict plan: the full 22-shape TPC-H
+# analytical set (window 6 re-confirmed none of them) plus six
+# text-analysis / events-suite rows. Banking this window makes every
+# oracle-backed query in the engine driver-verified (cumulative
+# distinct 230/230). Verified with the sf0.01 mirror
+# (SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest
+# tests/test_oracle.py) before shipping.
+
+_DRIVER_WINDOW_R7 = [
+    # never-windowed mid-r6 additions (22) — close the ledger
+    "unigram_encode",
+    "temperature_mixture",
+    "events_anomaly",
+    "embedding_dim_variance",
+    "tokenizer_fertility_compare",
+    "events_resample",
+    "events_cumulative_users",
+    "minhash_estimator_quality",
+    "embed_feature_hash",
+    "heavy_hitters_cms",
+    "contrastive_triplets",
+    "knn_batch_scaled",
+    "dp_release_counts",
+    "query_expansion",
+    "join_skew_report",
+    "enrich_scd2",
+    "attribution_multitouch",
+    "graph_bfs_reach",
+    "knn_pca_search_pinned",
+    "ann_pq_search_pinned",
+    "ann_ivfpq_search_pinned",
+    "quality_classifier_pinned",
+    # backfill: re-confirm the 22 TPC-H shapes (all driver-green r1-r5)
+    "sql_pricing_summary",
+    "sql_min_cost_supplier",
+    "sql_shipping_priority",
+    "sql_order_priority",
+    "sql_regional_revenue",
+    "sql_forecast_revenue",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_nation_profit",
+    "sql_returned_items",
+    "sql_important_stock",
+    "sql_disjunctive_revenue",
+    "sql_top_supplier",
+    "sql_promo_revenue",
+    "sql_supplier_part_count",
+    "sql_small_qty_revenue",
+    "sql_late_priority",
+    "sql_order_count_dist",
+    "sql_part_promotion",
+    "sql_waiting_suppliers",
+    "sql_dormant_customers",
+    "sql_large_orders",
+    # backfill: text-analysis + events suite re-confirmations (6)
+    "text_quality",
+    "text_tfidf",
+    "bm25_rank",
+    "events_funnel",
+    "events_retention",
+    "events_sessionize",
+]
 
 # Ledger hygiene (judge r4, "What's wrong" #3): dedup_minhash,
 # dedup_simhash and ingest_chunks carry r01 `no_oracle` reds from the
@@ -11527,21 +11577,21 @@ _DRIVER_WINDOW_R6 = [
 # value-checkable md5 twins (dedup_minhash_md5, doc_simhash_md5) are
 # driver-green — and must stay out of oracle windows permanently.
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
-assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R6), (
+assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R7), (
     "rows-only queries with known driver-canonicalizer hazards must "
     "never enter the oracle window"
 )
 
-assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
-assert len(set(_DRIVER_WINDOW_R6)) == 50, "duplicate window entries"
-_missing = [n for n in _DRIVER_WINDOW_R6 if n not in QUERIES]
+assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
+assert len(set(_DRIVER_WINDOW_R7)) == 50, "duplicate window entries"
+_missing = [n for n in _DRIVER_WINDOW_R7 if n not in QUERIES]
 assert not _missing, f"window names absent from QUERIES: {_missing}"
-_no_oracle = [n for n in _DRIVER_WINDOW_R6 if n not in ORACLE]
+_no_oracle = [n for n in _DRIVER_WINDOW_R7 if n not in ORACLE]
 assert not _no_oracle, f"window names lack oracle SQL: {_no_oracle}"
 
 # Rebuild QUERIES in place (same dict object; __spark_entry__ snapshots
 # it per call, so insertion order here IS the driver's sweep order).
-_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R6}
+_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R7}
 _rest = {n: f for n, f in QUERIES.items() if n not in _front}
 QUERIES.clear()
 QUERIES.update(_front)
