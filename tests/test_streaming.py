@@ -507,6 +507,72 @@ def test_stream_dedup_minhash_equals_batch(spark, tmp_path):
     assert len(got) > n_w1 > 0
 
 
+def test_stream_dedup_minhash_replay_idempotent(spark, tmp_path):
+    """REPLAY idempotence for the accumulating near-dup store (r6
+    advice, medium): simulate a crash between the batch-1 store writes
+    and the checkpoint commit by pre-seeding ``bands/batch=1``,
+    ``docs/batch=1`` and ``pairs/batch=1`` with exactly what batch 1
+    will write, then draining. The replayed batch must read only
+    ``batch < 1`` store content — NOT its own pre-crash subdir — so the
+    final pair set still equals the batch operator (no bucket
+    double-count suppressing pairs) and contains no duplicated rows
+    (no doubled docs through the verify join)."""
+    from vector_database_app_spark.operators import dedup as D
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 600")
+    )
+    w1 = docs.filter("doc_id < 300")
+    w2 = docs.filter("doc_id >= 300")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    w1.coalesce(1).write.parquet(str(arrivals / "w1"))
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_dedup_minhash(
+            stream, store_dir, out_dir, ckpt, shingle_n=3, threshold=0.5
+        )
+
+    _drain()  # banks batch 0 (wave 1)
+
+    # stage wave 2, then forge the pre-crash batch-1 writes: the store
+    # subdirs batch 1 WILL produce, already on disk before the drain
+    w2.coalesce(1).write.parquet(str(arrivals / "w2"))
+    D.md5_band_keys(w2, "text", "doc_id", shingle_n=3).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/bands/batch=1")
+    w2.write.mode("overwrite").parquet(f"{store_dir}/docs/batch=1")
+    spark.read.parquet(f"{out_dir}/batch=0").limit(3).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/batch=1")
+
+    _drain()  # replays batch 1 against its own pre-crash subdirs
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == out.distinct().count()  # no duplicated rows
+    got = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_dups_md5(
+            docs, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == want  # no pair suppressed by double-counted buckets
+    assert len(got) > 0
+
+
 def test_stream_admission_equals_batch(spark, tmp_path):
     """Continuous admission (SW.run_stream_admission): two arrival waves
     through the gate produce exactly the batch admission_gate decisions,

@@ -573,6 +573,38 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _store_subdirs_before(
+    spark: SparkSession, store_path: str, batch_id: int
+) -> list[str]:
+    """List a batch-subdir store's ``batch=<id>`` children with
+    id < batch_id, via the Hadoop FileSystem API (remote-store safe,
+    like _hadoop_exists). A REPLAYED micro-batch (crash after the store
+    writes but before the checkpoint commit) finds its OWN pre-crash
+    ``batch=<batch_id>`` subdir already on disk; reading the store root
+    would hand those rows back as 'old' content — double-counting
+    bucket sizes (a legitimate bucket can cross max_bucket_size and
+    silently suppress pairs) and duplicating doc rows through the
+    verify join (r6 advice, medium). Reading only strictly-earlier
+    subdirs makes the replay see exactly the pre-batch store, so the
+    rewrite really is byte-identical."""
+    if not _hadoop_exists(spark, store_path):
+        return []
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < batch_id:
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def run_stream_dedup_minhash(
     doc_stream: DataFrame,
     store_dir: str,
@@ -601,13 +633,17 @@ def run_stream_dedup_minhash(
     md5-minhash index rows (id, band, key) and ``{store_dir}/docs`` the
     raw texts the exact-Jaccard verify needs. Every write this function
     makes — emitted pairs, band rows, doc rows — goes to a
-    ``batch=<id>`` SUBDIRECTORY in overwrite mode: a batch writes its
-    OWN rows only, never rewrites history, and a REPLAYED micro-batch
-    (crash between a write and the checkpoint commit) overwrites its
-    own subdir with identical deterministic content instead of
-    duplicating rows (review r6 finding — plain appends double-counted
-    band rows on replay, which could push a legitimate bucket over
-    max_bucket_size and silently suppress future pairs).
+    ``batch=<id>`` SUBDIRECTORY in overwrite mode, and every store READ
+    lists only ``batch < batch_id`` subdirs: a batch writes its OWN
+    rows only, never rewrites history, and a REPLAYED micro-batch
+    (crash between a write and the checkpoint commit) sees exactly the
+    pre-batch store — its own pre-crash subdir is excluded from the
+    'old' side — so it overwrites its own subdir with identical
+    deterministic content instead of duplicating rows (review r6
+    finding — plain appends double-counted band rows on replay; r6
+    advice — root reads let the pre-crash subdir re-enter as old
+    content, double-counting bucket sizes past max_bucket_size and
+    duplicating verify-join doc rows).
 
     Per-batch plan, all equi-joins on the band blocking key (never
     all-pairs): batch band keys (batch-sized) join the accumulated band
@@ -658,9 +694,16 @@ def run_stream_dedup_minhash(
             shingle_n=shingle_n,
         ).persist()
         try:
+            # read only batch < batch_id subdirs: a replayed batch must
+            # not see its own pre-crash writes as 'old' store content
+            # (r6 advice — root reads double-counted bucket sizes and
+            # duplicated verify-join doc rows on replay)
+            old_band_dirs = _store_subdirs_before(spark, bands_dir, batch_id)
             old_bands = (
-                spark.read.parquet(bands_dir).select(id_col, "band", "key")
-                if _hadoop_exists(spark, bands_dir)
+                spark.read.parquet(*old_band_dirs).select(
+                    id_col, "band", "key"
+                )
+                if old_band_dirs
                 else None
             )
             all_bands = (
@@ -687,9 +730,10 @@ def run_stream_dedup_minhash(
                 )
                 .distinct()
             )
+            old_doc_dirs = _store_subdirs_before(spark, docs_dir, batch_id)
             old_docs = (
-                spark.read.parquet(docs_dir).select(id_col, text_col)
-                if _hadoop_exists(spark, docs_dir)
+                spark.read.parquet(*old_doc_dirs).select(id_col, text_col)
+                if old_doc_dirs
                 else None
             )
             all_docs = (
