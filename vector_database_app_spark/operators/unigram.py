@@ -26,12 +26,17 @@ Scale design — the same after-one-scan shape as the BPE trainer:
   count_p for a fixed fallback, so least-count == least-loss-increase.
   Single characters are never pruned (the model must cover any string).
 
-ENCODE semantics (the value-oracled half): greedy global maximal
-matching — pieces applied in (length DESC, piece ASC) priority, each
-occurrence consumed left-to-right non-overlapping; uncovered characters
-count one token each (the unigram char-fallback). This is the
-deterministic inference rule WordPiece-family tokenizers use in
-production, and it is exactly replayable in ANSI SQL as a sequential
+ENCODE semantics (the value-oracled half): PRIORITY-ORDERED GLOBAL
+REPLACE — pieces applied in (length DESC, piece ASC) priority, each
+piece consuming ALL of its remaining occurrences (left-to-right,
+non-overlapping) before the next piece runs; uncovered characters
+count one token each (the unigram char-fallback). NOTE this is NOT
+WordPiece's longest-match-at-position left-to-right scan: pieces
+{'bcd','ab'} segment 'abcd' as [bcd]+a here but [ab]+c+d under
+WordPiece (r6 advice — the earlier docstring overclaimed production
+WordPiece semantics; cross-engine parity is unaffected because both
+engines replay the same chain). It is a deterministic inference rule
+exactly replayable in ANSI SQL as a sequential
 `replace` chain (every matched piece collapses to one marker char, so
 the final string LENGTH is the token count) — which is what makes
 `unigram_encode` value-level oracle-checkable while training stays
@@ -299,7 +304,8 @@ def encode_order(pieces: list[dict]) -> list[str]:
 
 
 def match_fold_expr(w: Column, pieces: list[dict]) -> Column:
-    """Token count of a word under greedy global maximal matching —
+    """Token count of a word under priority-ordered global replace
+    (see module docstring — NOT WordPiece longest-match-at-position) —
     fold `replace(piece -> MARK)` in priority order, then LENGTH: every
     matched piece is one marker char, every uncovered char one token.
     Pure JVM column expressions on the distinct-word frame."""
@@ -317,8 +323,8 @@ def unigram_encode_counts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document fertility of the frozen unigram tokenizer: word
-    count, char count, token count under greedy maximal matching, and
-    chars-per-token. Identical scale shape to `bpe_encode_counts`:
+    count, char count, token count under priority-ordered global
+    replace, and chars-per-token. Identical scale shape to `bpe_encode_counts`:
     pieces apply to the DISTINCT word frame (vocab-sized expression
     work), the token stream joins back on the word key (AQE broadcasts
     the vocab side), corpus rows are touched exactly twice."""

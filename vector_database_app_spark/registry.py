@@ -6279,9 +6279,12 @@ QUERIES["unigram_train"] = q_unigram_train
 def q_unigram_encode(spark, sf_dir):
     """Fertility of the FROZEN unigram tokenizer
     (operators/unigram.unigram_encode_counts over unigram.PINNED_PIECES)
-    — per-doc word/char/token counts and chars-per-token under greedy
-    global maximal matching (length-DESC, piece-ASC priority; uncovered
-    chars one token each — the unigram char-fallback). Pieces apply to
+    — per-doc word/char/token counts and chars-per-token under
+    priority-ordered global replace (length-DESC, piece-ASC priority,
+    each piece consuming all remaining occurrences before the next —
+    NOT WordPiece's longest-match-at-position scan, see
+    operators/unigram.py; uncovered chars one token each — the unigram
+    char-fallback). Pieces apply to
     the DISTINCT word frame (vocab-sized replace-fold, pure JVM
     expressions); corpus rows are touched only by the explode and the
     word-key join-back. Value-level oracle: DuckDB replays the same
@@ -10403,11 +10406,21 @@ ORACLE["query_expansion"] = """
 
 
 def q_dp_release_counts(spark, sf_dir):
-    """Differentially-private (lang, source) count release — the
-    publish step after the k-anonymity/l-diversity/t-closeness audits:
-    each cell's count is perturbed with TWO-SIDED GEOMETRIC noise
-    (discrete Laplace; Ghosh-Roughgarden-Sundararajan 2009, the
-    universally optimal mechanism for counts), ε = ln 2, sensitivity 1.
+    """MECHANISM AUDIT of a differentially-private (lang, source) count
+    release — the publish step after the k-anonymity/l-diversity/
+    t-closeness audits: each cell's count is perturbed with TWO-SIDED
+    GEOMETRIC noise (discrete Laplace; Ghosh-Roughgarden-Sundararajan
+    2009, the universally optimal mechanism for counts), the shape a
+    real ε = ln 2, sensitivity-1 release would use.
+
+    NO ACTUAL PRIVACY GUARANTEE HOLDS HERE (r6 advice): the noise below
+    is a DETERMINISTIC md5 function of the PUBLIC cell key (lang,
+    source), so anyone can recompute it and subtract — the
+    derandomization that makes the mechanism cross-engine replayable
+    (the whole point of this registry form) also voids the DP
+    guarantee, even if the true_count column were dropped. A production
+    release MUST draw fresh, secret randomness per publication; this
+    query exists to audit the mechanism's arithmetic, not to publish.
 
     Determinism recipe (the corpus_bootstrap_ci derandomization
     discipline): noise = G1 − G2 with each G a Geometric(1/2) drawn by
