@@ -63,12 +63,17 @@ def knn(
     so the plan is scan → project(sim) → TakeOrderedAndProject: one pass over
     the corpus, no shuffle of corpus rows, survives any corpus size.
     Ties break on `id_col` over the *rounded* similarity → deterministic.
+    Rows with NULL sim never match (r7, defensive: the in-repo cosine
+    maps null/zero vectors to 0.0, so this fires only if a sim
+    expression ever produces NULLs — pinned across all three knn forms
+    so they stay row-identical).
     """
     _check_spaces(corpus_space, query_space)
     sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
     return (
         corpus.crossJoin(F.broadcast(query.select(query_vec_col)))
         .withColumn("sim", sim)
+        .filter(F.col("sim").isNotNull())
         .drop(query_vec_col)
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
@@ -98,9 +103,20 @@ def knn_batch(
     `ivf_search`.
     """
     _check_spaces(corpus_space, query_space)
-    joined = corpus.crossJoin(
-        F.broadcast(queries.select(query_id_col, query_vec_col))
-    ).withColumn("sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale))
+    joined = (
+        corpus.crossJoin(
+            F.broadcast(queries.select(query_id_col, query_vec_col))
+        )
+        .withColumn(
+            "sim",
+            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+        )
+        # NULL sims (null/missing vectors) never rank — pinned across
+        # all three knn forms (r7; the struct sort in the two-phase form
+        # is nulls-first where this window's DESC is nulls-last, so
+        # filtering is the only order both forms agree on)
+        .filter(F.col("sim").isNotNull())
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         joined.withColumn("rk", F.row_number().over(w))
@@ -121,6 +137,7 @@ def knn_batch_twophase(
     corpus_space: str | None = None,
     query_space: str | None = None,
     sim_scale: int = 6,
+    persist_corpus: bool = False,
 ) -> DataFrame:
     """The 100 TB form of :func:`knn_batch`: identical rows and ranks,
     different physical strategy. knn_batch's per-query row_number window
@@ -144,13 +161,44 @@ def knn_batch_twophase(
     combination exceeds memory, where the window form would instead
     ship it all to one reducer.
 
+    REQUIREMENTS on `corpus` (r6 advice — the re-attach is an id
+    equi-join against a SECOND EXECUTION of the corpus plan):
+
+    - `id_col` must be UNIQUE: duplicate ids multiply output rows at
+      the re-attach (the window form would instead rank the duplicates
+      separately). All in-repo corpora key on a primary key or a
+      concat-of-keys chunk uid.
+    - the corpus plan must be DETERMINISTIC: a nondeterministic plan
+      (``sample()``, a nondeterministic UDF, a non-AvailableNow stream
+      snapshot) can re-attach rows that DISAGREE with the scored
+      candidates — pass ``persist_corpus=True`` to pin one
+      materialization for both sides. In-repo consumer audit (r7):
+      rag text/cross-modal/image corpora are pruned scans + filters +
+      a concat_ws uid; image_text_search re-embeds through the
+      deterministic clipstub exprs; ann_planner/mmr/registry corpora
+      are scans or planner-bounded frames — all deterministic, none
+      persisted (persisting an sf-scaling corpus at 100 TB trades a
+      map-side rescan for cluster-wide cache pressure; the rescan is
+      the right default when the corpus path has no shuffle).
+    - rows with NULL sim are filtered BEFORE the candidate aggregation
+      (defensive: the in-repo cosine maps null/zero vectors to 0.0, so
+      NULL sims cannot arise today — but the struct array_sort is
+      nulls-FIRST while the window form's sim DESC is nulls-LAST, so if
+      a sim expression ever produced NULLs the forms would diverge;
+      dropping them is the only ordering both agree on, and a NULL
+      "nearest neighbor" is meaningless anyway). Pinned identically in
+      :func:`knn` and :func:`knn_batch`.
+
     CAVEAT: the re-attach executes the corpus PLAN a second time. For a
     parquet scan that is a cheap pruned rescan; for an expensive
     DERIVED corpus (a trained projection, a UDF-embedded frame),
-    persist() the corpus first or use the window form — measured at
+    pass ``persist_corpus=True`` (lazy persist, caller's session owns
+    the cache lifetime) or persist() upstream — measured at
     sf0.1 the double-execution costs ~0.5-1 s on the clipstub-embedded
     multimodal corpus and would dominate on a heavy one."""
     _check_spaces(corpus_space, query_space)
+    if persist_corpus:
+        corpus = corpus.persist()
     sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
     scored = (
         corpus.crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
@@ -160,6 +208,7 @@ def knn_batch_twophase(
             sim.alias("sim"),
             F.spark_partition_id().alias("_pid"),
         )
+        .filter(F.col("sim").isNotNull())
     )
     # (sim DESC, id ASC) as an ascending struct sort. The sort key is
     # `0.0 - sim`, not `-sim`: subtraction sends BOTH zero signs to
