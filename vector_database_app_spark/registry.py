@@ -9862,6 +9862,171 @@ def _ivfpq_pinned_oracle_sql() -> str:
 ORACLE["ann_ivfpq_search_pinned"] = _ivfpq_pinned_oracle_sql()
 
 
+def q_ann_ivfpq_trained_pinned(spark, sf_dir):
+    """IVF-PQ with TRAINED coarse cells under the value gate — the last
+    rows-only ANN trajectory closed (r6 verdict task 4):
+    `ann_ivfpq_search_pinned` replays the two-level ADC system but with
+    the deterministic first-per-label stand-in cells; this twin swaps
+    in FROZEN spherical-k-means centroids
+    (pca_oracle_literals.PINNED_IVF_CENTROIDS, kmeans_train @ sf0.001
+    k=10 iters=3 — the PINNED_PQ_CODEBOOKS ship-the-trained-artifact
+    recipe), so assignment, probes, encode, DECIMAL-exact ADC and the
+    exact re-rank are ALL driven by trained artifacts and every stage
+    replays value-for-value in DuckDB. Reference semantics: the
+    brute-force search this approximates, rag_search/vector_db.py:
+    684-696; the training loop itself stays the rows-only
+    `ann_kmeans_train` (float-iterative, not SQL-expressible)."""
+    from .operators import pq as PQ  # noqa: PLC0415
+    from .pca_oracle_literals import (  # noqa: PLC0415
+        PINNED_IVF_CENTROIDS,
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = spark.createDataFrame(
+        PINNED_IVF_CENTROIDS, "centroid_id int, centroid array<double>"
+    )
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, cent)
+            for s, rows in sorted(PINNED_PQ_CODEBOOKS.items())
+            for c, cent in rows
+        ],
+        _PQ_SCHEMA,
+    )
+    assigned_codes = (
+        search.ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .join(PQ.pq_encode(emb, PINNED_PQ_CODEBOOKS), "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.ivfpq_search(
+        assigned_codes,
+        centroids,
+        codebooks,
+        queries,
+        k=5,
+        n_probe=2,
+        m=8,
+        shortlist=50,
+        refine_with=emb,
+    )
+
+
+QUERIES["ann_ivfpq_trained_pinned"] = q_ann_ivfpq_trained_pinned
+
+
+def _ivfpq_trained_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import (  # noqa: PLC0415
+        PINNED_IVF_CENTROIDS,
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    sub = 8
+    rows = []
+    for s, entries in sorted(PINNED_PQ_CODEBOOKS.items()):
+        for code, cent in entries:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            nh = repr(sum(v * v for v in cent) / 2.0)
+            rows.append(f"({s}, {code}, {lit}, {nh})")
+    values = ",\n        ".join(rows)
+    cent_rows = ",\n        ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+        for cid, cent in PINNED_IVF_CENTROIDS
+    )
+    return f"""
+    WITH cb(subspace, code, centroid, nh) AS (VALUES
+        {values}
+    ), cents(centroid_id, centroid) AS (VALUES
+        {cent_rows}
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS rk
+            FROM embeddings e, cents c
+        ) WHERE rk = 1
+    ), enc_scored AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               round(list_dot_product(
+                   (e.embedding::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid) - b.nh, 6) AS score
+        FROM embeddings e, cb b
+    ), codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY score DESC, code ASC
+            ) AS rk
+            FROM enc_scored
+        ) WHERE rk = 1
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS prk
+            FROM qp q, cents c
+        ) WHERE prk <= 2
+    ), cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assign a JOIN probes p USING (centroid_id)
+    ), adc_table AS (
+        SELECT q.query_id, b.subspace, b.code,
+               CAST(round(list_dot_product(
+                   (q.qe::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid), 6) AS DECIMAL(18,6)) AS partial
+        FROM qp q, cb b
+    ), adc AS (
+        SELECT n.query_id, n.vec_id,
+               round(CAST(sum(t.partial) AS DOUBLE), 6) AS adc_score
+        FROM cand n
+        JOIN codes c USING (vec_id)
+        JOIN adc_table t
+          ON t.query_id = n.query_id
+         AND t.subspace = c.subspace AND t.code = c.code
+        GROUP BY n.query_id, n.vec_id
+    ), short AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, vec_id ASC
+            ) AS crk
+            FROM adc
+        ) WHERE crk <= 50
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qp q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, sim, adc_score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+        ) AS rk
+        FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["ann_ivfpq_trained_pinned"] = _ivfpq_trained_pinned_oracle_sql()
+
+
 def q_knn_pca_search_pinned(spark, sf_dir):
     """Coarse-to-fine ANN through a FROZEN learned rotation — the
     value-oracled twin of the rows-only `knn_pca_search`: the pinned
