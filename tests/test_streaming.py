@@ -663,3 +663,51 @@ def test_stream_events_anomaly_equals_batch(spark, tmp_path):
     got = keyed(spark.read.parquet(out_dir))
     want = keyed(QUERIES["events_anomaly"](spark, SF))
     assert got == want
+
+
+def test_stream_events_resample_equals_batch(spark, tmp_path):
+    """Continuous hourly resampling (SW.run_stream_events_resample):
+    events replayed in two waves through the decimal-exact delta store;
+    after the full drain the gap-filled LOCF view equals the batch
+    events_resample registry query on the same events."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "resampled")
+    ckpt = str(tmp_path / "ckpt")
+
+    w1 = ev.filter("event_id % 2 = 0")
+    w2 = ev.filter("event_id % 2 = 1")
+    w1.coalesce(1).write.parquet(str(arrivals / "w1"))
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(w1.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_events_resample(stream, store_dir, out_dir, ckpt)
+
+    _drain()
+    n_mid = spark.read.parquet(out_dir).count()
+    assert n_mid > 0
+    w2.coalesce(1).write.parquet(str(arrivals / "w2"))
+    _drain()
+
+    def keyed(df):
+        return {
+            (r.event_type, r.bucket, r.n_events, r.avg_value,
+             r.avg_value_locf)
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["events_resample"](spark, SF))
+    assert got == want
+    # the grid really is gap-filled: zero-count LOCF rows exist
+    assert any(r[2] == 0 and r[4] is not None for r in got)

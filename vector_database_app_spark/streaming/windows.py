@@ -850,6 +850,105 @@ def run_stream_events_anomaly(
     q.awaitTermination()
 
 
+def run_stream_events_resample(
+    event_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous hourly resampling — the streaming twin of the batch
+    `events_resample` registry query (r6 verdict task 5 / carry-over
+    (c)): gap-filled per-type hourly grid, zero-filled counts, and
+    last-observation-carried-forward average value, maintained as the
+    stream drains.
+
+    Same delta-store discipline as `run_stream_events_anomaly`: each
+    micro-batch aggregates its own events to (type, hour-bucket, n,
+    DECIMAL(18,4) value sum) — the only corpus-sized work — and
+    overwrites its own ``{store_dir}/batch=<id>`` subdirectory
+    (replay-idempotent: the delta is a pure function of the batch's
+    rows). The merged rollup is the decimal-exact sum over all deltas
+    (associative — partial decimal sums merge exactly, which is why the
+    delta carries the SUM rather than the avg), and the full resample
+    view (grid explode, left join, LOCF window on the rollup frame,
+    never over raw events) is recomputed into ``out_dir`` each batch —
+    an overwrite VIEW, since a new arrival can extend a type's grid
+    span backwards or forwards and move every LOCF value after a gap.
+    Deltas, rollup, and view are all |types|×|hours|-sized; per-batch
+    cost is bounded regardless of corpus size.
+
+    Parity (tests/test_streaming.py): after draining the full replayed
+    event stream, the out table equals the batch `events_resample`
+    output row-for-row."""
+    spark = event_stream.sparkSession
+
+    def _resample(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            "event_type",
+            (
+                F.unix_micros(F.date_trunc("hour", "ts"))
+                / F.lit(3600000000)
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("value"), 4).cast("decimal(18,4)")
+            ).alias("_val"),
+        )
+        # idempotent: a replayed batch overwrites ITS OWN subdir with
+        # the same deterministic content — never touches other deltas
+        delta.write.mode("overwrite").parquet(
+            f"{store_dir.rstrip('/')}/batch={batch_id}"
+        )
+        hourly = (
+            spark.read.parquet(store_dir)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("_val").cast("decimal(18,4)").alias("_val"),
+            )
+        )
+        grid = (
+            hourly.groupBy("event_type")
+            .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+            .select(
+                "event_type",
+                F.explode(F.sequence("_b0", "_b1")).alias("bucket"),
+            )
+        )
+        filled = grid.join(hourly, ["event_type", "bucket"], "left")
+        avg_val = F.when(
+            F.col("n").isNotNull(),
+            F.round(F.col("_val").cast("double") / F.col("n"), 6),
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        view = filled.select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            avg_val.alias("avg_value"),
+            F.last(avg_val, ignorenulls=True)
+            .over(w)
+            .alias("avg_value_locf"),
+        )
+        view.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        event_stream.writeStream.foreachBatch(_resample)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_admission(
     doc_stream: DataFrame,
     store: DataFrame,
