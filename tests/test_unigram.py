@@ -129,6 +129,21 @@ def test_trainer_reproduces_pinned_table(spark):
     assert got == unigram.PINNED_PIECES
 
 
+@pytest.mark.slow
+def test_trainer_batched_prune_parity(spark):
+    """Throughput mode (exact=False, batched geometric prune schedule —
+    the bpe exact=False analogue) reproduces the exact trainer's pinned
+    table on the fixture: the collapsed prune steps compose exactly
+    here, and the final round lands on vocab_size multi pieces."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = unigram.unigram_train(
+        docs, vocab_size=24, max_piece_len=4, seed_size=200,
+        em_rounds=2, exact=False,
+    )
+    assert got == unigram.PINNED_PIECES
+    assert sum(len(r["piece"]) >= 2 for r in got) <= 24
+
+
 def test_encode_counts_schema_and_sanity(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
     out = unigram.unigram_encode_counts(docs, unigram.PINNED_PIECES)

@@ -213,6 +213,7 @@ def unigram_train(
     em_rounds: int = 2,
     prune_factor: float = 0.75,
     text_col: str = "text",
+    exact: bool = True,
 ) -> list[dict]:
     """Learn a unigram-LM piece inventory. Returns the piece table as a
     driver-side list of dicts (rank, piece, expected_count, logprob) —
@@ -225,7 +226,21 @@ def unigram_train(
     probabilities, prune multi-char pieces to
     max(vocab_size, ceil(cur * prune_factor)) by (count DESC, piece
     ASC). Deterministic end to end: seeding, ties, and pruning all
-    break on the piece string."""
+    break on the piece string.
+
+    ``exact=False`` is the THROUGHPUT mode (r6 verdict task 6 — the
+    bpe ``exact=False`` analogue): instead of one prune_factor step per
+    EM job (reaching a 32k target from a large seed needs
+    log(target/seed)/log(prune_factor) ≈ |pruned| EM jobs), each of the
+    ``em_rounds`` jobs prunes down a GEOMETRIC schedule from the seed
+    multi-piece count to exactly ``vocab_size`` — batching several
+    prune steps per segmentation pass, so the corpus is segmented
+    |rounds| times total regardless of how far seed is from target.
+    Within one batch the steps collapse exactly (pruning by count twice
+    without re-segmenting == pruning once to the composed size); the
+    approximation relative to ``exact=True`` is only the skipped
+    re-segmentations BETWEEN the collapsed steps. Parity with the exact
+    trainer on the pinned fixture is pinned in tests/test_unigram.py."""
     vocab = tokenize.word_counts(df, text_col=text_col).localCheckpoint(
         eager=True
     )
@@ -239,7 +254,8 @@ def unigram_train(
         }
         counts: dict[str, int] = {r["piece"]: r["n"] for r in seeds}
         n_multi = sum(len(p) >= 2 for p in table)
-        for _ in range(em_rounds):
+        n_multi0 = max(n_multi, 1)
+        for round_ix in range(em_rounds):
             logp = dict(table)  # closure snapshot for this round
 
             @F.pandas_udf("array<string>")
@@ -259,9 +275,21 @@ def unigram_train(
             for p in table:
                 if len(p) == 1:
                     counts.setdefault(p, 0)
-            n_multi = max(
-                vocab_size, math.ceil(n_multi * prune_factor)
-            )
+            if exact:
+                n_multi = max(
+                    vocab_size, math.ceil(n_multi * prune_factor)
+                )
+            else:
+                # batched prune: geometric schedule seed→vocab_size in
+                # em_rounds jobs; the final round lands exactly on the
+                # target (collapsed prune steps compose exactly)
+                frac = (round_ix + 1) / em_rounds
+                n_multi = max(
+                    vocab_size,
+                    math.ceil(
+                        n_multi0 * (vocab_size / n_multi0) ** frac
+                    ),
+                )
             kept_multi = sorted(
                 (p for p in counts if len(p) >= 2),
                 key=lambda p: (-counts[p], p),
