@@ -958,3 +958,109 @@ def test_nested_paren_literal_with_embedded_ET():
 def test_nested_paren_literal_three_levels():
     stream = b"BT (a(b(c)d)e) Tj ET"
     assert FB._text_of_content_stream(stream) == "a(b(c)d)e"
+
+
+# ---------------------------------------------------------------------------
+# r7: Identity-H CID fonts WITHOUT a ToUnicode map decode through the
+# descendant CIDFont's /W-declared code space (r6-verdict task 8)
+# ---------------------------------------------------------------------------
+
+
+def _build_identity_cid_pdf(
+    text: str, w_entries: str | None = None, codes: list[int] | None = None
+) -> bytes:
+    """One-page PDF showing `text` as 2-byte Identity-H CIDs with NO
+    ToUnicode map — the identity-subset writer layout (CID == code
+    point). `w_entries` overrides the /W array (default: one `c [w]`
+    entry per distinct code point); `codes` overrides the shown codes
+    (default: the text's code points)."""
+    if codes is None:
+        codes = [ord(c) for c in text]
+    if w_entries is None:
+        w_entries = " ".join(f"{c} [500]" for c in sorted(set(codes)))
+    hexstr = "".join(f"{c:04x}" for c in codes).encode()
+    stream = b"BT /F1 12 Tf 72 720 Td <" + hexstr + b"> Tj ET"
+    objs = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+        (
+            3,
+            b"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources <</Font <</F1 5 0 R>>>>>>",
+        ),
+        (4, b"<</Length %d>>\nstream\n%s\nendstream" % (len(stream), stream)),
+        (
+            5,
+            b"<</Type /Font /Subtype /Type0 /BaseFont /FakeSubset "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R]>>",
+        ),
+        (
+            6,
+            (
+                "<</Type /Font /Subtype /CIDFontType2 /BaseFont /FakeSubset "
+                "/CIDSystemInfo <</Registry (Adobe) /Ordering (Identity) "
+                f"/Supplement 0>> /DW 1000 /W [ {w_entries} ]>>"
+            ).encode(),
+        ),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs:
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(b"trailer\n<</Root 1 0 R>>\n%%EOF\n")
+    return bytes(out)
+
+
+def test_identity_cid_without_tounicode_decodes_real_text():
+    """The generated identity-subset fixture round-trips: CIDs equal
+    code points, /W declares exactly those CIDs, no ToUnicode — the
+    layout that used to decode as cp1252 soup and be dropped."""
+    text = "Revenue grew 13% in Q3"
+    assert FB.pdf_pages_text(_build_identity_cid_pdf(text)) == [text]
+
+
+def test_identity_cid_w_range_form():
+    """`cfirst clast w` /W ranges declare the code space too."""
+    text = "abcdef"
+    w = f"{ord('a')} {ord('f')} 500 32 32 250"
+    assert FB.pdf_pages_text(
+        _build_identity_cid_pdf("abc fed", w_entries=w)
+    ) == ["abc fed"]
+
+
+def test_identity_cid_codes_outside_w_are_rejected():
+    """Codes outside the /W-declared space map to U+FFFD: a page whose
+    codes all miss /W yields no text (printable guard), never soup."""
+    # /W declares only CID 1..5 (a glyph-indexed subset); the shown
+    # codes are those glyph ids — control chars under identity, so the
+    # whole string is rejected rather than emitted as soup
+    pdf = _build_identity_cid_pdf(
+        "", w_entries="1 5 500", codes=[1, 2, 3, 4, 5]
+    )
+    assert FB.pdf_pages_text(pdf) == [""]
+
+
+def test_parse_w_cids_forms():
+    assert FB._parse_w_cids(b"/W [ 10 [500 600 700] 20 22 400 ]") == (
+        frozenset({10, 11, 12, 20, 21, 22})
+    )
+    # malformed huge range is capped to the 2-byte code space
+    got = FB._parse_w_cids(b"/W [ 65530 99999999 500 ]")
+    assert got == frozenset(range(65530, 65536))
+    assert FB._parse_w_cids(b"/DW 1000") is None
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0x2FFF,
+            blacklist_categories=("Cs", "Cc", "Cn"),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_identity_cid_roundtrip_property(text):
+    """Property: any BMP printable text round-trips through the
+    identity-CID layout when /W declares its code points."""
+    assert FB.pdf_pages_text(_build_identity_cid_pdf(text)) == [text]

@@ -27,10 +27,18 @@ What each fallback honestly is:
   is resolved per the spec's inheritable-attribute rule by walking the
   /Parent chain to the nearest ancestor that carries one (r6), so
   fonts declared on a /Pages node now reach the pages below it.
+  Identity-H/V CID fonts WITHOUT a ToUnicode map decode through the
+  descendant CIDFont's /W-declared code space under the identity
+  interpretation chr(cid) — the identity-subset writer convention
+  where CID == code point (r7); codes outside /W, controls, and
+  surrogates map to U+FFFD so glyph-indexed subsets (CID == glyph id,
+  unrecoverable without the font's cmap table) still fail the
+  printable-ratio guard instead of emitting soup.
   REMAINING LIMITATIONS (why PyMuPDF stays the primary): no
-  encryption, CID fonts WITHOUT a ToUnicode map still decode as soup
-  (the printable-ratio guard drops such strings), and no layout
-  analysis — callers
+  encryption, non-identity CID encodings (predefined CMaps like
+  UniJIS) are not shipped, glyph-indexed Identity-H subsets are
+  inherently undecodable without embedded-font cmap parsing, and no
+  layout analysis — callers
   re-chunk the per-page text with the engine's word-window chunker
   instead of PyMuPDF's layout blocks, so row GRANULARITY differs from
   the reference golden (272 layout blocks → ~45 word-window chunks for
@@ -98,6 +106,12 @@ _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
 _BITSPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_IDENTITY_ENC_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+_DESCENDANT_ARR_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+0\s+R\s*\]")
+_DESCENDANT_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+0\s+R")
+_W_INLINE_RE = re.compile(rb"/W\s*\[")
+_W_REF_RE = re.compile(rb"/W\s+(\d+)\s+0\s+R")
+_W_TOKEN_RE = re.compile(rb"\[|\]|-?\d+(?:\.\d+)?")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_DICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+0\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+0\s+R")
@@ -163,7 +177,12 @@ def _mostly_printable(s: str) -> bool:
     cp1252 soup): keep a string only when it reads like text."""
     if not s:
         return False
-    ok = sum(ch.isprintable() or ch.isspace() for ch in s)
+    # U+FFFD is technically printable but marks an undecodable code
+    # (missing cmap entry / outside the /W code space) — count it
+    # against the ratio so fully-unmapped strings are dropped (r7)
+    ok = sum(
+        (ch.isprintable() or ch.isspace()) and ch != "�" for ch in s
+    )
     return ok / len(s) >= 0.8
 
 
@@ -375,6 +394,29 @@ def _page_font_cmaps(
         font_body = objs.get(int(ref), b"")
         tu = _TOUNICODE_RE.search(font_body)
         if not tu:
+            # Identity-H/V CID font with no ToUnicode (r7): decode its
+            # 2-byte CIDs through the descendant CIDFont's /W-declared
+            # code space (identity interpretation, see
+            # _decode_with_cmap) instead of cp1252 soup
+            if _IDENTITY_ENC_RE.search(font_body):
+                dm = _DESCENDANT_ARR_RE.search(font_body)
+                if not dm:
+                    dm = _DESCENDANT_REF_RE.search(font_body)
+                    if dm:
+                        # indirect array object: [ N 0 R ]
+                        arr = objs.get(int(dm.group(1)), b"")
+                        dm = _REF_RE.search(arr)
+                desc = objs.get(int(dm.group(1)), b"") if dm else b""
+                w_src = desc
+                if not _W_INLINE_RE.search(desc):
+                    wr = _W_REF_RE.search(desc)
+                    if wr:
+                        w_src = b"/W " + objs.get(int(wr.group(1)), b"")
+                out[name.decode("latin-1")] = {
+                    "width": 2,
+                    "identity": True,
+                    "wset": _parse_w_cids(w_src),
+                }
             continue
         cm_body = objs.get(int(tu.group(1)))
         data = _stream_bytes(cm_body) if cm_body else None
@@ -389,10 +431,78 @@ def _page_font_cmaps(
     return out
 
 
+def _parse_w_cids(body: bytes) -> frozenset[int] | None:
+    """CID set declared by a CIDFont's /W widths array (PDF 32000-1
+    §9.7.4.3) — both forms: ``c [w1 … wn]`` covers c..c+n-1 and
+    ``cfirst clast w`` covers the inclusive range. Balanced-bracket
+    scan (the array nests, so a lazy regex would cut it short); CIDs
+    are capped to the 2-byte code space so a malformed range cannot
+    allocate beyond 65536 entries. None when no /W is declared (then
+    every code is in the declared space — /DW-only fonts exist)."""
+    m = _W_INLINE_RE.search(body)
+    if not m:
+        return None
+    i, depth, start = m.end(), 1, m.end()
+    while i < len(body) and depth:
+        c = body[i : i + 1]
+        if c == b"[":
+            depth += 1
+        elif c == b"]":
+            depth -= 1
+        i += 1
+    toks = _W_TOKEN_RE.findall(body[start : i - 1])
+    cids: set[int] = set()
+    j = 0
+    while j < len(toks):
+        t = toks[j]
+        if t in (b"[", b"]"):
+            j += 1
+            continue
+        c0 = int(float(t))
+        if j + 1 < len(toks) and toks[j + 1] == b"[":
+            k = j + 2
+            n = 0
+            while k < len(toks) and toks[k] != b"]":
+                n += 1
+                k += 1
+            if 0 <= c0 <= 0xFFFF:
+                cids.update(range(c0, min(c0 + n, 0x10000)))
+            j = k + 1
+        elif j + 2 < len(toks):
+            c1 = int(float(toks[j + 1]))
+            if 0 <= c0 <= 0xFFFF and c1 >= c0:
+                cids.update(range(c0, min(c1, 0xFFFF) + 1))
+            j += 3
+        else:
+            break
+    return frozenset(cids) if cids else None
+
+
 def _decode_with_cmap(raw: bytes, cmap: dict) -> str:
     w = cmap["width"]
-    table = cmap["map"]
     usable = len(raw) - (len(raw) % w)
+    if cmap.get("identity"):
+        # Identity-H/V CID font WITHOUT a ToUnicode map (r7): the
+        # 2-byte codes are CIDs; codes outside the /W-declared code
+        # space are rejected, codes inside decode as the identity
+        # Unicode interpretation chr(cid) — the common identity-subset
+        # writer convention (CID == code point). Control/surrogate
+        # codes map to U+FFFD so genuinely glyph-indexed subsets still
+        # fail the printable-ratio guard instead of emitting soup.
+        wset = cmap.get("wset")
+        out = []
+        for i in range(0, usable, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            if wset is not None and code not in wset:
+                out.append("�")
+            elif 0xD800 <= code <= 0xDFFF or (
+                code < 0x20 and code not in (0x09, 0x0A, 0x0D)
+            ):
+                out.append("�")
+            else:
+                out.append(chr(code))
+        return "".join(out)
+    table = cmap["map"]
     return "".join(
         table.get(int.from_bytes(raw[i : i + w], "big"), "�")
         for i in range(0, usable, w)
