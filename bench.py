@@ -137,6 +137,8 @@ HEADLINE = [
     "ann_pq_search_pinned",
     "ann_ivfpq_search_pinned",
     "quality_classifier_pinned",
+    # round 7: every mid-r7 addition priced from day one
+    "ann_ivfpq_trained_pinned",
 ]
 
 

@@ -2207,235 +2207,3 @@ def temperature_mixture(
         )
     )
 
-
-def gopher_rules_audit(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    *,
-    min_words: int = 50,
-    max_words: int = 100_000,
-) -> DataFrame:
-    """Gopher admission-rules audit (Rae et al. 2021, table A1) — the
-    published heuristic gate a pre-training corpus build runs before
-    any model-based scorer: per-document rule flags plus the composed
-    ``admitted`` verdict. Complements `quality_score` (C4-style raw
-    signals) and `repetition_signals` (the duplicate-fraction family)
-    by composing the DECISION the paper publishes:
-
-      - ``ok_word_count``   — n_words in [min_words, max_words]
-        (published bounds 50..100k; callers tune per corpus)
-      - ``ok_mean_word_len``— mean word length in [3, 10] chars
-      - ``ok_symbol_ratio`` — (# '#' + # '...'/'…') / n_words <= 0.1
-      - ``ok_bullet_lines`` — <= 90% of lines start with a bullet
-      - ``ok_ellipsis_lines`` — <= 30% of lines end with an ellipsis
-      - ``ok_alpha_words``  — >= 80% of words contain a letter
-      - ``ok_stopwords``    — >= 2 distinct common stopwords present
-
-    EVERY flag is an INTEGER-ARITHMETIC comparison (e.g. mean word
-    length in [3,10] is ``3·n_words <= n_chars <= 10·n_words``), never
-    a float-threshold test — a ratio sitting exactly on a boundary
-    cannot flip between engines (the cross-engine rounding rule). The
-    reported ratio columns are rounded 6 for display only; the flags
-    do not read them. Scale: one row-local projection, no shuffle —
-    Catalyst fuses it into the scan."""
-    t = F.col(text_col)
-    w = F.filter(TX.words(t), lambda x: x != F.lit(""))
-    lines = F.split(t, "\n")
-    stop = F.array(
-        *[F.lit(s) for s in ("the", "a", "and", "of", "to", "in", "is")]
-    )
-    nw = F.size(w).cast("bigint")
-    n_chars = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
-    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#")))).cast(
-        "bigint"
-    )
-    n_ell = (
-        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
-    ).cast("bigint") + (
-        F.length(t) - F.length(F.replace(t, F.lit("…")))
-    ).cast("bigint")
-    n_lines = F.size(lines).cast("bigint")
-    n_bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: l.startswith("- ") | l.startswith("• "),
-        )
-    ).cast("bigint")
-    n_ell_lines = F.size(
-        F.filter(
-            lines,
-            lambda l: l.endswith("...") | l.endswith("…"),
-        )
-    ).cast("bigint")
-    n_alpha = F.size(
-        F.filter(w, lambda x: x.rlike("[a-z]"))
-    ).cast("bigint")
-    n_stop = F.size(
-        F.filter(stop, lambda s: F.array_contains(w, s))
-    ).cast("bigint")
-    flags = {
-        "ok_word_count": (nw >= F.lit(min_words))
-        & (nw <= F.lit(max_words)),
-        "ok_mean_word_len": (F.lit(3) * nw <= n_chars)
-        & (n_chars <= F.lit(10) * nw),
-        "ok_symbol_ratio": F.lit(10) * (n_hash + n_ell) <= nw,
-        "ok_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
-        "ok_ellipsis_lines": F.lit(10) * n_ell_lines
-        <= F.lit(3) * n_lines,
-        "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * nw,
-        "ok_stopwords": n_stop >= F.lit(2),
-    }
-    admitted = None
-    for c in flags.values():
-        admitted = c if admitted is None else (admitted & c)
-    return df.select(
-        F.col(id_col),
-        nw.alias("n_words"),
-        F.round(n_chars / F.nullif(nw, F.lit(0)), 6).alias(
-            "mean_word_len"
-        ),
-        F.round((n_hash + n_ell) / F.nullif(nw, F.lit(0)), 6).alias(
-            "symbol_ratio"
-        ),
-        F.round(n_alpha / F.nullif(nw, F.lit(0)), 6).alias(
-            "alpha_word_ratio"
-        ),
-        n_stop.alias("n_stopwords"),
-        *[c.alias(name) for name, c in flags.items()],
-        admitted.alias("admitted"),
-    )
-
-
-def lm_perplexity_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
-    every document with the corpus-unigram commonness proxy
-    (`unigram_lm_score` — integer sums + one double division, no
-    libm), then split each LANGUAGE into head/middle/tail tertiles by
-    score. CCNet buckets on a trained KenLM's perplexity; the unigram
-    commonness proxy ranks the same degenerate/garbled tail without a
-    model artifact and keeps the whole trajectory value-oracled.
-
-    Determinism: the ntile(3) ordering key is (commonness DESC, doc_id
-    ASC) — commonness is ONE IEEE division of bigints (bit-identical
-    across engines), and the id tie-break makes the order total, so
-    tertile boundaries cannot flip. The window partitions by lang,
-    never SinglePartition. SCALE NOTE: lang cardinality is small, so
-    each ntile partition sorts corpus/|langs| rows — fine to the
-    multi-TB range (one external sort per lang, what CCNet itself does
-    per language shard), but at the 100 TB extreme swap the ntile for
-    a two-pass form: approx/exact tertile THRESHOLDS per lang (one
-    agg), then a broadcast threshold join — same buckets up to
-    boundary ties, no full sort. The exact-ntile form is kept here
-    because it is the value-checkable definition."""
-    from pyspark.sql import Window
-
-    scored = unigram_lm_score(df, text_col=text_col, id_col=id_col)
-    langs = df.select(F.col(id_col), "lang")
-    joined = scored.join(langs, id_col)
-    commonness = (F.col("sum_ct") / F.col("n_tokens")).alias("_c")
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("_c"), F.asc(id_col)
-    )
-    tile = F.ntile(3).over(w)
-    return (
-        joined.select(id_col, "lang", "n_tokens", "sum_ct", commonness)
-        .select(
-            id_col,
-            "lang",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("sum_ct").cast("bigint").alias("sum_ct"),
-            F.round("_c", 6).alias("commonness"),
-            F.element_at(
-                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-                tile,
-            ).alias("bucket"),
-        )
-    )
-
-
-#: PII patterns shared by the Spark query and the DuckDB oracle —
-#: restricted to syntax Java regex and RE2 interpret identically
-#: (character classes, bounded repetition, \\b word boundaries; no
-#: lookaround, no backreferences).
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
-
-
-def pii_scrub_audit(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """PII detection + redaction audit — the scrub step a public-data
-    pipeline runs before release (the BigCode/StarCoder PII pass
-    reduced to its regex-detectable classes: emails, IPv4s, SSN-shaped
-    ids). Emits per-doc match counts and the md5 of the REDACTED text
-    (emails → <EMAIL>, ids → <ID>, IPs → <IP>; replacement order fixed
-    so the IP pattern cannot re-match inside an already-redacted
-    email).
-
-    MECHANISM AUDIT on this corpus: the synthetic documents contain no
-    PII (verified — zero '@', zero digits), so deterministic PII is
-    PLANTED on a doc_id-keyed slice (mod-7 emails, mod-11 IPs, mod-13
-    SSNs) purely to exercise the detector cross-engine — the
-    dp_release_counts discipline: the pipeline shape is real, the
-    planted input is what makes it value-checkable. On a real corpus
-    drop the planting CTE. Scale: row-local regexes, no shuffle."""
-    did = F.col(id_col)
-    planted = F.concat(
-        F.col(text_col),
-        F.when(
-            did % 7 == 0,
-            F.concat_ws(
-                "",
-                F.lit(" contact user"),
-                did.cast("string"),
-                F.lit("@mail.example.com now"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 11 == 0,
-            F.concat_ws(
-                "",
-                F.lit(" host 10.0."),
-                (did % 256).cast("string"),
-                F.lit("."),
-                (did % 100).cast("string"),
-                F.lit(" up"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 13 == 0,
-            F.concat_ws(
-                "",
-                F.lit(" id 123-45-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"),
-                F.lit(" end"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    base = df.select(did, planted.alias("_t"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("_t"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_SSN_RE,
-            "<ID>",
-        ),
-        PII_IPV4_RE,
-        "<IP>",
-    )
-    return base.select(
-        F.col(id_col),
-        F.size(F.regexp_extract_all(F.col("_t"), F.lit(PII_EMAIL_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("_t"), F.lit(PII_IPV4_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_ips"),
-        F.size(F.regexp_extract_all(F.col("_t"), F.lit(PII_SSN_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_ids"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
-    )

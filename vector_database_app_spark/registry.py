@@ -11541,163 +11541,6 @@ ORACLE["tokenizer_fertility_compare"] = f"""
 """
 
 
-def q_quality_gopher_rules(spark, sf_dir):
-    """Gopher admission-rules audit (Rae et al. 2021 table A1;
-    operators/textops.gopher_rules_audit) — the published heuristic
-    gate composed into per-doc rule flags + the admitted verdict.
-    Every flag is integer-arithmetic (no float-threshold boundary can
-    flip cross-engine); min_words=20 on this fixture so both verdicts
-    occur (published default 50 documented in the operator)."""
-    return textops.gopher_rules_audit(
-        _t(spark, sf_dir, "documents"), min_words=20
-    )
-
-
-QUERIES["quality_gopher_rules"] = q_quality_gopher_rules
-
-ORACLE["quality_gopher_rules"] = """
-    WITH base AS (
-        SELECT doc_id, text,
-               list_filter(string_split(lower(text), ' '), x -> x <> '')
-                   AS w,
-               string_split(text, chr(10)) AS lines
-        FROM documents
-    ), sig AS (
-        SELECT doc_id,
-               CAST(len(w) AS BIGINT) AS nw,
-               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
-               CAST(length(text) - length(replace(text, '#', ''))
-                    AS BIGINT) AS n_hash,
-               CAST((length(text) - length(replace(text, '...', ''))) // 3
-                    + (length(text) - length(replace(text, '…', '')))
-                    AS BIGINT) AS n_ell,
-               CAST(len(lines) AS BIGINT) AS n_lines,
-               CAST(len(list_filter(lines,
-                    l -> starts_with(l, '- ') OR starts_with(l, '• ')))
-                    AS BIGINT) AS n_bullet,
-               CAST(len(list_filter(lines,
-                    l -> ends_with(l, '...') OR ends_with(l, '…')))
-                    AS BIGINT) AS n_ell_lines,
-               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-                    AS BIGINT) AS n_alpha,
-               CAST(len(list_filter(['the','a','and','of','to','in','is'],
-                    s -> list_contains(w, s))) AS BIGINT) AS n_stop
-        FROM base
-    )
-    SELECT doc_id,
-           nw AS n_words,
-           round(n_chars / nullif(nw, 0), 6) AS mean_word_len,
-           round((n_hash + n_ell) / nullif(nw, 0), 6) AS symbol_ratio,
-           round(n_alpha / nullif(nw, 0), 6) AS alpha_word_ratio,
-           n_stop AS n_stopwords,
-           (nw >= 20 AND nw <= 100000) AS ok_word_count,
-           (3 * nw <= n_chars AND n_chars <= 10 * nw)
-               AS ok_mean_word_len,
-           (10 * (n_hash + n_ell) <= nw) AS ok_symbol_ratio,
-           (10 * n_bullet <= 9 * n_lines) AS ok_bullet_lines,
-           (10 * n_ell_lines <= 3 * n_lines) AS ok_ellipsis_lines,
-           (5 * n_alpha >= 4 * nw) AS ok_alpha_words,
-           (n_stop >= 2) AS ok_stopwords,
-           ((nw >= 20 AND nw <= 100000)
-            AND (3 * nw <= n_chars AND n_chars <= 10 * nw)
-            AND (10 * (n_hash + n_ell) <= nw)
-            AND (10 * n_bullet <= 9 * n_lines)
-            AND (10 * n_ell_lines <= 3 * n_lines)
-            AND (5 * n_alpha >= 4 * nw)
-            AND (n_stop >= 2)) AS admitted
-    FROM sig
-"""
-
-
-def q_lm_perplexity_buckets(spark, sf_dir):
-    """CCNet-style head/middle/tail bucketing per language
-    (operators/textops.lm_perplexity_buckets): corpus-unigram
-    commonness proxy scores every doc (integer sums + one IEEE
-    division — bit-identical cross-engine), ntile(3) per lang with the
-    doc_id tie-break makes the tertile boundaries deterministic."""
-    return textops.lm_perplexity_buckets(_t(spark, sf_dir, "documents"))
-
-
-QUERIES["lm_perplexity_buckets"] = q_lm_perplexity_buckets
-
-ORACLE["lm_perplexity_buckets"] = """
-    WITH toks AS (
-        SELECT doc_id, unnest(list_filter(
-            string_split(lower(text), ' '), x -> x <> '')) AS term
-        FROM documents
-    ), lm AS (
-        SELECT term, count(*) AS ct FROM toks GROUP BY term
-    ), per_doc AS (
-        SELECT t.doc_id,
-               CAST(sum(l.ct) AS BIGINT) AS sum_ct,
-               CAST(count(*) AS BIGINT) AS n_tokens
-        FROM toks t JOIN lm l USING (term)
-        GROUP BY t.doc_id
-    ), scored AS (
-        SELECT p.doc_id, d.lang, p.n_tokens, p.sum_ct,
-               p.sum_ct / CAST(p.n_tokens AS DOUBLE) AS c
-        FROM per_doc p JOIN documents d USING (doc_id)
-    )
-    SELECT doc_id, lang, n_tokens, sum_ct,
-           round(c, 6) AS commonness,
-           (['head', 'middle', 'tail'])[
-               ntile(3) OVER (PARTITION BY lang
-                              ORDER BY c DESC, doc_id ASC)
-           ] AS bucket
-    FROM scored
-"""
-
-
-def q_pii_scrub_audit(spark, sf_dir):
-    """PII detect+redact audit (operators/textops.pii_scrub_audit):
-    email/IPv4/SSN-shaped counts + md5 of the redacted text. The
-    corpus carries no PII, so a doc_id-keyed deterministic plant
-    exercises the detector (mechanism audit — the dp_release_counts
-    discipline); patterns restricted to Java-regex/RE2-identical
-    syntax."""
-    return textops.pii_scrub_audit(_t(spark, sf_dir, "documents"))
-
-
-QUERIES["pii_scrub_audit"] = q_pii_scrub_audit
-
-ORACLE["pii_scrub_audit"] = r"""
-    WITH planted AS (
-        SELECT doc_id,
-               text
-               || CASE WHEN doc_id % 7 = 0 THEN
-                    ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@mail.example.com now'
-                  ELSE '' END
-               || CASE WHEN doc_id % 11 = 0 THEN
-                    ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                    || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
-                  ELSE '' END
-               || CASE WHEN doc_id % 13 = 0 THEN
-                    ' id 123-45-'
-                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    || ' end'
-                  ELSE '' END AS t
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(t,
-                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-                AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
-                AS BIGINT) AS n_ids,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
-               AS scrubbed_md5
-    FROM planted
-"""
-
-
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
