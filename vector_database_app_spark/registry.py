@@ -11760,6 +11760,20 @@ _DRIVER_WINDOW_R7 = [
 # list-typed embedding column). They are rows-only BY DESIGN — their
 # value-checkable md5 twins (dedup_minhash_md5, doc_simhash_md5) are
 # driver-green — and must stay out of oracle windows permanently.
+# _DRIVER_WINDOW_R8 (round-8 planning): after this round banks the 50
+# above, the never-windowed oracle-backed remainder is exactly ONE
+# query — "ann_ivfpq_trained_pinned" (mid-r7, verified at sf0.001 +
+# sf0.01 + sf0.1 + all four structural gates). Put it FIRST next
+# round, then backfill 49 re-confirmations (suggested: the window-5
+# never-windowed set — window_ntile, agg_grouping_sets, join_right,
+# join_salted, chunk_sliding, token_histogram, profile_table,
+# profile_embeddings, dsir_select, vocab_profile, l_diversity,
+# bpe_pair_counts, ngram_containment, embedding_outliers,
+# events_markov, graph_triangles, decontaminate_semantic, events_pivot
+# — plus the r1-era relational/scalar-function block that has not been
+# re-confirmed since round 1). Verify any new window order with the
+# sf0.01 mirror BEFORE shipping, exactly as rounds 6 and 7 did.
+
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R7), (
     "rows-only queries with known driver-canonicalizer hazards must "
