@@ -23,6 +23,8 @@ Scale design notes (each operator's contract at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1061,20 +1063,20 @@ def similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # counting-form exact verify (see docstring): candidate pairs join
-    # back to the exploded distinct-shingle stream for |A∩B|, per-doc
-    # set sizes give |A∪B| — no per-pair re-shingling
+    # length filter BEFORE the verify (AllPairs, Bayardo et al. WWW'07
+    # §3.1, exact): J(a,b) >= t implies |A∩B| >= t·(|a|+|b|)/(1+t) and
+    # |A∩B| <= min(|a|,|b|), so t·|larger| <= |smaller| — attach the
+    # per-doc set sizes to the candidates first (|docs|-row frame, two
+    # cheap joins the jaccard arithmetic needs anyway) and drop
+    # size-incompatible pairs before they reach the shingle join-back.
+    # Integer-compared at 1/1000 granularity, FLOORED so the filter
+    # bound is always <= the true threshold (never drops a qualifying
+    # pair; no float boundary either) (r7; cut the sf0.1 verify input
+    # measurably, see PERF.md).
+    t1000 = int(math.floor(threshold * 1000))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    return (
-        inter.join(
+    cand_sized = (
+        cand.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
         )
@@ -1082,7 +1084,24 @@ def similarity_join(
             sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
         )
-        .select(
+        .filter(
+            (F.lit(t1000) * F.greatest("_na", "_nb"))
+            <= (F.lit(1000) * F.least("_na", "_nb"))
+        )
+    )
+    # counting-form exact verify (see docstring): candidate pairs join
+    # back to the exploded distinct-shingle stream for |A∩B|, per-doc
+    # set sizes give |A∪B| — no per-pair re-shingling
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand_sized.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        inter.select(
             "id_a",
             "id_b",
             F.round(
