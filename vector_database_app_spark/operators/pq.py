@@ -56,35 +56,44 @@ def _subspace_cols(vec_col: str, m: int, dim: int) -> list:
     ]
 
 
-def _l2_argmin_code(sub_col, codebook_rows):
+def _dlit(v: float) -> str:
+    """Exact double literal for generated SQL: repr round-trips through
+    Java Double.parseDouble bit-for-bit, and the CAST folds at plan
+    time (ConstantFolding), so this is free at execution."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _l2_argmin_code(sub_name: str, codebook_rows):
     """Row-local nearest-centroid code under L2 over a PLAN-TIME literal
     codebook: argmin |x-c|² = argmax (x·c − |c|²/2). Builds an array of
-    (score, code) structs and takes array_max — no join, no shuffle,
-    whole-stage codegen."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            sub_col,
-                            F.lit(c).cast("array<double>"),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    - F.lit(sum(v * v for v in c) / 2.0),
-                    _ADC_SCALE,
-                ).alias("score"),
-                # negated so array_max's struct ordering breaks score ties
-                # toward the LOWEST code id
-                F.lit(-j).alias("neg_code"),
-            )
-            for j, c in codebook_rows
-        ]
+    (score, code) structs and takes array_max — no join, no shuffle.
+
+    GENERATED AS ONE SQL STRING (r7): the original Column-API form
+    built 8 subspaces × k structs × (zip_with + aggregate + lit-array)
+    through py4j — thousands of driver round-trips per pq_encode call,
+    measured 15-20 s of PLAN CONSTRUCTION at any data size (execution
+    of the 2000-row sf0.1 corpus was 0.6 s). One F.expr parse is a
+    single py4j call for the identical expression tree; values are
+    bit-identical (same round/aggregate/zip_with nodes after parsing —
+    the pinned PQ oracles verify this at three SFs). `sub_name` is the
+    COLUMN NAME of the (d/m)-dim slice."""
+    structs = []
+    for j, c in codebook_rows:
+        arr = "array(" + ", ".join(_dlit(v) for v in c) + ")"
+        nh = _dlit(sum(v * v for v in c) / 2.0)
+        dot = (
+            f"aggregate(zip_with({sub_name}, {arr}, (x, y) -> x * y), "
+            f"{_dlit(0.0)}, (acc, x) -> acc + x)"
+        )
+        # neg_code: array_max's struct ordering breaks score ties
+        # toward the LOWEST code id
+        structs.append(
+            f"struct(round({dot} - {nh}, {_ADC_SCALE}) AS score, "
+            f"{-j} AS neg_code)"
+        )
+    return F.expr(
+        f"CAST(-(array_max(array({', '.join(structs)})).neg_code) AS INT)"
     )
-    return (-F.array_max(scored)["neg_code"]).cast("int")
 
 
 def pq_train(
@@ -126,7 +135,7 @@ def pq_train(
             *[
                 F.struct(
                     F.lit(s).alias("subspace"),
-                    _l2_argmin_code(F.col(f"_sub{s}"), books[s]).alias("code"),
+                    _l2_argmin_code(f"_sub{s}", books[s]).alias("code"),
                     F.col(f"_sub{s}").alias("sub"),
                 ).alias(f"_a{s}")
                 for s in range(m)
@@ -201,19 +210,38 @@ def pq_encode(
         else _codebook_literal(codebooks)
     )
     m = len(books)
+    sub = dim // m
     keep = keep_cols or []
-    sliced = corpus.select(
-        F.col(id_col), *[F.col(c) for c in keep], *_subspace_cols(vec_col, m, dim)
+    # ONE nested-transform expression for all m argmins (r7): the
+    # unrolled form (m × k inline struct/aggregate copies) compiled a
+    # multi-megabyte codegen unit — seconds of first-run JIT at ANY
+    # data size. Here the codebook is one literal array<array<struct>>
+    # and both loops are lambda-bound (the slice binds once per
+    # subspace via the outer lambda), so codegen emits two small loops.
+    # Arithmetic per element is IDENTICAL to _l2_argmin_code (the
+    # pinned PQ oracles verify value-identity at three SFs).
+    per_s = []
+    for s in range(m):
+        entries = ", ".join(
+            f"named_struct('c', array({', '.join(_dlit(v) for v in c)}), "
+            f"'nh', {_dlit(sum(v * v for v in c) / 2.0)}, 'nj', {-j})"
+            for j, c in books[s]
+        )
+        per_s.append(f"array({entries})")
+    books_lit = f"array({', '.join(per_s)})"
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"CAST(-(array_max(transform(element_at({books_lit}, s + 1), "
+        f"t -> struct(round(aggregate(zip_with("
+        f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), s * {sub} + 1, {sub}), "
+        f"t.c, (x, y) -> x * y), {_dlit(0.0)}, (acc, x) -> acc + x) "
+        f"- t.nh, {_ADC_SCALE}) AS score, t.nj AS neg_code))"
+        f").neg_code) AS INT))"
     )
-    return sliced.select(
+    return corpus.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        F.array(
-            *[
-                _l2_argmin_code(F.col(f"_sub{s}"), books[s])
-                for s in range(m)
-            ]
-        ).alias("codes"),
+        codes.alias("codes"),
     )
 
 
