@@ -1024,11 +1024,24 @@ def pca_train(
 def pca_project_expr(vec_col, component: list[float]):
     """Dot product of a vector column with one literal principal axis —
     `zip_with` multiply + `aggregate` sum, inside codegen, no UDF (the
-    projection at serving time must not cost a python boundary)."""
+    projection at serving time must not cost a python boundary).
+
+    Emitted as ONE generated-SQL F.expr when `vec_col` is a column name
+    (every in-repo caller): the Column-API form issued one py4j call
+    per literal — 64 per axis, ~2k per pca_search build (the pq_encode
+    plan-cost lesson, PERF.md r7). repr round-trips doubles exactly and
+    the CASTs constant-fold, so values are bit-identical."""
+    if isinstance(vec_col, str):
+        arr = "array(" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in component
+        ) + ")"
+        return F.expr(
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {arr}, "
+            f"(x, y) -> x * y), CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+        )
     comp = F.array(*[F.lit(float(x)) for x in component])
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     prods = F.zip_with(
-        c.cast("array<double>"), comp, lambda x, y: x * y
+        vec_col.cast("array<double>"), comp, lambda x, y: x * y
     )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -1062,23 +1075,39 @@ def pca_search(
     ROUNDED scores with an `id_col` tiebreak, so the answer is
     deterministic. The sibling of `matryoshka_search` (unlearned
     prefix) and `srp_search` (unlearned rotation, bit-quantized)."""
-    cdims = [
-        pca_project_expr(vec_col, comp).alias(f"_pc{j}")
-        for j, comp in enumerate(components)
-    ]
-    qdims = [
-        pca_project_expr(query_vec_col, comp).alias(f"_qc{j}")
-        for j, comp in enumerate(components)
-    ]
-    coarse = sum(
-        (F.col(f"_pc{j}") * F.col(f"_qc{j}") for j in range(len(components))),
+    # ONE projection array per side via transform over the literal axes
+    # (r7, the pq_encode plan-cost lesson): k' separate per-axis columns
+    # compiled k' inline aggregates; the lambda-bound loop codegens
+    # once. coarse = zip_with+aggregate left fold from 0.0 — the SAME
+    # add order as the previous sum() of per-axis products, so scores
+    # are bit-identical (pinned oracle re-verified).
+    axes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in comp
+        ) + ")"
+        for comp in components
+    ) + ")"
+
+    def _proj(col_name: str) -> Column:
+        return F.expr(
+            f"transform({axes_lit}, a -> aggregate(zip_with("
+            f"CAST({col_name} AS ARRAY<DOUBLE>), a, (x, y) -> x * y), "
+            f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x))"
+        )
+
+    coarse = F.aggregate(
+        F.zip_with(F.col("_pc"), F.col("_qc"), lambda x, y: x * y),
         F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     joined = (
-        corpus.select("*", *cdims)
+        corpus.select("*", _proj(vec_col).alias("_pc"))
         .crossJoin(
             F.broadcast(
-                queries.select(query_id_col, query_vec_col, *qdims)
+                queries.select(
+                    query_id_col, query_vec_col,
+                    _proj(query_vec_col).alias("_qc"),
+                )
             )
         )
         .withColumn("coarse_sim", F.round(coarse, sim_scale))
@@ -1089,8 +1118,7 @@ def pca_search(
     cands = (
         joined.withColumn("crk", F.row_number().over(w))
         .filter(F.col("crk") <= shortlist)
-        .drop(*[f"_pc{j}" for j in range(len(components))])
-        .drop(*[f"_qc{j}" for j in range(len(components))])
+        .drop("_pc", "_qc")
     )
     fine = cands.withColumn(
         "sim",
