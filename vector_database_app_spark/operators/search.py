@@ -315,29 +315,37 @@ def _srp_bucket(vec_col: Column, n_bits: int, dim: int) -> Column:
     the probe-ring explode, and projection collapse duplicates the
     expression into each reference — compact trees keep codegen compile
     time bounded.)
-    """
+
+    Emitted as ONE generated-SQL F.expr (r7, the pq_encode plan-cost
+    lesson): the Column-API form issued n_bits × dim py4j lit calls
+    (~512) per bucket expression — measured seconds of plan build
+    across this helper's many consumers. CASE WHEN proj >= 0 mirrors
+    F.when exactly; values bit-identical (SRP oracles re-verified)."""
     import hashlib
 
-    v = vec_col.cast("array<double>")
-    bucket = F.lit(0).cast("long")
+    name = (
+        vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    )
+    terms = []
     for bit in range(n_bits):
-        signs = F.array(
-            *[
-                F.lit(
-                    1.0
-                    if hashlib.md5(f"srp|{bit}|{j}".encode()).digest()[0] & 1
-                    else -1.0
-                )
-                for j in range(dim)
-            ]
+        signs = ", ".join(
+            "1.0D"
+            if hashlib.md5(f"srp|{bit}|{j}".encode()).digest()[0] & 1
+            else "-1.0D"
+            for j in range(dim)
         )
-        proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        proj = (
+            f"aggregate(zip_with(CAST({name} AS ARRAY<DOUBLE>), "
+            f"array({signs}), (x, s) -> x * s), "
+            f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
-    return bucket
+        terms.append(
+            f"(CASE WHEN {proj} >= CAST('0.0' AS DOUBLE) "
+            f"THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(terms)
+    )
 
 
 def srp_index(
@@ -350,7 +358,7 @@ def srp_index(
     """Materialize the ANN 'index': corpus + bucket column. At scale, write
     this out partitioned/bucketed BY bucket so a probe reads only matching
     files (partition pruning does candidate generation for free)."""
-    return corpus.withColumn("bucket", _srp_bucket(F.col(vec_col), n_bits, dim))
+    return corpus.withColumn("bucket", _srp_bucket(vec_col, n_bits, dim))
 
 
 def srp_search(
@@ -381,7 +389,7 @@ def srp_search(
             f"hamming_probe={hamming_probe} would probe "
             "sum(C(n_bits,r)) buckets — cap is 3; raise n_bits or use ivf_search"
         )
-    q = queries.withColumn("qbucket", _srp_bucket(F.col(query_vec_col), n_bits, dim))
+    q = queries.withColumn("qbucket", _srp_bucket(query_vec_col, n_bits, dim))
     # probe ring: the bucket itself + every mask with <= hamming_probe bits
     masks = [0] + [
         sum(1 << b for b in combo)
