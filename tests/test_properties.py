@@ -121,6 +121,49 @@ def test_prefix_filter_similarity_join_is_exact(spark):
     assert len(full) > 0
 
 
+def test_similarity_join_matches_pure_python_reference(spark):
+    """Independent exactness check for the full candidate pipeline —
+    prefix filter AND the r7 AllPairs length filter (the prefix-on/off
+    comparison above cannot catch a too-strict length bound because
+    both arms share it): pure-Python pairwise shingle Jaccard over a
+    doc subset must yield the same pair set, at a threshold (1/3) whose
+    floor(1000·t)/1000 scaling is strictly below t."""
+    from vector_database_app_spark.operators.dedup import similarity_join
+    from vector_database_app_spark.sources.catalog import load_table
+
+    t = 1.0 / 3.0
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 150"
+    )
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def sh(text):
+        w = [x for x in text.lower().split(" ") if x != ""]
+        if len(w) < 3:
+            return {text.lower()}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: sh(x) for d, x in rows.items()}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if round(j, 6) >= t:
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity_join(
+            docs, threshold=t, prefix_filter=True
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 @given(
     st.lists(
         st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
