@@ -711,3 +711,51 @@ def test_stream_events_resample_equals_batch(spark, tmp_path):
     assert got == want
     # the grid really is gap-filled: zero-count LOCF rows exist
     assert any(r[2] == 0 and r[4] is not None for r in got)
+
+
+def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
+    """Continuous CMS heavy hitters (SW.run_stream_heavy_hitters):
+    documents replayed in two waves through the mergeable-sketch delta
+    store; after the full drain the audit equals the batch
+    heavy_hitters_cms registry query — same exact counts, same CMS
+    estimates (the shared cms_rc_structs hash family makes stream
+    cells bit-identical to batch cells)."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        str(arrivals / "w1")
+    )
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_heavy_hitters(stream, store_dir, out_dir, ckpt)
+
+    _drain()
+    assert spark.read.parquet(out_dir).count() == 20
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        str(arrivals / "w2")
+    )
+    _drain()
+
+    def keyed(df):
+        return {
+            (r.tok, r.exact_count, r.cms_estimate, r.overestimate)
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["heavy_hitters_cms"](spark, SF))
+    assert got == want
+    assert len(got) == 20

@@ -2207,3 +2207,38 @@ def temperature_mixture(
         )
     )
 
+
+
+def cms_rc_structs(tok_col: str = "tok", *, d: int = 4, w: int = 64):
+    """The count-min-sketch (r, c) hash family — ONE definition shared
+    by the sketch build, the probe, and the streaming twin (the
+    estimate >= exact guarantee holds only while every consumer stays
+    bit-identical; review r6's _md5_signatures sharing discipline).
+    Row r hashes the token through md5(tok|r), first 4 hex chars mod w.
+    Returns an exploded struct column aliased ``rc``."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col(tok_col), F.lit(f"|{r}")
+                                    )
+                                ),
+                                1,
+                                4,
+                            ),
+                            16,
+                            10,
+                        ).cast("int")
+                        % w
+                    ).alias("c"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rc")

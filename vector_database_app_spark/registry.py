@@ -10823,36 +10823,12 @@ def q_heavy_hitters_cms(spark, sf_dir):
         ).alias("tok")
     )
     def _rc_structs():
-        # ONE definition of the CMS hash family, used by BOTH the
-        # sketch build and the probe — the estimate >= exact guarantee
-        # holds only while the two stay bit-identical (review r6;
-        # the _md5_signatures sharing discipline)
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat(
-                                            F.col("tok"), F.lit(f"|{r}")
-                                        )
-                                    ),
-                                    1,
-                                    4,
-                                ),
-                                16,
-                                10,
-                            ).cast("int")
-                            % w
-                        ).alias("c"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("rc")
+        # ONE definition of the CMS hash family, used by the sketch
+        # build, the probe, AND the streaming twin (r7 — extracted to
+        # textops.cms_rc_structs): the estimate >= exact guarantee
+        # holds only while all consumers stay bit-identical (review
+        # r6; the _md5_signatures sharing discipline)
+        return textops.cms_rc_structs("tok", d=d, w=w)
 
     rows = toks.select("tok", _rc_structs())
     sketch = rows.groupBy("rc.r", "rc.c").agg(

@@ -949,6 +949,111 @@ def run_stream_events_resample(
     q.awaitTermination()
 
 
+def run_stream_heavy_hitters(
+    doc_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 64,
+    top_n: int = 20,
+) -> None:
+    """Continuous count-min-sketch heavy hitters — the streaming twin
+    of the batch `heavy_hitters_cms` registry query, and the family's
+    showcase of WHY sketches exist: CMS cells are MERGEABLE state
+    (partial sketches add cell-wise), so the stream maintains exactly
+    the d·w-cell rollup a 100 TB batch job would shuffle once.
+
+    Same delta-store discipline as `run_stream_events_anomaly`: each
+    micro-batch writes (a) its partial sketch — the (r, c, cell) counts
+    of ITS OWN token stream — and (b) its partial word counts, each to
+    an own ``batch=<id>`` subdirectory (replay-idempotent: both deltas
+    are pure functions of the batch's rows). The merged sketch is the
+    cell-wise sum over sketch deltas; the audit view (top-`top_n` exact
+    heavy hitters with their CMS estimates and overestimates, the batch
+    query's exact output shape) is recomputed into ``out_dir`` per
+    batch. The hash family is textops.cms_rc_structs — the ONE shared
+    definition, so stream cells are bit-identical to batch cells.
+
+    The word-count delta store exists for the AUDIT's exact column
+    (and is what the batch operator also computes); a production
+    stream that only needs estimates keeps the 256-cell sketch plus a
+    bounded candidate set and drops the counts store.
+
+    Parity (tests/test_streaming.py): after draining the full replayed
+    document stream, the audit table equals the batch
+    `heavy_hitters_cms` output row-for-row."""
+    from ..functions import text as TX
+    from ..operators.textops import cms_rc_structs
+
+    spark = doc_stream.sparkSession
+    sketch_dir = f"{store_dir.rstrip('/')}/sketch"
+    counts_dir = f"{store_dir.rstrip('/')}/counts"
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(
+                F.filter(TX.words(text_col), lambda x: x != F.lit(""))
+            ).alias("tok")
+        )
+        # idempotent: a replayed batch overwrites ITS OWN subdirs with
+        # the same deterministic content — never touches other deltas
+        toks.select("tok", cms_rc_structs("tok", d=d, w=w)).groupBy(
+            "rc.r", "rc.c"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cell")).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_dir}/batch={batch_id}")
+        toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).write.mode("overwrite").parquet(
+            f"{counts_dir}/batch={batch_id}"
+        )
+        sketch = (
+            spark.read.parquet(sketch_dir)
+            .groupBy("r", "c")
+            .agg(F.sum("cell").cast("bigint").alias("cell"))
+        )
+        exact_top = (
+            spark.read.parquet(counts_dir)
+            .groupBy("tok")
+            .agg(F.sum("n").cast("bigint").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), F.asc("tok"))
+            .limit(top_n)
+        )
+        probe = exact_top.select(
+            "tok", "exact_count", cms_rc_structs("tok", d=d, w=w)
+        )
+        audit = (
+            probe.join(
+                F.broadcast(sketch),
+                (F.col("rc.r") == F.col("r"))
+                & (F.col("rc.c") == F.col("c")),
+            )
+            .groupBy("tok", "exact_count")
+            .agg(F.min("cell").cast("bigint").alias("cms_estimate"))
+            .select(
+                "tok",
+                "exact_count",
+                "cms_estimate",
+                (F.col("cms_estimate") - F.col("exact_count"))
+                .cast("bigint")
+                .alias("overestimate"),
+            )
+        )
+        audit.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_admission(
     doc_stream: DataFrame,
     store: DataFrame,
