@@ -323,9 +323,14 @@ def _srp_bucket(vec_col: Column, n_bits: int, dim: int) -> Column:
     F.when exactly; values bit-identical (SRP oracles re-verified)."""
     import hashlib
 
-    name = (
-        vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
-    )
+    if not isinstance(vec_col, str):
+        # a Column's SQL rendering is not guaranteed re-parseable —
+        # require the name (every in-repo caller passes one)
+        raise TypeError(
+            "_srp_bucket takes the vector COLUMN NAME (generated-SQL "
+            f"form); got {type(vec_col).__name__}"
+        )
+    name = vec_col
     terms = []
     for bit in range(n_bits):
         signs = ", ".join(
