@@ -296,7 +296,7 @@ def range_search(
 # ---------------------------------------------------------------------------
 
 
-def _srp_bucket(vec_col: Column, n_bits: int, dim: int) -> Column:
+def _srp_bucket(vec_col: str, n_bits: int, dim: int) -> Column:
     """Sign-random-projection bucket id: n_bits hyperplane sign bits packed
     into a bigint. Hyperplanes are deterministic pseudo-random ±1 vectors
     derived from fixed md5-based constants — same bucket for the same vector
