@@ -1064,3 +1064,31 @@ def test_identity_cid_roundtrip_property(text):
     """Property: any BMP printable text round-trips through the
     identity-CID layout when /W declares its code points."""
     assert FB.pdf_pages_text(_build_identity_cid_pdf(text)) == [text]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_parse_w_cids_never_raises_on_garbage(data):
+    """The /W parser runs inside the executor-side parse stage — any
+    byte garbage (torn files, truncated arrays, nested junk) must
+    degrade to a CID set or None, never raise."""
+    got = FB._parse_w_cids(b"/W [" + data + b"]")
+    assert got is None or isinstance(got, frozenset)
+    got2 = FB._parse_w_cids(data)
+    assert got2 is None or isinstance(got2, frozenset)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_identity_cid_decode_never_raises(raw):
+    """_decode_with_cmap under an identity pseudo-cmap must decode any
+    byte string (odd lengths truncate to the code width) without
+    raising, and never emit control characters other than tab/nl/cr."""
+    cmap = {"width": 2, "identity": True, "wset": None}
+    out = FB._decode_with_cmap(raw, cmap)
+    assert isinstance(out, str)
+    assert len(out) == len(raw) // 2
+    for ch in out:
+        assert ch == "�" or not (
+            ord(ch) < 0x20 and ch not in "\t\n\r"
+        )
