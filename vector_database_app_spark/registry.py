@@ -11739,16 +11739,27 @@ _DRIVER_WINDOW_R7 = [
 # _DRIVER_WINDOW_R8 (round-8 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly ONE
 # query — "ann_ivfpq_trained_pinned" (mid-r7, verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates). Put it FIRST next
-# round, then backfill 49 re-confirmations (suggested: the window-5
-# never-windowed set — window_ntile, agg_grouping_sets, join_right,
-# join_salted, chunk_sliding, token_histogram, profile_table,
-# profile_embeddings, dsir_select, vocab_profile, l_diversity,
-# bpe_pair_counts, ngram_containment, embedding_outliers,
-# events_markov, graph_triangles, decontaminate_semantic, events_pivot
-# — plus the r1-era relational/scalar-function block that has not been
-# re-confirmed since round 1). Verify any new window order with the
-# sf0.01 mirror BEFORE shipping, exactly as rounds 6 and 7 did.
+# sf0.01 + sf0.1 + all four structural gates). The CONCRETE list below
+# was assembled from the staleness ledger (max green round per query)
+# and PRE-VERIFIED 50/50 at sf0.01 at the END of round 7 — next round:
+# paste it as _DRIVER_WINDOW_R8, swap the asserts/reorder block to it,
+# and re-run the sf0.01 mirror before shipping (rounds 6/7 discipline):
+#   ann_ivfpq_trained_pinned (the 1 never-windowed, FIRST),
+#   then the window-5-era never-re-confirmed 18: window_ntile,
+#   agg_grouping_sets, join_right, join_salted, chunk_sliding,
+#   token_histogram, profile_table, profile_embeddings, dsir_select,
+#   vocab_profile, l_diversity, bpe_pair_counts, ngram_containment,
+#   embedding_outliers, events_markov, graph_triangles,
+#   decontaminate_semantic, events_pivot,
+#   then the r1-only-green scalar-function block 9: array_funcs,
+#   chunk_fixed, cond_funcs, date_funcs, json_funcs, map_funcs,
+#   math_funcs, regex_funcs, string_funcs,
+#   then the stalest r2-only-green relational block 22: agg_corr,
+#   agg_cube, agg_distinct, agg_group, agg_percentile, agg_rollup,
+#   agg_stats, filter_contains, filter_eq, filter_neq, join_asof,
+#   join_cross, join_full, join_inner, join_interval, join_left,
+#   join_range, join_semi, order_limit, pivot_wide, project_cols,
+#   scan_parquet.
 
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R7), (
