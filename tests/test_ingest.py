@@ -1054,7 +1054,15 @@ def test_parse_w_cids_forms():
     st.text(
         alphabet=st.characters(
             min_codepoint=0x20, max_codepoint=0x2FFF,
-            blacklist_categories=("Cs", "Cc", "Cn"),
+            # exclude everything Python's isprintable() rejects (the
+            # printable-ratio guard legitimately drops such pages):
+            # surrogates, controls, unassigned, format chars (U+2060
+            # word joiner — hypothesis-found), line/para separators
+            # Zs too: every Zs except ASCII space is unprintable
+            # (U+00A0 etc.) and ASCII space adds nothing to the check
+            blacklist_categories=(
+                "Cs", "Cc", "Cn", "Cf", "Zl", "Zp", "Zs",
+            ),
         ),
         min_size=1,
         max_size=40,
@@ -1092,3 +1100,122 @@ def test_identity_cid_decode_never_raises(raw):
         assert ch == "�" or not (
             ord(ch) < 0x20 and ch not in "\t\n\r"
         )
+
+
+# ---------------------------------------------------------------------------
+# r7: RC4 standard-security-handler decryption (empty user password) —
+# the degraded path the module docstring listed as "no encryption"
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import struct as _struct
+
+_PAD = FB._PDF_PAD
+
+
+def _writer_rc4(key: bytes, data: bytes) -> bytes:
+    """Independent RC4 for the ENCRYPTING side of the fixture (textbook
+    KSA/PRGA written separately from the parser's) so the round-trip
+    actually cross-checks the decryptor."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = []
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _build_encrypted_pdf(pages: list[str], *, r: int = 3,
+                         length_bits: int = 128) -> bytes:
+    """Minimal classic PDF whose stream payloads are RC4-encrypted under
+    the standard security handler with an EMPTY user password (the
+    permissions-only protection real writers emit)."""
+    o_entry = bytes(range(32))          # arbitrary fixed /O digest
+    id0 = bytes(range(16))              # fixed first file identifier
+    p = -44
+    n = 5 if r == 2 else length_bits // 8
+    h = _hashlib.md5(_PAD + o_entry + _struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hashlib.md5(h[:n]).digest()
+    file_key = h[:n]
+
+    def okey(num):
+        d = _hashlib.md5(
+            file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()
+        return d[: min(n + 5, 16)]
+
+    n_pages = len(pages)
+    page_ids = [3 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    font_id = 3 + 2 * n_pages
+    enc_id = font_id + 1
+    objs: list[tuple[int, bytes]] = [
+        (1, b"<</Type /Catalog /Pages 2 0 R>>"),
+        (2, f"<</Type /Pages /Kids [{kids}] /Count {n_pages}>>".encode()),
+    ]
+    for i, text in enumerate(pages):
+        objs.append((page_ids[i], (
+            f"<</Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {page_ids[i] + 1} 0 R "
+            f"/Resources <</Font <</F1 {font_id} 0 R>>>>>>"
+        ).encode()))
+        plain = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        cipher = _writer_rc4(okey(page_ids[i] + 1), plain)
+        objs.append((page_ids[i] + 1,
+            b"<</Length %d>>\nstream\n%s\nendstream" % (len(cipher), cipher)))
+    objs.append((font_id, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>"))
+    objs.append((enc_id, (
+        f"<</Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+        f"/Length {40 if r == 2 else length_bits} /P {p} "
+        f"/O <{o_entry.hex()}> /U <{bytes(32).hex()}>>>"
+    ).encode()))
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs:
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+    out.extend(
+        b"trailer\n<</Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>]>>\n%%%%EOF\n"
+        % (enc_id, id0.hex().encode(), id0.hex().encode())
+    )
+    return bytes(out)
+
+
+def test_encrypted_pdf_rc4_128_decrypts_to_real_text():
+    pages = ["secret revenue figures", "second protected page"]
+    assert FB.pdf_pages_text(_build_encrypted_pdf(pages, r=3)) == pages
+
+
+def test_encrypted_pdf_rc4_40_decrypts_to_real_text():
+    pages = ["forty bit legacy cipher page"]
+    assert FB.pdf_pages_text(_build_encrypted_pdf(pages, r=2)) == pages
+
+
+def test_encrypted_pdf_unsupported_handler_quarantines():
+    """AES-class or non-Standard encryption must raise a truthful error
+    (ingest quarantines the file), never emit soup."""
+    pdf = bytearray(_build_encrypted_pdf(["x"], r=3))
+    pdf = bytes(pdf).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(ValueError, match="unsupported"):
+        FB.pdf_pages_text(pdf)
+
+
+def test_encrypted_pdf_flows_through_ingest(spark, tmp_path):
+    """End-to-end: an encrypted .pdf through scan→parse→embed lands as
+    real text chunks, not a quarantine row."""
+    root = tmp_path / "enc_corpus"
+    root.mkdir()
+    (root / "locked.pdf").write_bytes(
+        _build_encrypted_pdf(["encrypted page content here"])
+    )
+    rows = ingest.ingest_folder(spark, str(root)).collect()
+    chunks = [r for r in rows if r.content_type == "text_chunk"]
+    assert [r.content_raw for r in chunks] == ["encrypted page content here"]
+    assert all(r.error is None for r in rows)

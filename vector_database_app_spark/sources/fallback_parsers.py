@@ -34,11 +34,16 @@ What each fallback honestly is:
   surrogates map to U+FFFD so glyph-indexed subsets (CID == glyph id,
   unrecoverable without the font's cmap table) still fail the
   printable-ratio guard instead of emitting soup.
-  REMAINING LIMITATIONS (why PyMuPDF stays the primary): no
-  encryption, non-identity CID encodings (predefined CMaps like
-  UniJIS) are not shipped, glyph-indexed Identity-H subsets are
-  inherently undecodable without embedded-font cmap parsing, and no
-  layout analysis — callers
+  RC4 standard-security-handler PDFs with an EMPTY user password
+  (V 1-2 / R 2-3, 40-128 bit — the permissions-only protection real
+  writers emit) decrypt stream payloads before parsing (r7);
+  unsupported schemes (AES /V 4+, real passwords, non-Standard
+  handlers) raise a truthful error so ingest quarantines the file.
+  REMAINING LIMITATIONS (why PyMuPDF stays the primary): AES
+  encryption and non-empty passwords, non-identity CID encodings
+  (predefined CMaps like UniJIS) are not shipped, glyph-indexed
+  Identity-H subsets are inherently undecodable without embedded-font
+  cmap parsing, and no layout analysis — callers
   re-chunk the per-page text with the engine's word-window chunker
   instead of PyMuPDF's layout blocks, so row GRANULARITY differs from
   the reference golden (272 layout blocks → ~45 word-window chunks for
@@ -259,6 +264,153 @@ def _stream_bytes(body: bytes) -> bytes | None:
             continue
         return _unpredict(data, head)
     return None
+
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_P_RE = re.compile(rb"/P\s+(-?\d+)")
+_R_RE = re.compile(rb"/R\s+(\d+)")
+_V_RE = re.compile(rb"/V\s+(\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+_O_HEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f\s]+)>")
+_O_LIT_RE = re.compile(rb"/O\s*" + _LIT2)
+_STD_FILTER_RE = re.compile(rb"/Filter\s*/Standard\b")
+
+#: the standard security handler's password pad (PDF 32000-1 §7.6.3.3)
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the PDF standard security handler's V1/V2 cipher) —
+    ~10 lines of stdlib-only state machine; length-preserving, so the
+    /Length-exact stream slicing stays valid after decryption."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for ch in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(ch ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_security_key(
+    o: bytes, p: int, id0: bytes, r: int, length_bits: int
+) -> bytes:
+    """PDF 32000-1 §7.6.3.3 Algorithm 2 for the EMPTY user password:
+    file key = MD5(pad ∥ /O ∥ P as signed LE32 ∥ ID[0]), iterated 50×
+    over the first n bytes for R3. n = /Length/8 (R2 is fixed 40-bit)."""
+    import hashlib
+    import struct
+
+    n = 5 if r == 2 else max(5, min(16, length_bits // 8))
+    h = hashlib.md5(
+        _PDF_PAD + o[:32] + struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object RC4 key (§7.6.2 Algorithm 1): MD5(file key ∥ objnum
+    LE24 ∥ gennum LE16), truncated to min(n+5, 16) bytes."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_pdf_objects(data: bytes, objs: dict[int, bytes]) -> None:
+    """Decrypt an RC4 standard-security-handler PDF in place — the
+    degraded path the r6 module docstring listed as unsupported
+    ("no encryption"). Scope, honestly: /Filter /Standard with V 1-2 /
+    R 2-3 (RC4 40-128 bit) and an EMPTY user password — the common
+    "encrypted but freely readable" case real-world writers emit for
+    permissions-only protection. AES (/V 4+) and real passwords raise
+    ValueError so ingest quarantines the file with a truthful error
+    instead of emitting soup.
+
+    Only STREAM payloads are decrypted (content streams, ToUnicode
+    CMaps, ObjStm containers — everything the text path reads); dict
+    strings are left as-is, which text extraction never consumes. RC4
+    is length-preserving so the /Length-exact slicing downstream keeps
+    working. Mutates `objs`; the /Encrypt dictionary itself is exempt
+    per spec."""
+    em = _ENCRYPT_REF_RE.search(data)
+    if not em:
+        return
+    encnum = int(em.group(1))
+    enc = objs.get(encnum, b"")
+    if not _STD_FILTER_RE.search(enc):
+        raise ValueError(
+            "encrypted pdf: unsupported security handler (not /Standard)"
+        )
+    v = int(_V_RE.search(enc).group(1)) if _V_RE.search(enc) else 0
+    r = int(_R_RE.search(enc).group(1)) if _R_RE.search(enc) else 0
+    if v not in (1, 2) or r not in (2, 3):
+        raise ValueError(
+            f"encrypted pdf: unsupported /V {v} /R {r} "
+            "(only RC4 V1-2/R2-3 with an empty user password)"
+        )
+    om = _O_HEX_RE.search(enc)
+    if om:
+        o = bytes.fromhex(re.sub(rb"\s", b"", om.group(1)).decode("ascii"))
+    else:
+        ol = _O_LIT_RE.search(enc)
+        if not ol:
+            raise ValueError("encrypted pdf: /O entry not found")
+        o = _literal_bytes(ol.group(0).split(b"(", 1)[1][:-1])
+    pm = _P_RE.search(enc)
+    p = int(pm.group(1)) if pm else -1
+    km = _KEYLEN_RE.search(enc)
+    length_bits = int(km.group(1)) if km else 40
+    idm = _ID_RE.search(data)
+    id0 = (
+        bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
+        if idm
+        else b""
+    )
+    file_key = _std_security_key(o, p, id0, r, length_bits)
+    for num in list(objs):
+        if num == encnum:
+            continue
+        body = objs[num]
+        sm = _STREAM_START_RE.search(body)
+        if sm is None:
+            continue
+        okey = _object_key(file_key, num)
+        lm = _LENGTH_RE.search(body[: sm.start()])
+        if lm:
+            n = int(lm.group(1))
+            raw = body[sm.end() : sm.end() + n]
+            if len(raw) == n:
+                objs[num] = (
+                    body[: sm.end()] + _rc4(okey, raw) + body[sm.end() + n :]
+                )
+                continue
+        m = _STREAM_RE.search(body)
+        if m:
+            objs[num] = (
+                body[: m.start(1)]
+                + _rc4(okey, m.group(1))
+                + body[m.end(1) :]
+            )
 
 
 def _unpack_object_streams(objs: dict[int, bytes]) -> None:
@@ -543,6 +695,7 @@ def pdf_pages_text(data: bytes) -> list[str]:
     (classic writers emit pages in document order; good enough for a
     fallback — PyMuPDF walks the page tree instead)."""
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    _decrypt_pdf_objects(data, objs)
     _unpack_object_streams(objs)
     pages: list[str] = []
     for _num, body in objs.items():
