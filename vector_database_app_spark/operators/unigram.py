@@ -279,10 +279,17 @@ def unigram_train(
                 n_multi = max(
                     vocab_size, math.ceil(n_multi * prune_factor)
                 )
+            elif round_ix == em_rounds - 1:
+                # advisor r8: pin the last round explicitly — the float
+                # geometric schedule at frac=1.0 can overshoot to
+                # vocab_size+1 when (vocab_size/n_multi0)**1.0 rounds up
+                # through the ceil, keeping one extra piece despite the
+                # "lands exactly on the target" contract
+                n_multi = vocab_size
             else:
                 # batched prune: geometric schedule seed→vocab_size in
                 # em_rounds jobs; the final round lands exactly on the
-                # target (collapsed prune steps compose exactly)
+                # target (pinned above, not computed through float pow)
                 frac = (round_ix + 1) / em_rounds
                 n_multi = max(
                     vocab_size,

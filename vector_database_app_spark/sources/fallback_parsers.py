@@ -36,7 +36,11 @@ What each fallback honestly is:
   printable-ratio guard instead of emitting soup.
   RC4 standard-security-handler PDFs with an EMPTY user password
   (V 1-2 / R 2-3, 40-128 bit — the permissions-only protection real
-  writers emit) decrypt stream payloads before parsing (r7);
+  writers emit) decrypt stream payloads before parsing (r7); the
+  empty password is PROVEN against the /U digest (Algorithm 6, r8)
+  before any decryption, and indirect /Length refs are resolved
+  through the object table so ciphertext containing a spurious
+  endstream byte pattern cannot truncate the payload (r8);
   unsupported schemes (AES /V 4+, real passwords, non-Standard
   handlers) raise a truthful error so ingest quarantines the file.
   REMAINING LIMITATIONS (why PyMuPDF stays the primary): AES
@@ -274,6 +278,9 @@ _V_RE = re.compile(rb"/V\s+(\d+)")
 _KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
 _O_HEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f\s]+)>")
 _O_LIT_RE = re.compile(rb"/O\s*" + _LIT2)
+_U_HEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f\s]+)>")
+_U_LIT_RE = re.compile(rb"/U\s*" + _LIT2)
+_LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
 _STD_FILTER_RE = re.compile(rb"/Filter\s*/Standard\b")
 
 #: the standard security handler's password pad (PDF 32000-1 §7.6.3.3)
@@ -336,6 +343,35 @@ def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _enc_pw_entry(enc: bytes, hex_re, lit_re, name: str) -> bytes:
+    """Pull a password-digest entry (/O or /U) out of the /Encrypt dict,
+    hex or literal form."""
+    hm = hex_re.search(enc)
+    if hm:
+        return bytes.fromhex(re.sub(rb"\s", b"", hm.group(1)).decode("ascii"))
+    lm = lit_re.search(enc)
+    if not lm:
+        raise ValueError(f"encrypted pdf: {name} entry not found")
+    return _literal_bytes(lm.group(0).split(b"(", 1)[1][:-1])
+
+
+def _expected_u(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """PDF 32000-1 §7.6.3.4 — the /U value the standard handler writes
+    for the password a key was derived from: Algorithm 4 (R2) is
+    RC4(file_key, PAD); Algorithm 5 (R3) hashes PAD ∥ ID[0], RC4s with
+    the file key, then 19 more RC4 passes with the key bytes XOR'd by
+    the iteration counter (only the first 16 bytes are significant)."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(file_key, _PDF_PAD)
+    h = hashlib.md5(_PDF_PAD + id0).digest()
+    u = _rc4(file_key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u
+
+
 def _decrypt_pdf_objects(data: bytes, objs: dict[int, bytes]) -> None:
     """Decrypt an RC4 standard-security-handler PDF in place — the
     degraded path the r6 module docstring listed as unsupported
@@ -368,14 +404,8 @@ def _decrypt_pdf_objects(data: bytes, objs: dict[int, bytes]) -> None:
             f"encrypted pdf: unsupported /V {v} /R {r} "
             "(only RC4 V1-2/R2-3 with an empty user password)"
         )
-    om = _O_HEX_RE.search(enc)
-    if om:
-        o = bytes.fromhex(re.sub(rb"\s", b"", om.group(1)).decode("ascii"))
-    else:
-        ol = _O_LIT_RE.search(enc)
-        if not ol:
-            raise ValueError("encrypted pdf: /O entry not found")
-        o = _literal_bytes(ol.group(0).split(b"(", 1)[1][:-1])
+    o = _enc_pw_entry(enc, _O_HEX_RE, _O_LIT_RE, "/O")
+    u = _enc_pw_entry(enc, _U_HEX_RE, _U_LIT_RE, "/U")
     pm = _P_RE.search(enc)
     p = int(pm.group(1)) if pm else -1
     km = _KEYLEN_RE.search(enc)
@@ -387,6 +417,17 @@ def _decrypt_pdf_objects(data: bytes, objs: dict[int, bytes]) -> None:
         else b""
     )
     file_key = _std_security_key(o, p, id0, r, length_bits)
+    # Algorithm 6 (advisor r7, medium): PROVE the empty user password is
+    # the real one before decrypting. A V/R-supported PDF protected by an
+    # actual user password would otherwise derive the wrong key and emit
+    # garbled pages as "success" — verify the empty-password /U digest
+    # (first 16 bytes significant for R3; full 32 for R2) and quarantine
+    # on mismatch, keeping the docstring's truthful-error contract.
+    if _expected_u(file_key, id0, r)[:16] != u[:16]:
+        raise ValueError(
+            "encrypted pdf: non-empty user password (/U verification "
+            "failed) — cannot decrypt without the password"
+        )
     for num in list(objs):
         if num == encnum:
             continue
@@ -396,8 +437,20 @@ def _decrypt_pdf_objects(data: bytes, objs: dict[int, bytes]) -> None:
             continue
         okey = _object_key(file_key, num)
         lm = _LENGTH_RE.search(body[: sm.start()])
-        if lm:
-            n = int(lm.group(1))
+        n = int(lm.group(1)) if lm else None
+        if n is None:
+            # advisor r7: resolve an indirect /Length (e.g. "/Length 7 0
+            # R") through objs before falling back to the lazy regex —
+            # ciphertext can contain a spurious "\r\nendstream" byte
+            # pattern that _STREAM_RE would truncate at, corrupting the
+            # decrypted stream.
+            im = _LENGTH_IND_RE.search(body[: sm.start()])
+            if im:
+                lobj = objs.get(int(im.group(1)), b"")
+                lv = re.match(rb"\s*(\d+)", lobj)
+                if lv:
+                    n = int(lv.group(1))
+        if n is not None:
             raw = body[sm.end() : sm.end() + n]
             if len(raw) == n:
                 objs[num] = (
