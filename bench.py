@@ -139,6 +139,10 @@ HEADLINE = [
     "quality_classifier_pinned",
     # round 7: every mid-r7 addition priced from day one
     "ann_ivfpq_trained_pinned",
+    # round 8: the new training-pipeline ops, priced from day one
+    "shuffle_corpus",
+    "length_buckets",
+    "epoch_allocation",
 ]
 
 

@@ -32,6 +32,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     "vectors of the trained model (broadcast artifact)",
     ("operators/dedup.py", "connected_components_star._checksum"):
     "1-row convergence checksum per iteration",
+    ("operators/dedup.py", "similarity_join"): "1-row drop-stats "
+    "aggregate, only when the opt-in max_df_per_shingle cap is set "
+    "(no-silent-cap logging; documented as not for zero-job registry "
+    "constructors)",
     ("operators/pq.py", "pq_train"): "k init rows / m·k centroid means "
     "per iteration (k·d doubles total)",
     ("operators/pq.py", "_codebook_literal"): "m·k codebook rows "

@@ -148,3 +148,77 @@ def test_minhash_generated_sql_matches_column_form(spark):
     want = {r.doc_id: r.signature for r in legacy.collect()}
     assert got == want
     assert all(len(s) == n_hashes for s in got.values())
+
+
+def _dup_heavy_corpus(spark, n_copies=6):
+    """The duplication-heavy upscale shape from the PERF.md r7 scaling
+    sweep, miniaturized: every base doc replicated n_copies times under
+    new ids, so exact all-pairs similarity hits its quadratic-OUTPUT
+    regime (every copy pairs with every other copy and hot shingles'
+    postings multiply)."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "red orange yellow green blue indigo violet crimson",
+        "one two three four five six seven eight nine ten",
+    ]
+    rows = [
+        (c * 100 + i, t)
+        for c in range(n_copies)
+        for i, t in enumerate(base)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_similarity_join_cap_tracks_exact_on_deduped_input(spark):
+    """r8 verdict #3: with exact dedup FIRST (the documented pipeline
+    order), the capped form returns the SAME pairs and jaccard values
+    as the uncapped exact form — the cap only guards the pathological
+    duplication regime it exists for."""
+    from vector_database_app_spark.operators.dedup import similarity_join
+
+    corpus = _dup_heavy_corpus(spark)
+    deduped = (
+        corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in similarity_join(deduped, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in similarity_join(
+            deduped, threshold=0.5, max_df_per_shingle=10
+        ).collect()
+    }
+    assert exact  # the two alpha-beta variants must match
+    assert capped == exact
+
+
+def test_similarity_join_cap_logs_drops_and_keeps_values(spark, caplog):
+    """On the duplication-heavy corpus the cap must (a) log what it
+    dropped — never a silent cap — and (b) leave surviving pairs'
+    jaccard VALUES identical to the exact form (the verify stage always
+    reads the full shingle stream; the cap changes recall only)."""
+    import logging as _logging
+
+    from vector_database_app_spark.operators.dedup import similarity_join
+
+    corpus = _dup_heavy_corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in similarity_join(corpus, threshold=0.5).collect()
+    }
+    with caplog.at_level(
+        _logging.WARNING, logger="vector_database_app_spark.operators.dedup"
+    ):
+        capped_rows = similarity_join(
+            corpus, threshold=0.5, max_df_per_shingle=3
+        ).collect()
+    msgs = [r.message for r in caplog.records]
+    assert any("dropped" in m and "hot shingles" in m for m in msgs), msgs
+    capped = {(r.id_a, r.id_b): r.jaccard for r in capped_rows}
+    assert set(capped) <= set(exact)   # recall-only change
+    for pair, j in capped.items():
+        assert j == exact[pair]        # values never change

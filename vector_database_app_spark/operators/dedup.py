@@ -23,6 +23,7 @@ Scale design notes (each operator's contract at 100 TB):
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, Window
@@ -30,6 +31,8 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions.hashing import MINHASH_PRIME, PERMS, sha256_hex, token_bucket_hash
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dedup(
@@ -999,10 +1002,26 @@ def similarity_join(
     shingle_n: int = 3,
     scale: int = 6,
     prefix_filter: bool = False,
+    max_df_per_shingle: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join: every (id_a < id_b) pair with
     shingle-Jaccard >= threshold — no LSH recall loss (contrast
     minhash_near_dups, which trades exactness for fewer candidates).
+
+    `max_df_per_shingle` (opt-in, r8 — the one measured scale hazard in
+    the PERF.md r7 1×/2×/4× sweep): on duplication-heavy corpora the
+    TRUE pair set grows quadratically (256→34k pairs at 4×, 9.2→57.8 s
+    — output-bound, inherent to exact all-pairs semantics). When set,
+    shingles shared by more than this many docs are EXCLUDED from
+    candidate generation, bounding per-shingle fan-out at df² — and the
+    drop is NEVER silent: the operator eagerly aggregates one row of
+    drop stats (a bounded pull, CI-allowlisted) and logs shingle count
+    + skipped-pair bound at WARNING. Pairs whose ONLY shared shingle is
+    hot may be missed, so the intended pipeline order is exact dedup
+    FIRST (corpus_pipeline does this); on a deduped corpus the capped
+    form tracks the exact form (pinned in tests). Because the stats
+    pull runs a job at construction, the capped form is NOT for
+    zero-job registry query constructors.
 
     Scale shape: inverted-index join. Explode docs to (shingle, id) and
     equi-join on shingle — a pair is a candidate iff it shares >= 1
@@ -1040,11 +1059,38 @@ def similarity_join(
             F.array_distinct(TX.shingles(text_col, shingle_n))
         ).alias("shingle"),
     )
+    # candidate generation reads `cand_src`; the exact verify below ALWAYS
+    # reads the full `ex`, so a cap changes RECALL only, never the
+    # jaccard VALUE of a surviving pair
+    cand_src = ex
+    if max_df_per_shingle is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df_per_shingle)
+        )
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("_df") * (F.col("_df") - 1) / 2).cast("long")
+            ).alias("pair_bound"),
+        ).collect()[0]
+        if stats.n_shingles:
+            _LOG.warning(
+                "similarity_join: max_df_per_shingle=%d dropped %d hot "
+                "shingles (up to %d candidate pairs) from candidate "
+                "generation; pairs whose ONLY shared shingle is hot may "
+                "be missed — run exact dedup before near-dup",
+                max_df_per_shingle,
+                stats.n_shingles,
+                stats.pair_bound,
+            )
+        cand_src = ex.join(hot.select("shingle"), "shingle", "left_anti")
     if prefix_filter:
-        freq = ex.groupBy("shingle").agg(F.count("*").alias("gdf"))
+        freq = cand_src.groupBy("shingle").agg(F.count("*").alias("gdf"))
         w = Window.partitionBy(id_col).orderBy(F.asc("gdf"), F.asc("shingle"))
         keys = (
-            ex.join(freq, "shingle")
+            cand_src.join(freq, "shingle")
             .withColumn("rn", F.row_number().over(w))
             .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
             .filter(
@@ -1054,7 +1100,7 @@ def similarity_join(
             .select(id_col, "shingle")
         )
     else:
-        keys = ex
+        keys = cand_src
     a = keys.select(F.col(id_col).alias("id_a"), "shingle")
     b = keys.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (

@@ -76,23 +76,28 @@ def _l2_argmin_code(sub_name: str, codebook_rows):
     single py4j call for the identical expression tree; values are
     bit-identical (same round/aggregate/zip_with nodes after parsing —
     the pinned PQ oracles verify this at three SFs). `sub_name` is the
-    COLUMN NAME of the (d/m)-dim slice."""
-    structs = []
-    for j, c in codebook_rows:
-        arr = "array(" + ", ".join(_dlit(v) for v in c) + ")"
-        nh = _dlit(sum(v * v for v in c) / 2.0)
-        dot = (
-            f"aggregate(zip_with({sub_name}, {arr}, (x, y) -> x * y), "
-            f"{_dlit(0.0)}, (acc, x) -> acc + x)"
-        )
-        # neg_code: array_max's struct ordering breaks score ties
-        # toward the LOWEST code id
-        structs.append(
-            f"struct(round({dot} - {nh}, {_ADC_SCALE}) AS score, "
-            f"{-j} AS neg_code)"
-        )
+    COLUMN NAME of the (d/m)-dim slice.
+
+    LOOPED, NOT UNROLLED (r8, the verdict's carry-over (b)): the k
+    dot-product scorers are lambda-bound through one transform() over a
+    literal array of (centroid, |c|²/2, neg_code) structs, so the
+    expression tree holds ONE aggregate/zip_with body instead of k
+    inline copies — k× smaller parse and analysis for pq_train's m×iters
+    cold-start builds, with the literal struct array constant-folded.
+    Same arithmetic per entry, so codes are bit-identical (pinned-
+    codebook parity in tests/test_pq.py)."""
+    entries = ", ".join(
+        f"struct(array({', '.join(_dlit(v) for v in c)}) AS c, "
+        f"{_dlit(sum(v * v for v in c) / 2.0)} AS nh, {-j} AS neg_code)"
+        for j, c in codebook_rows
+    )
+    # neg_code: array_max's struct ordering breaks score ties toward
+    # the LOWEST code id
     return F.expr(
-        f"CAST(-(array_max(array({', '.join(structs)})).neg_code) AS INT)"
+        f"CAST(-(array_max(transform(array({entries}), e -> "
+        f"struct(round(aggregate(zip_with({sub_name}, e.c, (x, y) -> x * y), "
+        f"{_dlit(0.0)}, (acc, x) -> acc + x) - e.nh, {_ADC_SCALE}) AS score, "
+        f"e.neg_code AS neg_code))).neg_code) AS INT)"
     )
 
 

@@ -2242,3 +2242,172 @@ def cms_rc_structs(tok_col: str = "tok", *, d: int = 4, w: int = 64):
             ]
         )
     ).alias("rc")
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the final step of every
+    pre-training data build: assign each document a pseudo-random
+    position so no shard is dominated by one source/crawl segment (the
+    'global shuffle' of GPT-3/The Pile-style pipelines; scan order is
+    NOT random — parquet files arrive grouped by source). The reference
+    has no ordering concept at all (one pandas frame, insertion order);
+    this is the at-scale replacement.
+
+    Key = md5('shuffle|' || id) — the engine's standard deterministic
+    uniform priority (same family as domain_cap's md5 priority), so the
+    permutation is stable across runs and engines, no RNG. shard =
+    first 8 hex digits mod n_shards; pos = rank of the key within the
+    shard. Output (doc_id, shard, pos) is the shuffle MAP; writers
+    apply it with a partitionBy(shard) + sortWithinPartitions(pos)
+    write.
+
+    Scale shape: one row-local projection + ONE window partitioned by
+    shard. Each shard is a window partition, so pick n_shards at or
+    above cluster parallelism (at 100 TB: thousands — shard ≈ output
+    file). No SinglePartition anywhere; if a tiny n_shards is forced,
+    the two-phase prefix-sum form (pack_sequences' discipline) applies."""
+    key = F.md5(F.concat(F.lit("shuffle|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+    from pyspark.sql.window import Window
+
+    keyed = df.select(
+        F.col(id_col), key.alias("_key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    *,
+    caps: tuple[int, ...] = (32, 64, 128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the OTHER way
+    training pipelines batch besides concat-packing (pack_sequences):
+    round each doc up to its length bucket and pad. Emits one row per
+    bucket: doc count, true token mass, padded mass at the bucket cap,
+    waste, and waste per-mille — the table that decides bucket edges
+    (and whether packing beats padding) BEFORE burning GPU-hours.
+
+    Docs longer than the largest cap land in the sentinel cap = -1
+    bucket with zero padded/waste (they get split or truncated
+    upstream; counting fictitious padding for them would overstate
+    waste). The sentinel is -1, not NULL — a NULL int column round-trips
+    through pandas as float64 and breaks the driver's dtype-kind check.
+
+    Everything is integer: counts, sums, cap·n products, and the
+    per-mille as floored integer division — no float accumulation, so
+    the oracle replays exactly. Scale: one scan, one |caps|-row hash
+    agg with map-side partials."""
+    n = TX.n_words(text_col)
+    cap_expr = F.lit(-1)
+    for c in sorted(caps, reverse=True):
+        cap_expr = F.when(n <= c, F.lit(c)).otherwise(cap_expr)
+    per = (
+        df.select(cap_expr.alias("bucket_cap"), n.cast("bigint").alias("_n"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("sum_words"),
+        )
+    )
+    padded = F.when(
+        F.col("bucket_cap") > 0, F.col("bucket_cap") * F.col("n_docs")
+    ).otherwise(F.lit(0)).cast("bigint")
+    return per.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_words",
+        padded.alias("padded_words"),
+        (padded - F.when(F.col("bucket_cap") > 0, F.col("sum_words"))
+         .otherwise(F.lit(0))).cast("bigint").alias("waste_words"),
+    ).select(
+        "*",
+        F.when(
+            F.col("padded_words") > 0,
+            F.expr("(1000 * waste_words) DIV padded_words"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("waste_permille"),
+    )
+
+
+def epoch_allocation(
+    df: DataFrame,
+    *,
+    budget_chars: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Token-budget allocation across sources — temperature_mixture's
+    downstream step: given a total training budget (in chars — the
+    tokenizer-free proxy the `documents` fixture carries), split it by
+    w_i ∝ sqrt(mass_i) and convert each source's grant into EPOCHS over
+    that source, capped at `max_epochs` (the data-repetition ceiling;
+    repeating a small source dozens of times degrades models long
+    before it fills a budget). Surplus beyond the cap is reported
+    per-source, NEVER silently redistributed (sample_mixture's
+    visible-shortfall discipline).
+
+    Determinism: the same α=0.5 recipe as temperature_mixture (each
+    sqrt correctly rounded to 6 dp, summed exactly as DECIMAL(18,6),
+    ONE double division), then every downstream quantity is integer:
+    floor grants, least() caps, floored per-mille epochs. Scale: one
+    (source) hash agg, then a |sources|-row frame crossed with its
+    broadcast 1-row denominator."""
+    per = df.groupBy(source_col).agg(
+        F.sum(F.col(chars_col)).cast("bigint").alias("n_chars_total")
+    )
+    scaled = per.select(
+        source_col,
+        "n_chars_total",
+        F.round(F.sqrt(F.col("n_chars_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("_s"),
+    )
+    denom = scaled.agg(F.sum("_s").alias("_denom"))
+    alloc = F.floor(F.col("weight") * F.lit(float(budget_chars))).cast(
+        "bigint"
+    )
+    cap = (F.lit(max_epochs) * F.col("n_chars_total")).cast("bigint")
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            source_col,
+            "n_chars_total",
+            F.round(
+                F.col("_s").cast("double") / F.col("_denom").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .select(source_col, "n_chars_total", "weight", alloc.alias("alloc_chars"))
+        .select(
+            source_col,
+            "n_chars_total",
+            "weight",
+            "alloc_chars",
+            F.least(F.col("alloc_chars"), cap).alias("granted_chars"),
+            (F.col("alloc_chars") > cap).alias("capped"),
+        )
+        .select(
+            "*",
+            (F.col("alloc_chars") - F.col("granted_chars"))
+            .cast("bigint")
+            .alias("surplus_chars"),
+            F.expr("(1000 * granted_chars) DIV n_chars_total")
+            .cast("bigint")
+            .alias("epochs_permille"),
+        )
+    )

@@ -11517,6 +11517,135 @@ ORACLE["tokenizer_fertility_compare"] = f"""
 """
 
 
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic global corpus shuffle (textops.shuffle_corpus) —
+    the pre-training 'global shuffle' step: md5-keyed pseudo-random
+    permutation into n_shards shards with within-shard positions. No
+    RNG, no SinglePartition: ONE window partitioned by shard (pick
+    n_shards >= parallelism at scale). Output is the shuffle MAP a
+    partitionBy(shard)+sortWithinPartitions(pos) write applies."""
+    return textops.shuffle_corpus(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+QUERIES["shuffle_corpus"] = q_shuffle_corpus
+
+ORACLE["shuffle_corpus"] = """
+    WITH k AS (
+        SELECT doc_id,
+               md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS key
+        FROM documents
+    ), s AS (
+        SELECT doc_id, key,
+               CAST(('0x' || substring(key, 1, 8))::BIGINT % 8 AS INT)
+                   AS shard
+        FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY key, doc_id
+           ) AS BIGINT) AS pos
+    FROM s
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Padding-waste audit for length-bucketed batching
+    (textops.length_buckets): docs rounded up to power-of-2 word caps,
+    one row per bucket with doc count, true word mass, padded mass,
+    waste, and floored per-mille waste — all integers, so the oracle
+    replays exactly. Oversize docs land in the cap = -1 sentinel
+    bucket (not NULL: a NULL int column comes back float64 from pandas
+    and breaks the driver's dtype-kind check)."""
+    return textops.length_buckets(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["length_buckets"] = q_length_buckets
+
+ORACLE["length_buckets"] = """
+    WITH lens AS (
+        SELECT CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w <> '')) AS BIGINT) AS n
+        FROM documents
+    ), b AS (
+        SELECT n,
+               CASE WHEN n <= 32 THEN 32
+                    WHEN n <= 64 THEN 64
+                    WHEN n <= 128 THEN 128
+                    WHEN n <= 256 THEN 256
+                    WHEN n <= 512 THEN 512
+                    ELSE -1 END AS bucket_cap
+        FROM lens
+    ), agg AS (
+        SELECT bucket_cap,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS sum_words
+        FROM b GROUP BY bucket_cap
+    ), padded AS (
+        SELECT bucket_cap, n_docs, sum_words,
+               CAST(CASE WHEN bucket_cap > 0
+                         THEN bucket_cap * n_docs ELSE 0 END AS BIGINT)
+                   AS padded_words,
+               CAST(CASE WHEN bucket_cap > 0
+                         THEN bucket_cap * n_docs - sum_words
+                         ELSE 0 END AS BIGINT) AS waste_words
+        FROM agg
+    )
+    SELECT *,
+           CAST(CASE WHEN padded_words > 0
+                     THEN (1000 * waste_words) // padded_words
+                     ELSE 0 END AS BIGINT) AS waste_permille
+    FROM padded
+"""
+
+
+def q_epoch_allocation(spark, sf_dir):
+    """Token-budget epoch plan (textops.epoch_allocation) —
+    temperature_mixture's downstream step: split a char budget by
+    w_i ∝ sqrt(mass_i), cap each source at max_epochs repetitions, and
+    report the surplus the cap refused (visible, never redistributed).
+    Same α=0.5 determinism recipe (rounded sqrts summed exactly as
+    DECIMAL, one double division); every downstream quantity is a
+    floored integer."""
+    return textops.epoch_allocation(
+        _t(spark, sf_dir, "documents"),
+        budget_chars=2_000_000,
+        max_epochs=4,
+    )
+
+
+QUERIES["epoch_allocation"] = q_epoch_allocation
+
+ORACLE["epoch_allocation"] = """
+    WITH per AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(round(sqrt(sum(n_chars)), 6) AS DECIMAL(18,6)) AS s
+        FROM documents GROUP BY source
+    ), d AS (
+        SELECT sum(s) AS denom FROM per
+    ), w AS (
+        SELECT source, n_chars_total,
+               round(CAST(s AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+                   AS weight
+        FROM per, d
+    ), g AS (
+        SELECT source, n_chars_total, weight,
+               CAST(floor(weight * 2000000.0) AS BIGINT) AS alloc_chars,
+               CAST(4 * n_chars_total AS BIGINT) AS cap
+        FROM w
+    )
+    SELECT source, n_chars_total, weight, alloc_chars,
+           CAST(least(alloc_chars, cap) AS BIGINT) AS granted_chars,
+           alloc_chars > cap AS capped,
+           CAST(alloc_chars - least(alloc_chars, cap) AS BIGINT)
+               AS surplus_chars,
+           CAST((1000 * least(alloc_chars, cap)) // n_chars_total
+               AS BIGINT) AS epochs_permille
+    FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
