@@ -11869,6 +11869,34 @@ _DRIVER_WINDOW_R8 = [
 # list-typed embedding column). They are rows-only BY DESIGN — their
 # value-checkable md5 twins (dedup_minhash_md5, doc_simhash_md5) are
 # driver-green — and must stay out of oracle windows permanently.
+# _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
+# above, the never-windowed oracle-backed remainder is exactly the
+# THREE mid-r8 additions — shuffle_corpus, length_buckets,
+# epoch_allocation (each verified at sf0.001 + sf0.01 + sf0.1 + all
+# four structural gates). The CONCRETE list below was assembled from
+# the staleness ledger (max green round per query, window-8 members
+# counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at the END of
+# round 8 — next round: paste it as _DRIVER_WINDOW_R9, swap the
+# asserts/reorder block to it, and re-run the sf0.01 mirror before
+# shipping (rounds 6/7/8 discipline):
+#   shuffle_corpus, length_buckets, epoch_allocation (the 3
+#   never-windowed, FIRST),
+#   then the stalest r2-only-green 12: set_except, set_intersect,
+#   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
+#   window_lead, window_range_rolling, window_rank,
+#   window_running_sum, with_literal,
+#   then the r3-only-green 28: ann_index_incremental,
+#   anomaly_outliers, curriculum_order, decontaminate,
+#   doc_simhash_md5, doc_winnow, dq_expectations,
+#   events_rolling_active, gopher_quality, lang_id,
+#   lang_id_confusion, lm_bigram_score, lm_unigram_score,
+#   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
+#   quality_classifier, repetition_signals, scd_type2,
+#   split_train_test, stream_enrich, stream_stream_join, table_diff,
+#   token_count, window_session, window_sliding, window_tumbling,
+#   then the first 7 of the r4-only-green block: admission_gate,
+#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
+#   contamination_report, corpus_filter, corpus_filter_relative.
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
