@@ -143,6 +143,7 @@ HEADLINE = [
     "shuffle_corpus",
     "length_buckets",
     "epoch_allocation",
+    "vocab_coverage",
 ]
 
 

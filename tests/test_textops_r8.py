@@ -75,3 +75,24 @@ def test_epoch_allocation_caps_and_reports_surplus(spark):
     assert big.epochs_permille == (1000 * big.granted_chars) // 50_000
     # grants never exceed the budget
     assert tiny.alloc_chars + big.alloc_chars <= 100_000
+
+
+def test_vocab_coverage_counts_oov_chars(spark):
+    pieces = [{"piece": "a"}, {"piece": "b"}, {"piece": "ab"}]
+    docs = spark.createDataFrame(
+        [
+            (0, "s1", "ab ab"),     # fully covered: 4 chars, 0 oov
+            (1, "s1", "abc"),       # 'c' is oov: 3 chars, 1 oov
+            (2, "s2", "xyz 9!"),    # nothing covered: 5 chars, 5 oov
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in textops.vocab_coverage(docs, pieces).collect()
+    }
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1.n_chars, s1.n_oov_chars, s1.n_docs_with_oov) == (7, 1, 1)
+    assert s1.oov_permille == (1000 * 1) // 7
+    assert (s2.n_chars, s2.n_oov_chars, s2.n_docs_with_oov) == (5, 5, 1)
+    assert s2.oov_permille == 1000

@@ -2411,3 +2411,58 @@ def epoch_allocation(
             .alias("epochs_permille"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    pieces: list[dict],
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Tokenizer character-coverage / OOV audit under a FROZEN piece
+    inventory (the check run before shipping a tokenizer: every corpus
+    character outside the single-char piece set falls back to byte
+    pieces at train time, and a high fallback rate silently inflates
+    sequence lengths — fertility_compare's blind spot, since fertility
+    only counts tokens for characters the vocab CAN express). Per
+    source: total non-space chars, chars NOT covered by any single-char
+    piece, floored per-mille OOV rate, and how many docs contain at
+    least one OOV char.
+
+    Mechanics are one row-local translate() pair — length(text minus
+    spaces) vs length(text minus spaces-and-covered-chars) — then a
+    (source) hash agg; integers end to end, so the oracle replays the
+    same translate in DuckDB exactly. `pieces` is the trained table
+    (unigram.PINNED_PIECES shape: dicts with a 'piece' key)."""
+    covered = "".join(
+        sorted({p["piece"] for p in pieces if len(p["piece"]) == 1})
+    )
+    n_chars = F.length(F.translate(F.col(text_col), " ", ""))
+    n_oov = F.length(F.translate(F.col(text_col), " " + covered, ""))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        n_chars.cast("bigint").alias("_n"),
+        n_oov.cast("bigint").alias("_o"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_chars"),
+            F.sum("_o").cast("bigint").alias("n_oov_chars"),
+            F.sum(F.when(F.col("_o") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_oov"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr("(1000 * n_oov_chars) DIV n_chars"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("oov_permille"),
+        )
+    )

@@ -11646,6 +11646,57 @@ ORACLE["epoch_allocation"] = """
 """
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer character-coverage audit under the frozen PINNED_PIECES
+    inventory (textops.vocab_coverage): per source, non-space chars the
+    single-char piece set cannot express (→ byte-fallback at train
+    time) — integers end to end via one translate() pair, so DuckDB
+    replays the identical translate. Complements
+    tokenizer_fertility_compare, which only prices characters the vocab
+    CAN express."""
+    from .operators import unigram as _ug
+
+    return textops.vocab_coverage(
+        _t(spark, sf_dir, "documents"), _ug.PINNED_PIECES
+    )
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+
+
+def _vocab_coverage_oracle() -> str:
+    from .operators import unigram as _ug
+
+    covered = "".join(
+        sorted({p["piece"] for p in _ug.PINNED_PIECES if len(p["piece"]) == 1})
+    ).replace("'", "''")
+    return f"""
+    WITH per AS (
+        SELECT source,
+               CAST(length(translate(text, ' ', '')) AS BIGINT) AS n,
+               CAST(length(translate(text, ' {covered}', '')) AS BIGINT)
+                   AS o
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_chars,
+               CAST(sum(o) AS BIGINT) AS n_oov_chars,
+               CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_oov
+        FROM per GROUP BY source
+    )
+    SELECT *,
+           CAST(CASE WHEN n_chars > 0
+                     THEN (1000 * n_oov_chars) // n_chars
+                     ELSE 0 END AS BIGINT) AS oov_permille
+    FROM agg
+"""
+
+
+ORACLE["vocab_coverage"] = _vocab_coverage_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -11871,16 +11922,16 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# THREE mid-r8 additions — shuffle_corpus, length_buckets,
-# epoch_allocation (each verified at sf0.001 + sf0.01 + sf0.1 + all
-# four structural gates). The CONCRETE list below was assembled from
-# the staleness ledger (max green round per query, window-8 members
-# counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at the END of
-# round 8 — next round: paste it as _DRIVER_WINDOW_R9, swap the
-# asserts/reorder block to it, and re-run the sf0.01 mirror before
-# shipping (rounds 6/7/8 discipline):
-#   shuffle_corpus, length_buckets, epoch_allocation (the 3
-#   never-windowed, FIRST),
+# FOUR mid-r8 additions — shuffle_corpus, length_buckets,
+# epoch_allocation, vocab_coverage (each verified at sf0.001 + sf0.01
+# + sf0.1 + all four structural gates). The CONCRETE list below was
+# assembled from the staleness ledger (max green round per query,
+# window-8 members counting as round 8) and PRE-VERIFIED 50/50 at
+# sf0.01 at the END of round 8 — next round: paste it as
+# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
+# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
+#   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage
+#   (the 4 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
@@ -11894,9 +11945,9 @@ _DRIVER_WINDOW_R8 = [
 #   quality_classifier, repetition_signals, scd_type2,
 #   split_train_test, stream_enrich, stream_stream_join, table_diff,
 #   token_count, window_session, window_sliding, window_tumbling,
-#   then the first 7 of the r4-only-green block: admission_gate,
+#   then the first 6 of the r4-only-green block: admission_gate,
 #   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
-#   contamination_report, corpus_filter, corpus_filter_relative.
+#   contamination_report, corpus_filter.
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
