@@ -144,6 +144,12 @@ HEADLINE = [
     "length_buckets",
     "epoch_allocation",
     "vocab_coverage",
+    # round 8b: span extraction, MLM corruption, Zipf audit, blocked
+    # fuzzy linkage — priced from day one
+    "duplicate_spans",
+    "mlm_masking",
+    "zipf_fit",
+    "fuzzy_join_blocked",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Constructed-input semantics for the second round-8 op batch:
+duplicated-span extraction (island merging, ownership, boundaries),
+deterministic MLM masking (reproducibility, content-independence,
+count/text agreement), the Zipf fit (exact OLS replay under the
+quantized-log discipline), and the blocked fuzzy join (brute-force
+parity, blocking never drops an in-threshold pair on this fixture)."""
+
+from __future__ import annotations
+
+import math
+
+from vector_database_app_spark.operators import relational, textops
+
+
+def test_duplicate_spans_merges_islands_and_respects_ownership(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"          # 10 words: owner doc
+    # doc 1 copies owner words 0..8 at its own positions 2..10 (9 words
+    # -> windows at pos 2 and 3 duplicated), then diverges
+    copy = "x0 x1 " + " ".join(f"w{i}" for i in range(9)) + " y0 y1"
+    # doc 2 contains TWO separated copies of an 8-word owner run ->
+    # two distinct spans
+    two = (
+        " ".join(f"w{i}" for i in range(8))
+        + " z0 z1 z2 "
+        + " ".join(f"w{i}" for i in range(8))
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, copy), (2, two), (3, "short doc")],
+        "doc_id long, text string",
+    )
+    rows = textops.duplicate_spans(docs, n=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc          # earliest doc owns; never a span
+    assert 3 not in by_doc          # < n words: no windows at all
+    (s1,) = by_doc[1]               # adjacent windows merged to ONE span
+    assert (s1.span_start, s1.span_end) == (2, 10)
+    assert s1.span_words == 9 and s1.n_windows == 2
+    spans2 = sorted((r.span_start, r.span_end) for r in by_doc[2])
+    assert spans2 == [(0, 7), (11, 18)]
+    assert all(r.n_windows == 1 for r in by_doc[2])
+
+
+def test_mlm_masking_is_reproducible_and_content_independent(spark):
+    words_a = " ".join(f"a{i}" for i in range(400))
+    words_b = " ".join(f"b{i}" for i in range(400))
+    df_a = spark.createDataFrame([(7, words_a)], "doc_id long, text string")
+    df_b = spark.createDataFrame([(7, words_b)], "doc_id long, text string")
+    ra1 = textops.mlm_masking(df_a).collect()[0]
+    ra2 = textops.mlm_masking(df_a).collect()[0]
+    rb = textops.mlm_masking(df_b).collect()[0]
+    assert ra1 == ra2                                    # no RNG anywhere
+    assert ra1.n_tokens == 400
+    assert ra1.n_masked == ra1.corrupted.split(" ").count("[MASK]")
+    assert ra1.masked_permille == (1000 * ra1.n_masked) // 400
+    # the mask pattern keys on (doc_id, position), not the token text
+    mask_a = [w == "[MASK]" for w in ra1.corrupted.split(" ")]
+    mask_b = [w == "[MASK]" for w in rb.corrupted.split(" ")]
+    assert mask_a == mask_b
+    # the hash actually selects: near the 15% line, never degenerate
+    assert 0 < ra1.n_masked < 400
+    # unmasked tokens pass through verbatim, in position
+    orig = words_a.split(" ")
+    for i, w in enumerate(ra1.corrupted.split(" ")):
+        assert w == "[MASK]" or w == orig[i]
+
+
+def test_zipf_fit_matches_exact_ols_replay(spark):
+    # freq_i chosen so ranks are unambiguous (strictly decreasing)
+    freqs = {"t%02d" % i: 40 - 3 * i for i in range(10)}
+    text_parts: list[str] = []
+    for t, f in freqs.items():
+        text_parts.extend([t] * f)
+    docs = spark.createDataFrame(
+        [(0, " ".join(text_parts), "s1")],
+        "doc_id long, text string, source string",
+    )
+    (row,) = textops.zipf_fit(docs, top_r=200).collect()
+    assert row.n_terms == 10 and row.n_tokens == sum(freqs.values())
+    assert row.n_fit_terms == 10
+    # exact replay: quantized logs, rank-ordered fold, closed form
+    pts = sorted(freqs.values(), reverse=True)
+    xs = [round(math.log(r + 1), 6) for r in range(10)]
+    ys = [round(math.log(f), 6) for f in pts]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    n = 10.0
+    denom = n * sxx - sx * sx
+    assert abs(row.slope - round((n * sxy - sx * sy) / denom, 6)) <= 2e-6
+    assert abs(
+        row.intercept - round((sy * sxx - sx * sxy) / denom, 6)
+    ) <= 2e-6
+    assert row.slope < 0            # frequencies decay with rank
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_blocked_matches_brute_force_within_blocks(spark):
+    rows = (
+        [("alpha widget",)] * 3
+        + [("alphq widget",)] * 2
+        + [("beta bolt",), ("betta bolt",), ("gamma rod",)]
+        + [("completely different widget",)]   # same block, out of band
+    )
+    df = spark.createDataFrame(rows, "p_name string")
+    got = sorted(
+        (r.name_a, r.name_b, r.lev, r.n_rows_a, r.n_rows_b)
+        for r in relational.fuzzy_join_blocked(
+            df, name_col="p_name", max_dist=4, len_band=4
+        ).collect()
+    )
+    # brute force over the name universe: same blocks, same threshold
+    from collections import Counter
+
+    universe = Counter(n for (n,) in rows)
+    names = sorted(universe)
+    want = sorted(
+        (a, b, _lev(a, b), universe[a], universe[b])
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if a.split(" ")[-1] == b.split(" ")[-1]
+        and abs(len(a) - len(b)) <= 4
+        and _lev(a, b) <= 4
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, *_ in got}
+    assert ("alpha widget", "alphq widget") in pairs      # lev 1
+    assert ("beta bolt", "betta bolt") in pairs           # lev 1
+    assert not any("gamma rod" in p for pair in pairs for p in pair)
+    assert not any("completely" in a or "completely" in b for a, b in pairs)

@@ -2466,3 +2466,416 @@ def vocab_coverage(
             .alias("oov_permille"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-substring SPANS per document — the surgical
+    form of passage_dedup (which only scores a doc): every sliding
+    `n`-word window owned by an earlier doc marks its positions, and
+    runs of consecutive duplicated positions merge (gaps-and-islands)
+    into `[span_start, span_end]` word ranges a cleaning pass can CUT
+    from the doc instead of dropping the doc whole — the remove-the-
+    span policy of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), where their suffix-array match is
+    approximated by the n-word window grain. No reference equivalent.
+
+    Output per (doc, island): 0-based word offsets `span_start`/
+    `span_end` (inclusive), `span_words`, and how many duplicated
+    windows merged into the span. Integer-exact end to end.
+
+    Scale shape: shares passage_dedup's two shuffles (one passage-keyed
+    owner agg, one doc-keyed re-agg) plus a doc-partitioned row_number
+    over only the DUPLICATED positions (never a global window; bounded
+    by words-per-doc). At 100 TB the owner agg should key on
+    xxhash64(passage) like passage_dedup's note; the oracle form keys
+    on the string so the whole trajectory replays in SQL."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    occ = (
+        df.where(F.size(words) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("pos"),
+                        F.concat_ws(" ", F.slice(words, i + 1, n)).alias(
+                            "passage"
+                        ),
+                    ),
+                )
+            ).alias("pp"),
+        )
+        .select(
+            id_col,
+            F.col("pp.pos").alias("pos"),
+            F.col("pp.passage").alias("passage"),
+        )
+    )
+    owners = occ.groupBy("passage").agg(F.min(id_col).alias("_owner"))
+    dup = (
+        occ.join(owners, "passage")
+        .where(F.col("_owner") < F.col(id_col))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("_g", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_words"),
+            "n_windows",
+        )
+    )
+
+
+def mlm_masking(
+    df: DataFrame,
+    *,
+    rate_permille: int = 150,
+    mask_token: str = "[MASK]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic MLM-style corruption sample generator (BERT-class
+    pretraining prep, Devlin et al. 2018 §3.1): token i of doc d is
+    masked iff ``md5(d || ':' || i) % 1000 < rate_permille`` — a
+    position-keyed hash in place of an RNG, so the corrupted corpus is
+    REPRODUCIBLE across runs, engines, and partitionings (the same
+    replayable-md5 recipe as minhash_near_dups_md5). No reference
+    equivalent.
+
+    Output per doc: token/masked counts, the floored per-mille realised
+    mask rate, and the corrupted text with masked tokens replaced by
+    `mask_token`. Pure row-local projection — no explode, no shuffle,
+    no Python; the indexed-lambda transform stays row-local (DuckDB's
+    list lambdas index from 1, Spark's from 0 — the oracle replays with
+    ``i - 1``)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def _is_masked(i):
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), i.cast("string")
+        )
+        h = F.conv(F.substring(F.md5(key), 18, 15), 16, 10).cast("bigint")
+        return F.pmod(h, F.lit(1000)) < rate_permille
+
+    corrupted = F.transform(
+        words,
+        lambda x, i: F.when(_is_masked(i), F.lit(mask_token)).otherwise(x),
+    )
+    n_tokens = F.size(words).cast("bigint")
+    n_masked = F.size(F.filter(words, lambda x, i: _is_masked(i))).cast(
+        "bigint"
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        F.when(n_tokens > 0, (F.lit(1000) * n_masked))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_num"),
+        F.array_join(corrupted, " ").alias("corrupted"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_masked",
+        F.when(
+            F.col("n_tokens") > 0, F.expr("_num DIV n_tokens")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("masked_permille"),
+        "corrupted",
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    top_r: int = 200,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Rank-frequency power-law fit per source: OLS of ln(freq) on
+    ln(rank) over the top `top_r` terms — Zipf's-law conformance as a
+    corpus-health audit (natural language sits near slope -1; template/
+    machine-generated feeds flatten, and a slope shift between sources
+    flags a distribution change before downstream evals do). Public
+    formulation: Zipf 1949; the audit framing follows corpus-statistics
+    practice (e.g. Piantadosi 2014 review).
+
+    Cross-engine float discipline (the char_entropy rules, plus one
+    more): Spark's JVM ``ln`` differs from libm/DuckDB by 1 ulp on ~1 %
+    of integer inputs (measured: 493/50 000, including ln(3)), so both
+    engines QUANTIZE each log term — round(ln(x), 6) — before any
+    arithmetic; after quantization all sums fold in rank-sorted order
+    with an identical IEEE op sequence, products/divisions of identical
+    doubles are exact, and the closed-form slope/intercept round once
+    at the end. Intercept uses the (Sy·Sxx − Sx·Sxy)/denom closed form
+    so neither output feeds the other.
+
+    Scale shape: one (source, term) hash agg with map-side partials, a
+    row_number window partitioned by source (bounded by the per-source
+    vocabulary, never SinglePartition), and a ≤`top_r`-element sorted
+    array fold per source. Reducer state bounds by |sources| × top_r."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    tot = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("term")
+    )
+    top = counts.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).where(F.col("rank") <= top_r)
+    arr = top.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col("freq")))
+        ).alias("rf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fit_terms"),
+    )
+    qlog = lambda c: F.round(F.log(c.cast("double")), 6)  # noqa: E731
+    xs = F.transform("rf", lambda e: qlog(e["rank"]))
+    ys = F.transform("rf", lambda e: qlog(e["freq"]))
+
+    def _fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+
+    sx = _fold(xs)
+    sy = _fold(ys)
+    sxx = _fold(F.transform("rf", lambda e: qlog(e["rank"]) * qlog(e["rank"])))
+    sxy = _fold(F.transform("rf", lambda e: qlog(e["rank"]) * qlog(e["freq"])))
+    nf = F.col("n_fit_terms").cast("double")
+    denom = nf * sxx - sx * sx
+    out = arr.join(tot, "source").select(
+        "source",
+        "n_terms",
+        "n_tokens",
+        "n_fit_terms",
+        F.round((nf * sxy - sx * sy) / denom, 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy) / denom, 6).alias("intercept"),
+    )
+    return out
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 3,
+    m_bits: int = 65536,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination through a FIXED-SIZE Bloom bitmap — the
+    scale path when the reference gram set is too big to broadcast raw
+    (exact `decontaminate` ships |bench grams| strings to every
+    executor; this ships m_bits/8 BYTES regardless of reference size —
+    Bloom 1970, the standard membership-at-scale structure). A corpus
+    gram "hits" when all `k` hash positions are set; false positives
+    are inherent, DETERMINISTIC given the hash family (the replayable
+    md5 recipe, so the oracle replays them too), and one-sided — a
+    bloom pass never misses a true overlap, so the exact checker only
+    ever re-verifies the flagged subset.
+
+    Scale shape: the reference side collapses to ≤ m_bits/64 bigint
+    words through TWO bounded aggs (positions → per-word bit_or), and
+    that ≤1024-row frame is broadcast (Aggregate node on the path —
+    the broadcast-guard contract); the corpus side is row-local
+    shingling, a k-way position explode, one broadcast hash join on
+    word_ix, and two map-side-partial count aggs. No corpus-keyed
+    gram shuffle; no driver collect (the bitmap stays a plan-side
+    frame, so query CONSTRUCTION fires zero jobs)."""
+    n_words = m_bits // 64
+
+    def _pos(gram, j):
+        key = F.concat(gram, F.lit(f"#{j}"))
+        h = F.conv(F.substring(F.md5(key), 18, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(m_bits).cast("long"))
+
+    bench_pos = (
+        benchmark.select(
+            F.explode(F.array_distinct(TX.shingles(text_col, n))).alias(
+                "ngram"
+            )
+        )
+        .select(
+            F.explode(
+                F.array(*[_pos(F.col("ngram"), j) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bitmap = (
+        bench_pos.select(
+            F.expr("pos DIV 64").cast("long").alias("word_ix"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_ix")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    corpus_pos = (
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(TX.shingles(text_col, n))).alias(
+                "ngram"
+            ),
+        )
+        .select(
+            id_col,
+            "ngram",
+            F.explode(
+                F.array(*[_pos(F.col("ngram"), j) for j in range(k)])
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "ngram",
+            F.expr("pos DIV 64").cast("long").alias("word_ix"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    gram_hits = (
+        corpus_pos.join(F.broadcast(bitmap), "word_ix", "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("bit")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.sum("_hit").alias("_k_hit"), F.count(F.lit(1)).alias("_k"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_k_hit") == F.col("_k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(gram_hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_bloom_hits", F.lit(0).cast("bigint")).alias(
+                "n_bloom_hits"
+            ),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= min_hits)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaning step duplicate_spans feeds: cut every duplicated
+    span out of the doc and return the surgically-cleaned corpus —
+    completing the remove-the-span policy of Lee et al. 2022 (drop the
+    repeated bytes, keep the document). Owner docs (and docs with no
+    duplicated windows) pass through verbatim with n_removed = 0.
+
+    Scale shape: duplicate_spans' two shuffles plus one doc-keyed agg
+    of the spans (≤ words-per-doc struct rows per doc) and one doc-
+    keyed left join back to the corpus; the cut itself is a row-local
+    indexed-lambda filter over the word array bounded by the per-doc
+    span list. Word positions are 0-based on the Spark side; the
+    oracle replays with DuckDB's 1-based list index shifted."""
+    spans = (
+        duplicate_spans(df, n=n, text_col=text_col, id_col=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start"), F.col("span_end"))
+            ).alias("_spans")
+        )
+    )
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    joined = df.join(spans, id_col, "left").select(
+        F.col(id_col),
+        words.alias("_ws"),
+        F.coalesce(
+            "_spans",
+            F.array().cast(
+                "array<struct<span_start:bigint,span_end:bigint>>"
+            ),
+        ).alias("_sp"),
+    )
+    kept = F.filter(
+        "_ws",
+        lambda x, i: ~F.exists(
+            "_sp",
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_ws").cast("bigint").alias("n_words"),
+        (F.size("_ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.when(
+            F.size("_ws") > 0,
+            (F.lit(1000) * (F.size("_ws") - F.size(kept))).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_num"),
+        F.array_join(kept, " ").alias("cleaned"),
+    ).select(
+        id_col,
+        "n_words",
+        "n_removed",
+        F.when(F.col("n_words") > 0, F.expr("_num DIV n_words"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("removed_permille"),
+        "cleaned",
+    )

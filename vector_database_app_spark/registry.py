@@ -11697,6 +11697,181 @@ def _vocab_coverage_oracle() -> str:
 ORACLE["vocab_coverage"] = _vocab_coverage_oracle()
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Maximal duplicated n-gram SPANS (textops.duplicate_spans): the
+    remove-the-span policy of Lee et al. 2022 at an 8-word window
+    grain — dedup_passage's surgical twin (that op scores a doc; this
+    one emits the exact word ranges a cleaning pass cuts). Integer-
+    exact gaps-and-islands; the row_number window partitions by doc."""
+    return textops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+QUERIES["duplicate_spans"] = q_duplicate_spans
+
+ORACLE["duplicate_spans"] = """
+    -- replay of textops.duplicate_spans: sliding 8-word windows,
+    -- earliest-doc ownership (dedup_passage's), duplicated positions
+    -- merged gaps-and-islands into inclusive 0-based word spans
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), p AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(ws[i:i+7], ' ') AS passage
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) g
+        WHERE len(ws) >= 8
+    ), own AS (
+        SELECT passage, min(doc_id) AS _owner FROM p GROUP BY passage
+    ), dup AS (
+        SELECT p.doc_id, p.pos FROM p JOIN own USING (passage)
+        WHERE own._owner < p.doc_id
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS g
+        FROM dup
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_words,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, g
+"""
+
+
+def q_mlm_masking(spark, sf_dir):
+    """Deterministic MLM corruption generator (textops.mlm_masking):
+    position-keyed md5 in place of an RNG (the minhash_md5 recipe), so
+    the corrupted corpus replays bit-for-bit in DuckDB — including the
+    corrupted text itself. Pure row-local projection, zero shuffle."""
+    return textops.mlm_masking(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["mlm_masking"] = q_mlm_masking
+
+ORACLE["mlm_masking"] = """
+    -- replay of textops.mlm_masking at rate_permille=150; DuckDB list
+    -- lambdas index from 1 where Spark's index from 0, hence i - 1
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), m AS (
+        SELECT doc_id, ws,
+               list_transform(ws, (x, i) ->
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || ':' || CAST(i - 1 AS VARCHAR)), 18, 15)
+                           )::BIGINT % 1000 < 150
+                      THEN '[MASK]' ELSE x END) AS cw,
+               len(list_filter(ws, (x, i) ->
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(i - 1 AS VARCHAR)), 18, 15))::BIGINT % 1000
+                 < 150)) AS nm
+        FROM w
+    )
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(nm AS BIGINT) AS n_masked,
+           CAST(CASE WHEN len(ws) > 0 THEN (1000 * nm) // len(ws)
+                     ELSE 0 END AS BIGINT) AS masked_permille,
+           array_to_string(cw, ' ') AS corrupted
+    FROM m
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Per-source Zipf rank-frequency OLS fit (textops.zipf_fit):
+    corpus-health audit over the top-200 terms. Both engines quantize
+    every log term — round(ln(x), 6) — BEFORE any arithmetic (Spark's
+    JVM ln differs from libm by 1 ulp on ~1 % of integer inputs), then
+    fold in rank-sorted order with one IEEE op sequence."""
+    return textops.zipf_fit(_t(spark, sf_dir, "documents"), top_r=200)
+
+
+QUERIES["zipf_fit"] = q_zipf_fit
+
+ORACLE["zipf_fit"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), counts AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY source, term
+    ), tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(freq) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY source
+    ), ranked AS (
+        SELECT source, freq,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY freq DESC, term ASC) AS BIGINT) AS rank
+        FROM counts
+    ), top AS (SELECT * FROM ranked WHERE rank <= 200),
+    arr AS (
+        SELECT source,
+               list(round(ln(CAST(rank AS DOUBLE)), 6)
+                    ORDER BY rank) AS xs,
+               list(round(ln(CAST(freq AS DOUBLE)), 6)
+                    ORDER BY rank) AS ys,
+               list(round(ln(CAST(rank AS DOUBLE)), 6)
+                    * round(ln(CAST(rank AS DOUBLE)), 6)
+                    ORDER BY rank) AS xxs,
+               list(round(ln(CAST(rank AS DOUBLE)), 6)
+                    * round(ln(CAST(freq AS DOUBLE)), 6)
+                    ORDER BY rank) AS xys,
+               CAST(count(*) AS BIGINT) AS n_fit_terms
+        FROM top GROUP BY source
+    ), sums AS (
+        SELECT source, n_fit_terms,
+               coalesce(list_reduce(xs, (a, b) -> a + b), 0.0) AS sx,
+               coalesce(list_reduce(ys, (a, b) -> a + b), 0.0) AS sy,
+               coalesce(list_reduce(xxs, (a, b) -> a + b), 0.0) AS sxx,
+               coalesce(list_reduce(xys, (a, b) -> a + b), 0.0) AS sxy
+        FROM arr
+    )
+    SELECT s.source, t.n_terms, t.n_tokens, s.n_fit_terms,
+           round((CAST(s.n_fit_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(s.n_fit_terms AS DOUBLE) * sxx - sx * sx), 6)
+               AS slope,
+           round((sy * sxx - sx * sxy)
+                 / (CAST(s.n_fit_terms AS DOUBLE) * sxx - sx * sx), 6)
+               AS intercept
+    FROM sums s JOIN tot t ON s.source = t.source
+"""
+
+
+def q_fuzzy_join_blocked(spark, sf_dir):
+    """Blocked levenshtein record linkage over the part-name universe
+    (relational.fuzzy_join_blocked): distinct-names-first, last-token
+    blocking, length-band prune — near-identical catalog entries found
+    without a cross join; pair work bounds by distinct names per
+    block, never by row count."""
+    return relational.fuzzy_join_blocked(
+        _t(spark, sf_dir, "part"), name_col="p_name"
+    )
+
+
+QUERIES["fuzzy_join_blocked"] = q_fuzzy_join_blocked
+
+ORACLE["fuzzy_join_blocked"] = """
+    WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ), b AS (
+        SELECT name, n_rows, string_split(name, ' ')[-1] AS block,
+               length(name) AS l
+        FROM names
+    )
+    SELECT a.block AS block, a.name AS name_a, b2.name AS name_b,
+           CAST(levenshtein(a.name, b2.name) AS BIGINT) AS lev,
+           a.n_rows AS n_rows_a, b2.n_rows AS n_rows_b
+    FROM b a JOIN b b2
+      ON a.block = b2.block AND a.name < b2.name
+     AND abs(a.l - b2.l) <= 4
+    WHERE levenshtein(a.name, b2.name) <= 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -11922,16 +12097,19 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# FOUR mid-r8 additions — shuffle_corpus, length_buckets,
-# epoch_allocation, vocab_coverage (each verified at sf0.001 + sf0.01
-# + sf0.1 + all four structural gates). The CONCRETE list below was
-# assembled from the staleness ledger (max green round per query,
-# window-8 members counting as round 8) and PRE-VERIFIED 50/50 at
-# sf0.01 at the END of round 8 — next round: paste it as
-# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
-# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
-#   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage
-#   (the 4 never-windowed, FIRST),
+# EIGHT mid/late-r8 additions — shuffle_corpus, length_buckets,
+# epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
+# zipf_fit, fuzzy_join_blocked (each verified at sf0.001 + sf0.01 +
+# sf0.1 + all four structural gates). The
+# CONCRETE list below was assembled from the staleness ledger (max
+# green round per query, window-8 members counting as round 8) and
+# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 — next round:
+# paste it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it,
+# and re-run the sf0.01 mirror before shipping (rounds 6/7/8
+# discipline):
+#   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
+#   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked
+#   (the 8 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
@@ -11945,9 +12123,10 @@ _DRIVER_WINDOW_R8 = [
 #   quality_classifier, repetition_signals, scd_type2,
 #   split_train_test, stream_enrich, stream_stream_join, table_diff,
 #   token_count, window_session, window_sliding, window_tumbling,
-#   then the first 6 of the r4-only-green block: admission_gate,
-#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
-#   contamination_report, corpus_filter.
+#   then the first 2 of the r4-only-green block: admission_gate,
+#   agg_skew_twophase (the remaining r4 block — ann_probe_sweep,
+#   boilerplate_ngrams, contamination_report, corpus_filter — slides
+#   to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
