@@ -150,6 +150,10 @@ HEADLINE = [
     "mlm_masking",
     "zipf_fit",
     "fuzzy_join_blocked",
+    # round 8c: bloom decontamination, span cleaning, seasonality
+    "bloom_decontaminate",
+    "dedup_span_clean",
+    "events_seasonality",
 ]
 
 

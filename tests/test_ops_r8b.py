@@ -1,4 +1,4 @@
-"""Constructed-input semantics for the second round-8 op batch:
+"""Constructed-input semantics for the second and third round-8 op batches:
 duplicated-span extraction (island merging, ownership, boundaries),
 deterministic MLM masking (reproducibility, content-independence,
 count/text agreement), the Zipf fit (exact OLS replay under the
@@ -140,3 +140,63 @@ def test_fuzzy_join_blocked_matches_brute_force_within_blocks(spark):
     assert ("beta bolt", "betta bolt") in pairs           # lev 1
     assert not any("gamma rod" in p for pair in pairs for p in pair)
     assert not any("completely" in a or "completely" in b for a, b in pairs)
+
+
+def test_bloom_decontaminate_never_misses_a_true_overlap(spark):
+    # one-sided error: every exact n-gram hit must also be a bloom hit
+    from vector_database_app_spark.operators.textops import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pyspark.sql.functions as F
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r.doc_id: r.n_hits
+        for r in decontaminate(corpus, bench, n=3, min_hits=2).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in bloom_decontaminate(
+            corpus, bench, n=3, k=3, m_bits=65536, min_hits=2
+        ).collect()
+    }
+    assert set(exact) == set(bloom)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # and at fixture scale the 8 KiB filter is tight enough to be useful
+    n_fp_docs = sum(1 for d in exact if bloom[d] > exact[d])
+    assert n_fp_docs < len(exact) // 2
+
+
+def test_dedup_span_clean_cuts_exactly_the_spans(spark):
+    base = " ".join(f"w{i}" for i in range(10))
+    copy = "x0 x1 " + " ".join(f"w{i}" for i in range(9)) + " y0 y1"
+    docs = spark.createDataFrame(
+        [(0, base), (1, copy)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in textops.remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert rows[0].n_removed == 0 and rows[0].cleaned == base  # owner intact
+    # doc 1's duplicated span is words 2..10 -> exactly those cut
+    assert rows[1].n_words == 13 and rows[1].n_removed == 9
+    assert rows[1].cleaned == "x0 x1 y0 y1"
+    assert rows[1].removed_permille == (1000 * 9) // 13
+
+
+def test_events_seasonality_buckets_and_shares(spark):
+    from vector_database_app_spark.registry import QUERIES
+
+    rows = QUERIES["events_seasonality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.n_events for r in rows)
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+    assert all(r.n_users <= r.n_events for r in rows)
+    for r in rows:
+        assert r.share_permille == (1000 * r.n_events) // total
+        assert r.vs_uniform_permille == (1000 * r.n_events * 168) // total

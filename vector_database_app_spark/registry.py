@@ -11872,6 +11872,187 @@ ORACLE["fuzzy_join_blocked"] = """
 """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-bitmap benchmark decontamination (textops.
+    bloom_decontaminate): exact `decontaminate`'s scale path when the
+    reference gram set is too big to broadcast raw — the reference
+    collapses to a fixed 8 KiB bitmap (65 536 bits, k=3 md5-derived
+    positions) and false positives replay deterministically in the
+    oracle. Same bench/corpus split and min_hits as q_decontaminate,
+    so the two flag sets are directly comparable."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.bloom_decontaminate(
+        corpus, bench, n=3, k=3, m_bits=65536, min_hits=2
+    )
+
+
+QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+
+ORACLE["bloom_decontaminate"] = f"""
+    -- replay of textops.bloom_decontaminate: the bitmap probe is
+    -- semantically a semi-join against the DISTINCT reference hash
+    -- positions (a gram hits iff all k=3 positions are set)
+    WITH d AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   {_SQL_SHINGLES3.format(ws="ws", t="text")})) AS ngram
+        FROM d
+    ), bpos AS (
+        SELECT DISTINCT ('0x' || substr(md5(ngram || '#' || j), 18, 15)
+                        )::BIGINT % 65536 AS pos
+        FROM (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
+             (VALUES (0), (1), (2)) t(j)
+    ), cpos AS (
+        SELECT doc_id, ngram,
+               ('0x' || substr(md5(ngram || '#' || j), 18, 15)
+               )::BIGINT % 65536 AS pos
+        FROM g, (VALUES (0), (1), (2)) t(j)
+        WHERE doc_id % 97 <> 0
+    ), gh AS (
+        SELECT c.doc_id, c.ngram,
+               sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS k_hit,
+               count(*) AS k
+        FROM cpos c LEFT JOIN bpos b ON c.pos = b.pos
+        GROUP BY c.doc_id, c.ngram
+    ), per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN k_hit = k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hits
+        FROM gh GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(coalesce(p.n_bloom_hits, 0) >= 2 AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+    LEFT JOIN per p USING (doc_id)
+"""
+
+
+def q_dedup_span_clean(spark, sf_dir):
+    """Surgical span removal (textops.remove_duplicate_spans): cut
+    every duplicate_spans range out of the doc and return the cleaned
+    corpus — the Lee et al. 2022 remove-the-span policy completed
+    (duplicate_spans finds the ranges; this op applies them). Owner
+    docs pass through verbatim with n_removed = 0."""
+    return textops.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=8
+    )
+
+
+QUERIES["dedup_span_clean"] = q_dedup_span_clean
+
+ORACLE["dedup_span_clean"] = """
+    -- duplicate_spans replay + the cut: DuckDB list lambdas index from
+    -- 1 (hence i - 1); array_to_string of an empty list is NULL in
+    -- DuckDB where Spark's array_join is '' — coalesce to ''
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), p AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(ws[i:i+7], ' ') AS passage
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) g
+        WHERE len(ws) >= 8
+    ), own AS (
+        SELECT passage, min(doc_id) AS _owner FROM p GROUP BY passage
+    ), dup AS (
+        SELECT p.doc_id, p.pos FROM p JOIN own USING (passage)
+        WHERE own._owner < p.doc_id
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS g
+        FROM dup
+    ), spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        FROM isl GROUP BY doc_id, g
+    ), sp AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+        FROM spans GROUP BY doc_id
+    ), j AS (
+        SELECT w.doc_id, list_filter(w.ws, x -> x <> '') AS ws,
+               coalesce(sp.sps, []) AS sps
+        FROM w LEFT JOIN sp USING (doc_id)
+    ), cut AS (
+        SELECT doc_id, ws,
+               list_filter(ws, (x, i) ->
+                 len(list_filter(sps, s -> i - 1 >= s.s
+                                       AND i - 1 <= s.e)) = 0) AS kept
+        FROM j
+    )
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN len(ws) > 0
+                     THEN (1000 * (len(ws) - len(kept))) // len(ws)
+                     ELSE 0 END AS BIGINT) AS removed_permille,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned
+    FROM cut
+"""
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-week activity profile: events and distinct users per
+    (day-of-week, hour), each cell's per-mille share of total traffic,
+    and its ratio to the uniform 1/168 cell (permille, floored
+    integers) — the seasonality baseline events_anomaly-style monitors
+    calibrate against. Spark dayofweek is 1=Sunday; DuckDB's is
+    0=Sunday, so the oracle shifts by one. One hash agg on a 168-key
+    space plus a single-row total cross join (bounded side)."""
+    ev = _t(spark, sf_dir, "events")
+    total_df = ev.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(total_df)
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            F.expr("(1000 * n_events) DIV _total")
+            .cast("bigint")
+            .alias("share_permille"),
+            F.expr("(1000 * n_events * 168) DIV _total")
+            .cast("bigint")
+            .alias("vs_uniform_permille"),
+        )
+    )
+
+
+QUERIES["events_seasonality"] = q_events_seasonality
+
+ORACLE["events_seasonality"] = """
+    WITH e AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour, user_id
+        FROM events
+    ), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+    g AS (
+        SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e GROUP BY dow, hour
+    )
+    SELECT dow, hour, n_events, n_users,
+           CAST((1000 * n_events) // total AS BIGINT) AS share_permille,
+           CAST((1000 * n_events * 168) // total AS BIGINT)
+               AS vs_uniform_permille
+    FROM g, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -12097,36 +12278,37 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# EIGHT mid/late-r8 additions — shuffle_corpus, length_buckets,
+# ELEVEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
-# zipf_fit, fuzzy_join_blocked (each verified at sf0.001 + sf0.01 +
-# sf0.1 + all four structural gates). The
-# CONCRETE list below was assembled from the staleness ledger (max
-# green round per query, window-8 members counting as round 8) and
-# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 — next round:
-# paste it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it,
-# and re-run the sf0.01 mirror before shipping (rounds 6/7/8
-# discipline):
+# zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
+# dedup_span_clean, events_seasonality (each verified at sf0.001 +
+# sf0.01 + sf0.1 + all four structural gates). The CONCRETE list
+# below was assembled from the staleness ledger (max green round per
+# query, window-8 members counting as round 8) and PRE-VERIFIED 50/50
+# at sf0.01 at the END of round 8 — next round: paste it as
+# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
+# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
-#   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked
-#   (the 8 never-windowed, FIRST),
+#   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
+#   bloom_decontaminate, dedup_span_clean, events_seasonality
+#   (the 11 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the r3-only-green 28: ann_index_incremental,
-#   anomaly_outliers, curriculum_order, decontaminate,
-#   doc_simhash_md5, doc_winnow, dq_expectations,
+#   then the first 27 of the r3-only-green block:
+#   ann_index_incremental, anomaly_outliers, curriculum_order,
+#   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
 #   split_train_test, stream_enrich, stream_stream_join, table_diff,
-#   token_count, window_session, window_sliding, window_tumbling,
-#   then the first 2 of the r4-only-green block: admission_gate,
-#   agg_skew_twophase (the remaining r4 block — ann_probe_sweep,
-#   boilerplate_ngrams, contamination_report, corpus_filter — slides
-#   to window 10).
+#   token_count, window_session, window_sliding
+#   (window_tumbling — the 28th — plus the r4-only-green block
+#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
+#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
+#   window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
