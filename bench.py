@@ -150,10 +150,12 @@ HEADLINE = [
     "mlm_masking",
     "zipf_fit",
     "fuzzy_join_blocked",
-    # round 8c: bloom decontamination, span cleaning, seasonality
+    # round 8c: bloom decontamination, span cleaning, seasonality,
+    # perceptual image dedup
     "bloom_decontaminate",
     "dedup_span_clean",
     "events_seasonality",
+    "image_dedup_ahash",
 ]
 
 

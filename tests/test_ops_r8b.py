@@ -200,3 +200,47 @@ def test_events_seasonality_buckets_and_shares(spark):
     for r in rows:
         assert r.share_permille == (1000 * r.n_events) // total
         assert r.vs_uniform_permille == (1000 * r.n_events * 168) // total
+
+
+def test_image_ahash_dedup_finds_true_near_dup_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import multimodal
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 200)
+    hashes = multimodal.image_ahash(
+        multimodal.synthesize_png_variant_payloads(docs)
+    )
+    hrows = {r.doc_id: r.ahash for r in hashes.collect()}
+    assert len(hrows) == 200
+    pairs = multimodal.image_near_dups(hashes, max_hamming=7).collect()
+    assert pairs
+    # every near-dup pair is a TRUE cluster pair (same residue class)
+    assert all(r.id_a % 32 == r.id_b % 32 for r in pairs)
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    # banded recall is EXACT at max_hamming=7 (8 bands, pigeonhole):
+    # the banding must find every brute-force pair within threshold
+    ids = sorted(hrows)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hrows[a], hrows[b]) <= 7
+    }
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found == brute
+    # reported hamming values are the true popcounts
+    for r in pairs:
+        assert r.hamming == ham(hrows[r.id_a], hrows[r.id_b])
+    # generation-0 ids never pair below generation-0 of other clusters
+    # (cross-cluster hashes are far: fixture margin >= 8)
+    assert all(
+        ham(hrows[a], hrows[b]) > 7
+        for a in range(32)
+        for b in range(a + 1, 32)
+    )

@@ -503,3 +503,179 @@ def synthesize_wav_payloads(
             ]
         ),
     )
+
+
+def synthesize_png_variant_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_clusters: int = 32,
+    side: int = 16,
+) -> DataFrame:
+    """Deterministic REAL-PNG payloads WITH true near-duplicate
+    structure — the fixture generator for the image-dedup path (the
+    plain `synthesize_png_payloads` gives every id an independent
+    image, so there is nothing to deduplicate): ids in the same
+    residue class mod `n_clusters` share a base image; generation 0
+    (id < n_clusters) IS the base, and every later generation perturbs
+    1-3 pixels (seeded by the id), the synthetic stand-in for
+    re-encodes/crops/watermarks of the same asset a crawl collects.
+    Pure function of the id, Arrow-batched, stdlib codec — same
+    contract as synthesize_png_payloads."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i)
+                img = np.random.default_rng(seed % n_clusters).integers(
+                    0, 256, size=(side, side, 3), dtype=np.uint8
+                )
+                gen = seed // n_clusters
+                if gen > 0:
+                    rng = np.random.default_rng(seed)
+                    img = img.copy()
+                    for _ in range(1 + gen % 3):
+                        y = int(rng.integers(0, side))
+                        x = int(rng.integers(0, side))
+                        img[y, x, :] = rng.integers(
+                            0, 256, size=3, dtype=np.uint8
+                        )
+                payloads.append(media.png_encode(img))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL-decoded PNG payloads:
+    grayscale (channel mean) → nearest-neighbor resample to
+    grid×grid (the deterministic resampler, functions/media.py) →
+    threshold each cell at the image mean → pack grid² bits LSB-first
+    into ONE signed bigint. The standard cheap perceptual fingerprint
+    (aHash as popularized by the pHash family of tools): re-encodes
+    and small edits move few bits, distinct images ~grid²/2.
+
+    Arrow-batched mapInPandas; integers end to end after the decode,
+    so the hash — and every banding/hamming decision downstream —
+    replays exactly from a pinned literal table (the
+    media_oracle_literals contract)."""
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                img = media.png_decode(bytes(payload))
+                gray = img.astype(np.float64).mean(axis=2)
+                small = media.resize_nearest(gray, grid, grid)
+                bits = (small > small.mean()).reshape(-1)
+                h = 0
+                for ix, bit in enumerate(bits):
+                    if bit:
+                        h |= 1 << ix
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batches,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("ahash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def image_near_dups(
+    hash_df: DataFrame,
+    *,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Banded hamming self-join over perceptual hashes: split the
+    64-bit hash into 8 8-bit bands, candidates = pairs agreeing on ANY
+    band (equi-join on (band_ix, band_key) — never a cartesian),
+    verify with bit_count(xor). With 8 bands a pair within
+    `max_hamming` <= 7 differing bits cannot disagree in every band
+    (pigeonhole), so banded recall is EXACT for the default threshold
+    — same guarantee structure as the simhash banding.
+
+    Scale shape: an 8× fan-out of (id, hash) rows, one hash-keyed
+    shuffle for the band join, distinct on the candidate pair, then a
+    row-local popcount verify. Shift+mask band extraction is identical
+    under arithmetic or logical shift (the mask keeps only in-range
+    bits), so the oracle replays it verbatim."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_ix"),
+                    F.expr(f"({hash_col} >> {8 * i}) & 255").alias(
+                        "band_key"
+                    ),
+                )
+                for i in range(8)
+            ]
+        )
+    ).alias("b")
+    banded = hash_df.select(
+        F.col(id_col), F.col(hash_col), bands
+    ).select(
+        id_col, hash_col, F.col("b.band_ix"), F.col("b.band_key")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "band_ix",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        "band_ix",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_ix", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

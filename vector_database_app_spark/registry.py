@@ -11995,6 +11995,29 @@ ORACLE["dedup_span_clean"] = """
 """
 
 
+def q_image_dedup_ahash(spark, sf_dir):
+    """Perceptual image near-dup (multimodal.image_ahash +
+    image_near_dups): REAL stdlib PNG decode → average-hash → 8-band
+    hamming join, over the variant payload fixture whose id-residue
+    clusters carry TRUE near-duplicates (1-3 perturbed pixels). With 8
+    bands and max_hamming=7, banded recall is exact (pigeonhole).
+    Value-level oracle: the 200 hashes are pure functions of doc_id
+    (pinned literal table, media_oracle_literals.py) and the whole
+    banding/verify trajectory replays in DuckDB around them."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = multimodal.synthesize_png_variant_payloads(docs)
+    return multimodal.image_near_dups(
+        multimodal.image_ahash(payloads), max_hamming=7
+    )
+
+
+QUERIES["image_dedup_ahash"] = q_image_dedup_ahash
+
+from .media_oracle_literals import IMAGE_DEDUP_AHASH_SQL  # noqa: E402
+
+ORACLE["image_dedup_ahash"] = IMAGE_DEDUP_AHASH_SQL
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12278,25 +12301,26 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# ELEVEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# TWELVE mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
-# dedup_span_clean, events_seasonality (each verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates). The CONCRETE list
-# below was assembled from the staleness ledger (max green round per
-# query, window-8 members counting as round 8) and PRE-VERIFIED 50/50
-# at sf0.01 at the END of round 8 — next round: paste it as
-# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
-# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
+# dedup_span_clean, events_seasonality, image_dedup_ahash (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates).
+# The CONCRETE list below was assembled from the staleness ledger (max
+# green round per query, window-8 members counting as round 8) and
+# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 — next round:
+# paste it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it,
+# and re-run the sf0.01 mirror before shipping (rounds 6/7/8
+# discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
-#   bloom_decontaminate, dedup_span_clean, events_seasonality
-#   (the 11 never-windowed, FIRST),
+#   bloom_decontaminate, dedup_span_clean, events_seasonality,
+#   image_dedup_ahash (the 12 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 27 of the r3-only-green block:
+#   then the first 26 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
@@ -12304,11 +12328,11 @@ _DRIVER_WINDOW_R8 = [
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
 #   split_train_test, stream_enrich, stream_stream_join, table_diff,
-#   token_count, window_session, window_sliding
-#   (window_tumbling — the 28th — plus the r4-only-green block
-#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
-#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
-#   window 10).
+#   token_count, window_session
+#   (window_sliding and window_tumbling — the 27th/28th — plus the
+#   r4-only-green block [admission_gate, agg_skew_twophase,
+#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
+#   corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
