@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_span_clean",
     "events_seasonality",
     "image_dedup_ahash",
+    "audio_dedup_fingerprint",
 ]
 
 

@@ -244,3 +244,43 @@ def test_image_ahash_dedup_finds_true_near_dup_clusters(spark):
         for a in range(32)
         for b in range(a + 1, 32)
     )
+
+
+def test_audio_fingerprint_dedup_finds_true_near_dup_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import multimodal
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 200)
+    hashes = multimodal.audio_fingerprint(
+        multimodal.synthesize_wav_variant_payloads(docs)
+    )
+    hrows = {r.doc_id: r.afp for r in hashes.collect()}
+    assert len(hrows) == 200
+    pairs = multimodal.hamming_near_dups(
+        hashes, max_hamming=7, hash_col="afp"
+    ).collect()
+    assert pairs
+    assert all(r.id_a % 16 == r.id_b % 16 for r in pairs)
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(hrows)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hrows[a], hrows[b]) <= 7
+    }
+    assert {(r.id_a, r.id_b) for r in pairs} == brute
+    for r in pairs:
+        assert r.hamming == ham(hrows[r.id_a], hrows[r.id_b])
+    # cross-cluster fingerprints stay far (fixture margin)
+    assert all(
+        ham(hrows[a], hrows[b]) > 7
+        for a in range(16)
+        for b in range(a + 1, 16)
+    )

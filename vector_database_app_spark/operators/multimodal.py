@@ -679,3 +679,117 @@ def image_near_dups(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+#: image_near_dups is hash-agnostic (any 64-bit signed fingerprint);
+#: the audio path uses it under its generic name.
+hamming_near_dups = image_near_dups
+
+
+def synthesize_wav_variant_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_clusters: int = 16,
+    rate: int = 8000,
+    n_segments: int = 64,
+) -> DataFrame:
+    """Deterministic REAL-WAV payloads WITH true near-duplicate
+    structure — the audio twin of `synthesize_png_variant_payloads`:
+    ids in the same residue class mod `n_clusters` share an
+    amplitude-modulation envelope (the per-segment pattern that an
+    energy fingerprint keys on — a bare sine would have a FLAT
+    envelope and nothing to fingerprint); generation 0 is the base,
+    later generations perturb 1-3 segment amplitudes (seeded by the
+    id) — the stand-in for re-encodes/level-shifts of the same clip.
+    Pure function of the id, stdlib wave codec, Arrow-batched."""
+    seg_len = rate // n_segments
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i)
+                amps = np.random.default_rng(seed % n_clusters).uniform(
+                    0.15, 1.0, size=n_segments
+                )
+                gen = seed // n_clusters
+                if gen > 0:
+                    rng = np.random.default_rng(seed)
+                    amps = amps.copy()
+                    for _ in range(1 + gen % 3):
+                        amps[int(rng.integers(0, n_segments))] = (
+                            rng.uniform(0.15, 1.0)
+                        )
+                env = np.repeat(amps, seg_len)
+                t = np.arange(env.size, dtype=np.float64)
+                sam = np.round(
+                    24000.0 * env * np.sin(2 * np.pi * 440.0 * t / rate)
+                ).astype(np.int16)
+                payloads.append(media.wav_encode(sam, rate=rate))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    n_segments: int = 64,
+) -> DataFrame:
+    """Energy-envelope audio fingerprint over REAL-decoded WAV
+    payloads: split the clip into `n_segments` equal windows, RMS per
+    window, bit i = window i's RMS above the clip median — one signed
+    bigint per clip (the banded-hamming-ready shape of the landmark
+    fingerprints in Wang 2003's Shazam paper, reduced to the energy
+    envelope: level shifts and small edits move few bits, different
+    clips ~n_segments/2). Arrow-batched mapInPandas; the hash is a
+    pure function of the payload, so the fixture table pins as
+    literals (media_oracle_literals contract)."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                sam, _rate, _ch = media.wav_decode(bytes(payload))
+                x = sam.astype(np.float64)
+                n = (x.size // n_segments) * n_segments
+                segs = x[:n].reshape(n_segments, -1)
+                rms = np.sqrt((segs * segs).mean(axis=1))
+                bits = rms > np.median(rms)
+                h = 0
+                for ix, bit in enumerate(bits):
+                    if bit:
+                        h |= 1 << ix
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fp,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("afp", T.LongType()),
+            ]
+        ),
+    )

@@ -12013,9 +12013,35 @@ def q_image_dedup_ahash(spark, sf_dir):
 
 QUERIES["image_dedup_ahash"] = q_image_dedup_ahash
 
-from .media_oracle_literals import IMAGE_DEDUP_AHASH_SQL  # noqa: E402
+from .media_oracle_literals import (  # noqa: E402
+    AUDIO_DEDUP_FP_SQL,
+    IMAGE_DEDUP_AHASH_SQL,
+)
 
 ORACLE["image_dedup_ahash"] = IMAGE_DEDUP_AHASH_SQL
+
+
+def q_audio_dedup_fingerprint(spark, sf_dir):
+    """Audio near-dup (multimodal.audio_fingerprint +
+    hamming_near_dups): REAL stdlib WAV decode → 64-segment energy-
+    envelope fingerprint (the banded-hamming reduction of Wang 2003's
+    landmark fingerprinting) → the same 8-band hamming join as the
+    image path, over the AM-envelope variant fixture whose id-residue
+    clusters carry true near-duplicates. Value-level oracle: pinned
+    literal fingerprints + the full banding/verify trajectory replayed
+    in DuckDB (media_oracle_literals.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = multimodal.synthesize_wav_variant_payloads(docs)
+    return multimodal.hamming_near_dups(
+        multimodal.audio_fingerprint(payloads),
+        max_hamming=7,
+        hash_col="afp",
+    )
+
+
+QUERIES["audio_dedup_fingerprint"] = q_audio_dedup_fingerprint
+
+ORACLE["audio_dedup_fingerprint"] = AUDIO_DEDUP_FP_SQL
 
 
 def q_events_seasonality(spark, sf_dir):
@@ -12301,26 +12327,27 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# TWELVE mid/late-r8 additions — shuffle_corpus, length_buckets,
+# THIRTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
-# dedup_span_clean, events_seasonality, image_dedup_ahash (each
-# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates).
-# The CONCRETE list below was assembled from the staleness ledger (max
-# green round per query, window-8 members counting as round 8) and
-# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 — next round:
-# paste it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it,
-# and re-run the sf0.01 mirror before shipping (rounds 6/7/8
-# discipline):
+# dedup_span_clean, events_seasonality, image_dedup_ahash,
+# audio_dedup_fingerprint (each verified at sf0.001 + sf0.01 + sf0.1
+# + all four structural gates). The CONCRETE list below was assembled
+# from the staleness ledger (max green round per query, window-8
+# members counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at
+# the END of round 8 — next round: paste it as _DRIVER_WINDOW_R9,
+# swap the asserts/reorder block to it, and re-run the sf0.01 mirror
+# before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
-#   image_dedup_ahash (the 12 never-windowed, FIRST),
+#   image_dedup_ahash, audio_dedup_fingerprint
+#   (the 13 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 26 of the r3-only-green block:
+#   then the first 25 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
@@ -12328,11 +12355,11 @@ _DRIVER_WINDOW_R8 = [
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
 #   split_train_test, stream_enrich, stream_stream_join, table_diff,
-#   token_count, window_session
-#   (window_sliding and window_tumbling — the 27th/28th — plus the
-#   r4-only-green block [admission_gate, agg_skew_twophase,
-#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
-#   corpus_filter] slide to window 10).
+#   token_count
+#   (window_session, window_sliding and window_tumbling — the
+#   26th-28th — plus the r4-only-green block [admission_gate,
+#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
+#   contamination_report, corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
