@@ -759,3 +759,51 @@ def test_stream_heavy_hitters_equals_batch(spark, tmp_path):
     want = keyed(QUERIES["heavy_hitters_cms"](spark, SF))
     assert got == want
     assert len(got) == 20
+
+
+def test_stream_bloom_decontaminate_equals_batch(spark, tmp_path):
+    """Continuous Bloom decontamination (SW.run_stream_bloom_decontaminate):
+    two arrival waves probed against the persisted 8 KiB bitmap produce
+    exactly the batch bloom_decontaminate rows — including the
+    deterministic false positives."""
+    from vector_database_app_spark.operators import textops as TXO
+    from vector_database_app_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0")
+    corpus = docs.filter("doc_id % 97 <> 0")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_bloom_decontaminate(
+            stream, bench, out_dir, ckpt, min_hits=2
+        )
+
+    corpus.filter("doc_id < 250").coalesce(1).write.parquet(
+        str(arrivals / "w1")
+    )
+    _drain()
+    corpus.filter("doc_id >= 250").coalesce(1).write.parquet(
+        str(arrivals / "w2")
+    )
+    _drain()
+
+    got = {
+        (r.doc_id, r.n_grams, r.n_bloom_hits, r.contaminated)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.n_grams, r.n_bloom_hits, r.contaminated)
+        for r in TXO.bloom_decontaminate(corpus, bench, min_hits=2).collect()
+    }
+    assert got == want
+    assert len(got) == corpus.count()

@@ -2689,41 +2689,20 @@ def zipf_fit(
     return out
 
 
-def bloom_decontaminate(
-    corpus: DataFrame,
+def bloom_bitmap_row(
     benchmark: DataFrame,
     *,
     n: int = 3,
     k: int = 3,
     m_bits: int = 65536,
-    min_hits: int = 1,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Benchmark decontamination through a FIXED-SIZE Bloom bitmap — the
-    scale path when the reference gram set is too big to broadcast raw
-    (exact `decontaminate` ships |bench grams| strings to every
-    executor; this ships m_bits/8 BYTES regardless of reference size —
-    Bloom 1970, the standard membership-at-scale structure). A corpus
-    gram "hits" when all `k` hash positions are set; false positives
-    are inherent, DETERMINISTIC given the hash family (the replayable
-    md5 recipe, so the oracle replays them too), and one-sided — a
-    bloom pass never misses a true overlap, so the exact checker only
-    ever re-verifies the flagged subset.
-
-    Scale shape: the reference side collapses to ≤ m_bits/64 bigint
-    words through bounded aggs (positions → per-word bit_or → ONE row
-    holding the dense word array), and that single row is broadcast
-    (Aggregate nodes on the path — the broadcast-guard contract); the
-    corpus side is then a PURE ROW-LOCAL projection — shingle, probe
-    all k bits per gram through one generated-SQL filter (the PQ/SRP
-    single-expression discipline), count. No corpus-keyed shuffle AT
-    ALL, no explode, no join fan-out, no driver collect (the bitmap
-    stays a plan-side frame, so query CONSTRUCTION fires zero jobs).
-    First cut exploded k positions per gram and re-aggregated through
-    a (doc, gram) hash shuffle: 6.2 s vs 1.3 s at sf0.1 — the shuffle
-    carried |corpus grams|·k rows for what one in-register AND chain
-    answers row-side."""
+    """The reference side of `bloom_decontaminate`, exposed so a
+    long-lived consumer (the streaming twin) can build it ONCE,
+    persist it, and probe every micro-batch against the same frame:
+    distinct benchmark grams → k md5 positions → per-word bit_or →
+    ONE row holding the dense m_bits/64-element bigint array
+    (column `_bm`)."""
     n_words = m_bits // 64
 
     def _pos(gram, j):
@@ -2754,7 +2733,7 @@ def bloom_decontaminate(
         .groupBy("word_ix")
         .agg(F.bit_or("bit").alias("word"))
     )
-    bitmap_row = (
+    return (
         bitmap.groupBy()
         .agg(
             F.map_from_entries(
@@ -2773,6 +2752,61 @@ def bloom_decontaminate(
         )
     )
 
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    n: int = 3,
+    k: int = 3,
+    m_bits: int = 65536,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bitmap_row: DataFrame | None = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination through a FIXED-SIZE Bloom bitmap — the
+    scale path when the reference gram set is too big to broadcast raw
+    (exact `decontaminate` ships |bench grams| strings to every
+    executor; this ships m_bits/8 BYTES regardless of reference size —
+    Bloom 1970, the standard membership-at-scale structure). A corpus
+    gram "hits" when all `k` hash positions are set; false positives
+    are inherent, DETERMINISTIC given the hash family (the replayable
+    md5 recipe, so the oracle replays them too), and one-sided — a
+    bloom pass never misses a true overlap, so the exact checker only
+    ever re-verifies the flagged subset.
+
+    Scale shape: the reference side collapses to ≤ m_bits/64 bigint
+    words through bounded aggs (positions → per-word bit_or → ONE row
+    holding the dense word array), and that single row is broadcast
+    (Aggregate nodes on the path — the broadcast-guard contract); the
+    corpus side is then a PURE ROW-LOCAL projection — shingle, probe
+    all k bits per gram through one generated-SQL filter (the PQ/SRP
+    single-expression discipline), count. No corpus-keyed shuffle AT
+    ALL, no explode, no join fan-out, no driver collect (the bitmap
+    stays a plan-side frame, so query CONSTRUCTION fires zero jobs).
+    First cut exploded k positions per gram and re-aggregated through
+    a (doc, gram) hash shuffle: 6.2 s vs 1.3 s at sf0.1 — the shuffle
+    carried |corpus grams|·k rows for what one in-register AND chain
+    answers row-side.
+
+    Pass a prebuilt (persisted) `bloom_bitmap_row` result as
+    `bitmap_row` to amortize the reference side across many probe
+    calls (the streaming twin's shape); `repartition=False` skips the
+    input-balancing exchange when the caller's partitioning is already
+    right (micro-batches)."""
+    if bitmap_row is None:
+        if benchmark is None:
+            raise ValueError("need either benchmark or bitmap_row")
+        bitmap_row = bloom_bitmap_row(
+            benchmark, n=n, k=k, m_bits=m_bits, text_col=text_col
+        )
+    if repartition:
+        corpus = corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+
     def _pos_sql(j: int) -> str:
         return (
             f"pmod(CAST(conv(substring(md5(concat(g, '#{j}')), 18, 15), "
@@ -2786,10 +2820,7 @@ def bloom_decontaminate(
         for j in range(k)
     )
     return (
-        corpus.repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism, id_col
-        )
-        .crossJoin(F.broadcast(bitmap_row))
+        corpus.crossJoin(F.broadcast(bitmap_row))
         .select(
             F.col(id_col),
             F.array_distinct(TX.shingles(text_col, n)).alias("_grams"),

@@ -1112,3 +1112,60 @@ def run_stream_admission(
         q.awaitTermination()
     finally:
         bands.unpersist()
+
+
+def run_stream_bloom_decontaminate(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    n: int = 3,
+    k: int = 3,
+    m_bits: int = 65536,
+    min_hits: int = 1,
+) -> None:
+    """CONTINUOUS Bloom decontamination: every micro-batch of arriving
+    docs probes the SAME fixed-size reference bitmap through the
+    UNCHANGED `operators.textops.bloom_decontaminate` probe, appending
+    one disposition row per doc — the streaming form of the
+    bloom_decontaminate batch query, and the shape a live ingest
+    pipeline runs the membership check in (the 8 KiB bitmap is the
+    only state; a reference set of any size costs the same per batch).
+
+    Same twin convention as run_stream_admission: the oracle-checked
+    registry form is the correctness evidence; the streaming test pins
+    parity across arrival waves. The bitmap row is computed once per
+    run and persisted (released after the drain), so per-batch cost is
+    the batch's row-local probe; checkpointed file source ⇒ each doc
+    is decided exactly once across restarts. `repartition=False` in
+    the probe call: micro-batches are already small and parallel —
+    the batch form's input-balancing exchange would only add a
+    shuffle per batch."""
+    from ..operators.textops import bloom_bitmap_row, bloom_decontaminate
+
+    bm = bloom_bitmap_row(benchmark, n=n, k=k, m_bits=m_bits).persist()
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        out = bloom_decontaminate(
+            batch_df,
+            n=n,
+            k=k,
+            m_bits=m_bits,
+            min_hits=min_hits,
+            bitmap_row=bm,
+            repartition=False,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        bm.unpersist()
