@@ -157,6 +157,7 @@ HEADLINE = [
     "events_seasonality",
     "image_dedup_ahash",
     "audio_dedup_fingerprint",
+    "video_dedup_framehash",
 ]
 
 

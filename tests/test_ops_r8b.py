@@ -284,3 +284,45 @@ def test_audio_fingerprint_dedup_finds_true_near_dup_clusters(spark):
         for a in range(16)
         for b in range(a + 1, 16)
     )
+
+
+def test_video_framehash_dedup_frame_vote(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_app_spark.operators import multimodal
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 200)
+    fh = multimodal.video_framehash(
+        multimodal.synthesize_video_variant_payloads(docs)
+    )
+    rows = fh.collect()
+    assert len(rows) == 200 * 6
+    hmap = {(r.doc_id, r.frame_ix): r.fhash for r in rows}
+    pairs = multimodal.video_near_dups(
+        fh, max_hamming=7, min_close_frames=4
+    ).collect()
+    assert pairs
+    assert all(r.id_a % 16 == r.id_b % 16 for r in pairs)
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted({r.doc_id for r in rows})
+    brute = {}
+    for i, a_id in enumerate(ids):
+        for b_id in ids[i + 1 :]:
+            ncf = sum(
+                1
+                for f in range(6)
+                if ham(hmap[(a_id, f)], hmap[(b_id, f)]) <= 7
+            )
+            if ncf >= 4:
+                brute[(a_id, b_id)] = ncf
+    got = {(r.id_a, r.id_b): r.n_close_frames for r in pairs}
+    assert got == brute
+    # the frame vote actually discriminates on this fixture: partial
+    # matches exist (replaced frames) AND full matches exist
+    counts = set(got.values())
+    assert 6 in counts and (4 in counts or 5 in counts)

@@ -582,24 +582,13 @@ def image_ahash(
     def hash_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         from ..functions import media
 
         for pdf in batches:
-            hashes = []
-            for payload in pdf[payload_col]:
-                img = media.png_decode(bytes(payload))
-                gray = img.astype(np.float64).mean(axis=2)
-                small = media.resize_nearest(gray, grid, grid)
-                bits = (small > small.mean()).reshape(-1)
-                h = 0
-                for ix, bit in enumerate(bits):
-                    if bit:
-                        h |= 1 << ix
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
+            hashes = [
+                _ahash_int(media.png_decode(bytes(payload)), grid)
+                for payload in pdf[payload_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -792,4 +781,234 @@ def audio_fingerprint(
                 T.StructField("afp", T.LongType()),
             ]
         ),
+    )
+
+
+def _ahash_int(img, grid: int = 8) -> int:
+    """Signed-bigint average-hash of one decoded RGB frame — the ONE
+    definition shared by image_ahash and video_framehash (grayscale
+    channel mean → nearest resample → threshold at mean → pack
+    LSB-first, two's complement)."""
+    import numpy as np
+
+    from ..functions import media
+
+    gray = img.astype(np.float64).mean(axis=2)
+    small = media.resize_nearest(gray, grid, grid)
+    bits = (small > small.mean()).reshape(-1)
+    h = 0
+    for ix, bit in enumerate(bits):
+        if bit:
+            h |= 1 << ix
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+#: Minimal deterministic multi-frame container: magic, frame count,
+#: then length-prefixed REAL PNG frames. A production pipeline swaps
+#: this parser for an actual video demuxer at the same seam — the
+#: Spark-side plumbing (binary column → per-frame rows → per-frame
+#: decode) is what the engine owns.
+_VID_MAGIC = b"VID0"
+
+
+def synthesize_video_variant_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_clusters: int = 16,
+    n_frames: int = 6,
+    side: int = 12,
+) -> DataFrame:
+    """Deterministic multi-frame payloads WITH true near-duplicate
+    structure — the video leg of the variant-fixture family: ids in
+    the same residue class mod `n_clusters` share all base frames
+    (each frame seeded by cluster and frame index); generation 0 IS
+    the base clip, later generations REPLACE gen%3 frames outright (a
+    different scene — the inserted ad/intro case) and perturb 1-3
+    pixels in 1-2 of the surviving frames (seeded by the id) — so
+    aligned-frame agreement varies and the clip-level frame vote has
+    something to decide. Frames are REAL PNGs in the `_VID_MAGIC`
+    length-prefixed container."""
+    import struct as _struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import media
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                seed = int(i)
+                cluster = seed % n_clusters
+                gen = seed // n_clusters
+                rng = np.random.default_rng(seed)
+                replaced: set[int] = set()
+                touched: set[int] = set()
+                if gen > 0:
+                    replaced = {
+                        int(x)
+                        for x in rng.integers(0, n_frames, size=gen % 3)
+                    }
+                    touched = {
+                        int(x)
+                        for x in rng.integers(
+                            0, n_frames, size=1 + gen % 2
+                        )
+                    } - replaced
+                frames = []
+                for f in range(n_frames):
+                    if f in replaced:
+                        img = np.random.default_rng(seed * 7919 + f).integers(
+                            0, 256, size=(side, side, 3), dtype=np.uint8
+                        )
+                    else:
+                        img = np.random.default_rng(
+                            cluster * 1000 + f
+                        ).integers(
+                            0, 256, size=(side, side, 3), dtype=np.uint8
+                        )
+                        if f in touched:
+                            img = img.copy()
+                            for _ in range(1 + gen % 3):
+                                y = int(rng.integers(0, side))
+                                x = int(rng.integers(0, side))
+                                img[y, x, :] = rng.integers(
+                                    0, 256, size=3, dtype=np.uint8
+                                )
+                    frames.append(media.png_encode(img))
+                blob = _VID_MAGIC + _struct.pack(">I", n_frames)
+                for fr in frames:
+                    blob += _struct.pack(">I", len(fr)) + fr
+                payloads.append(blob)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def video_framehash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    grid: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes of a multi-frame payload: demux the
+    container, REAL-decode each PNG frame, aHash each (the shared
+    `_ahash_int`) — one (id, frame_ix, fhash) row per frame, the
+    temporally-aligned shape video near-dup keys on. Arrow-batched;
+    output rows per input row = frame count (bounded by the
+    container, not the corpus)."""
+    import struct as _struct
+
+    def fh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import media
+
+        for pdf in batches:
+            ids, ixs, hs = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                assert b[:4] == _VID_MAGIC, "not a VID0 container"
+                (nf,) = _struct.unpack(">I", b[4:8])
+                off = 8
+                for f in range(nf):
+                    (ln,) = _struct.unpack(">I", b[off : off + 4])
+                    off += 4
+                    img = media.png_decode(b[off : off + ln])
+                    off += ln
+                    ids.append(int(i))
+                    ixs.append(f)
+                    hs.append(_ahash_int(img, grid))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_ix": ixs, "fhash": hs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fh,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("frame_ix", T.IntegerType()),
+                T.StructField("fhash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def video_near_dups(
+    framehash_df: DataFrame,
+    *,
+    max_hamming: int = 7,
+    min_close_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Clip-level near-dup over temporally-aligned frame hashes: frame
+    pairs band-join WITHIN the same frame_ix (8 8-bit bands — banded
+    recall exact at max_hamming <= 7, pigeonhole), verify popcount,
+    then clips pair when at least `min_close_frames` aligned frames
+    are within `max_hamming` — the frame-voting clip matcher (the
+    aHash-per-frame reduction of standard video copy detection). One
+    hash-keyed shuffle for the band join, one (id_a, id_b) agg."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_ix"),
+                    F.expr(f"(fhash >> {8 * i}) & 255").alias("band_key"),
+                )
+                for i in range(8)
+            ]
+        )
+    ).alias("b")
+    banded = framehash_df.select(
+        F.col(id_col), "frame_ix", "fhash", bands
+    ).select(
+        id_col, "frame_ix", "fhash", F.col("b.band_ix"), F.col("b.band_key")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("fhash").alias("h_a"),
+        "frame_ix",
+        "band_ix",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("fhash").alias("h_b"),
+        "frame_ix",
+        "band_ix",
+        "band_key",
+    )
+    close = (
+        a.join(b, ["frame_ix", "band_ix", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "frame_ix", "h_a", "h_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            "frame_ix",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return (
+        close.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_close_frames"),
+            F.max("hamming").cast("bigint").alias("max_frame_hamming"),
+        )
+        .where(F.col("n_close_frames") >= min_close_frames)
     )

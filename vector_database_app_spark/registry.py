@@ -12044,6 +12044,33 @@ QUERIES["audio_dedup_fingerprint"] = q_audio_dedup_fingerprint
 ORACLE["audio_dedup_fingerprint"] = AUDIO_DEDUP_FP_SQL
 
 
+def q_video_dedup_framehash(spark, sf_dir):
+    """Video clip near-dup (multimodal.video_framehash +
+    video_near_dups): demux the multi-frame container, REAL PNG decode
+    + aHash per frame (the shared _ahash_int), band-join WITHIN the
+    same frame index (temporal alignment), then the clip-level frame
+    vote (≥4 of 6 aligned frames within hamming 7) — the aHash
+    reduction of standard video copy detection, over a fixture whose
+    variants both perturb pixels AND replace whole frames so the vote
+    has something to decide. Value-level oracle: 1200 pinned per-frame
+    hashes + the full trajectory replayed in DuckDB
+    (media_oracle_literals.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = multimodal.synthesize_video_variant_payloads(docs)
+    return multimodal.video_near_dups(
+        multimodal.video_framehash(payloads),
+        max_hamming=7,
+        min_close_frames=4,
+    )
+
+
+QUERIES["video_dedup_framehash"] = q_video_dedup_framehash
+
+from .media_oracle_literals import VIDEO_DEDUP_FRAMEHASH_SQL  # noqa: E402
+
+ORACLE["video_dedup_framehash"] = VIDEO_DEDUP_FRAMEHASH_SQL
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12327,37 +12354,36 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# THIRTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# FOURTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
-# audio_dedup_fingerprint (each verified at sf0.001 + sf0.01 + sf0.1
-# + all four structural gates). The CONCRETE list below was assembled
-# from the staleness ledger (max green round per query, window-8
-# members counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at
-# the END of round 8 — next round: paste it as _DRIVER_WINDOW_R9,
-# swap the asserts/reorder block to it, and re-run the sf0.01 mirror
-# before shipping (rounds 6/7/8 discipline):
+# audio_dedup_fingerprint, video_dedup_framehash (each verified at
+# sf0.001 + sf0.01 + sf0.1 + all four structural gates). The CONCRETE
+# list below was assembled from the staleness ledger (max green round
+# per query, window-8 members counting as round 8) and PRE-VERIFIED
+# 50/50 at sf0.01 at the END of round 8 — next round: paste it as
+# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
+# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
-#   image_dedup_ahash, audio_dedup_fingerprint
-#   (the 13 never-windowed, FIRST),
+#   image_dedup_ahash, audio_dedup_fingerprint, video_dedup_framehash
+#   (the 14 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 25 of the r3-only-green block:
+#   then the first 24 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
-#   split_train_test, stream_enrich, stream_stream_join, table_diff,
-#   token_count
-#   (window_session, window_sliding and window_tumbling — the
-#   26th-28th — plus the r4-only-green block [admission_gate,
+#   split_train_test, stream_enrich, stream_stream_join, table_diff
+#   (token_count, window_session, window_sliding and window_tumbling
+#   — the 25th-28th — plus the r4-only-green block [admission_gate,
 #   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
 #   contamination_report, corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
