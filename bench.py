@@ -158,6 +158,7 @@ HEADLINE = [
     "image_dedup_ahash",
     "audio_dedup_fingerprint",
     "video_dedup_framehash",
+    "graph_label_propagation",
 ]
 
 

@@ -326,3 +326,40 @@ def test_video_framehash_dedup_frame_vote(spark):
     # matches exist (replaced frames) AND full matches exist
     counts = set(got.values())
     assert 6 in counts and (4 in counts or 5 in counts)
+
+
+def test_label_propagation_converges_on_two_communities(spark):
+    from vector_database_app_spark.operators import graph as G
+
+    # two 4-cliques bridged by one edge; LPA should give each clique
+    # one label (the smallest member), bridge notwithstanding
+    def clique(prefix, k):
+        names = [f"{prefix}{i}" for i in range(k)]
+        return [
+            (a, b) for a in names for b in names if a != b
+        ]
+
+    edges_rows = clique("a", 4) + clique("b", 4) + [
+        ("a0", "b0"), ("b0", "a0")
+    ]
+    edges = spark.createDataFrame(edges_rows, "src string, dst string")
+    labels = {
+        r.node: r.label
+        for r in G.label_propagation(edges, rounds=3).collect()
+    }
+    assert len(labels) == 8
+    assert {labels[f"a{i}"] for i in range(4)} == {"a0"}
+    # b0 sees three b-neighbors (label b0) and one a-neighbor after
+    # round 1; majority keeps the b community on its own label
+    assert {labels[f"b{i}"] for i in range(1, 4)} == {"b0"}
+
+
+def test_label_propagation_isolated_node_keeps_own_label(spark):
+    from vector_database_app_spark.operators import graph as G
+
+    # x -> y only: y adopts x's label; x has no in-edges and keeps its own
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    labels = {
+        r.node: r.label for r in G.label_propagation(edges, rounds=2).collect()
+    }
+    assert labels == {"x": "x", "y": "x"}

@@ -184,3 +184,78 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie-break: every node starts labeled with itself;
+    each round, a node adopts the most frequent label among its
+    in-neighbors, ties broken by the smallest label — the async
+    random-order variant of the paper is replaced by the synchronous
+    deterministic form so the result is a pure function of the graph
+    (the engine's reproducibility bar). Community detection next to
+    pagerank (centrality), triangles (cohesion), BFS (reach), and
+    connected components (equivalence).
+
+    Fixed-iteration unrolled relational rounds (the pagerank/BFS
+    discipline — no driver loop, one lazy plan): per round one
+    edge⋈labels join (shuffles on the node key; AQE covers hub skew),
+    one (node, label) hash agg with map-side partials, one
+    node-partitioned row_number pick — never a SinglePartition window.
+    Nodes with no in-edges keep their own label via the left-join
+    fallback. Replays exactly as unrolled SQL CTEs."""
+    from pyspark.sql import Window
+
+    # LAZY persist (no constructor jobs): every round references edges,
+    # and every round's fallback references nodes — without the cache
+    # the edge build re-executes once per reference (measured at sf0.1
+    # on the full 1.17M-edge trade graph: 15.1 s → 13.6 s; modest
+    # because within ONE action parallel stages race the cache fill).
+    # The dominant cost is inherent — each round joins |E| edge rows
+    # against the labels (piece-wise profile: edges 3.6 s, rounds
+    # 2.9/1.4/1.1 s with warm cache) — so callers bound the GRAPH, not
+    # the algorithm, when they need a cheaper demonstration (the
+    # registry query filters to a deterministic order-key slice, the
+    # dedup_clusters_sampled precedent). Same in-operator persist
+    # pattern as search/pq/corpus_pipeline.
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col(f"e.{src}") == F.col("l.node"))
+            .select(
+                F.col(f"e.{dst}").alias("node"), F.col("l.label").alias("label")
+            )
+        )
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        picked = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce(picked["label"], nodes["node"]).alias("label"),
+            )
+        )
+    return labels

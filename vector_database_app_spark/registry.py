@@ -12071,6 +12071,84 @@ from .media_oracle_literals import VIDEO_DEDUP_FRAMEHASH_SQL  # noqa: E402
 ORACLE["video_dedup_framehash"] = VIDEO_DEDUP_FRAMEHASH_SQL
 
 
+def q_graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (graph.
+    label_propagation, Raghavan et al. 2007 with a smallest-label
+    tie-break) over the supplier↔customer trade graph (edges as in
+    graph_bfs_reach) — community detection next to pagerank /
+    triangles / BFS / connected components. 3 unrolled rounds, one
+    lazy plan, integer/string-exact; replays as unrolled SQL CTEs.
+    The graph is bounded to the deterministic o_orderkey % 4 = 0
+    order slice (the dedup_clusters_sampled precedent): the FULL
+    trade graph is 1.17M edges at sf0.1 and each LPA round joins |E|
+    rows — the algorithm is the demonstration, the slice keeps the
+    per-round join proportionate (measured at sf0.1: 7.8 s first
+    run / 3.2 s warm-cache, in line with the pagerank sibling)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from .operators import graph as G
+
+    return G.label_propagation(edges, rounds=3)
+
+
+QUERIES["graph_label_propagation"] = q_graph_label_propagation
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    prev = "l0"
+    cte = """
+    WITH fwd AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 4 = 0
+    ), edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst AS src, src AS dst FROM fwd
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ), l0 AS (
+        SELECT node, node AS label FROM nodes
+    )"""
+    for r in range(1, rounds + 1):
+        cte += f""", p{r} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label ASC) AS rk
+            FROM edges e JOIN {prev} l ON e.src = l.node
+            GROUP BY e.dst, l.label
+        ) WHERE rk = 1
+    ), l{r} AS (
+        SELECT n.node, coalesce(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN p{r} p USING (node)
+    )"""
+        prev = f"l{r}"
+    return cte + f"""
+    SELECT node, label FROM {prev}
+"""
+
+
+ORACLE["graph_label_propagation"] = _lpa_oracle(3)
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12354,38 +12432,41 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# FOURTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# FIFTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
-# audio_dedup_fingerprint, video_dedup_framehash (each verified at
-# sf0.001 + sf0.01 + sf0.1 + all four structural gates). The CONCRETE
-# list below was assembled from the staleness ledger (max green round
-# per query, window-8 members counting as round 8) and PRE-VERIFIED
-# 50/50 at sf0.01 at the END of round 8 — next round: paste it as
-# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
-# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
+# audio_dedup_fingerprint, video_dedup_framehash,
+# graph_label_propagation (each verified at sf0.001 + sf0.01 + sf0.1
+# + all four structural gates). The CONCRETE list below was assembled
+# from the staleness ledger (max green round per query, window-8
+# members counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at
+# the END of round 8 — next round: paste it as _DRIVER_WINDOW_R9,
+# swap the asserts/reorder block to it, and re-run the sf0.01 mirror
+# before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
-#   image_dedup_ahash, audio_dedup_fingerprint, video_dedup_framehash
-#   (the 14 never-windowed, FIRST),
+#   image_dedup_ahash, audio_dedup_fingerprint,
+#   video_dedup_framehash, graph_label_propagation
+#   (the 15 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 24 of the r3-only-green block:
+#   then the first 23 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
-#   split_train_test, stream_enrich, stream_stream_join, table_diff
-#   (token_count, window_session, window_sliding and window_tumbling
-#   — the 25th-28th — plus the r4-only-green block [admission_gate,
-#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
-#   contamination_report, corpus_filter] slide to window 10).
+#   split_train_test, stream_enrich, stream_stream_join
+#   (table_diff, token_count, window_session, window_sliding and
+#   window_tumbling — the 24th-28th — plus the r4-only-green block
+#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
+#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
+#   window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
