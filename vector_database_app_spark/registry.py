@@ -12441,9 +12441,10 @@ _DRIVER_WINDOW_R8 = [
 # + all four structural gates). The CONCRETE list below was assembled
 # from the staleness ledger (max green round per query, window-8
 # members counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at
-# the END of round 8 — next round: paste it as _DRIVER_WINDOW_R9,
-# swap the asserts/reorder block to it, and re-run the sf0.01 mirror
-# before shipping (rounds 6/7/8 discipline):
+# the END of round 8 (44.8 s, after the final r8 addition
+# graph_label_propagation) — next round: paste it as
+# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
+# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
