@@ -159,6 +159,7 @@ HEADLINE = [
     "audio_dedup_fingerprint",
     "video_dedup_framehash",
     "graph_label_propagation",
+    "wordpiece_encode",
 ]
 
 

@@ -363,3 +363,60 @@ def test_label_propagation_isolated_node_keeps_own_label(spark):
         r.node: r.label for r in G.label_propagation(edges, rounds=2).collect()
     }
     assert labels == {"x": "x", "y": "x"}
+
+
+def test_wordpiece_encode_greedy_longest_match_semantics(spark):
+    from vector_database_app_spark.operators import tokenize as TK
+
+    pieces = ["a", "b", "c", "ab", "abc", "bc"]
+
+    def wp(word: str) -> tuple[int, int]:
+        # reference greedy longest-match; (tokens, unk)
+        pos, cnt = 0, 0
+        while pos < len(word):
+            ln = 0
+            for L in (3, 2, 1):
+                if word[pos : pos + L] in pieces and len(
+                    word[pos : pos + L]
+                ) == L:
+                    ln = L
+                    break
+            if ln == 0:
+                return 1, 1
+            pos += ln
+            cnt += 1
+        return cnt, 0
+
+    words = ["abc", "abcb", "ab", "ba", "abd", "cab", "aaaa", "abcabc"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in TK.wordpiece_encode_counts(docs, pieces).collect()
+    }
+    for i, w in enumerate(words):
+        tokens, unk = wp(w)
+        assert rows[i].n_wp_tokens == tokens, (w, rows[i])
+        assert rows[i].n_unk_words == unk, (w, rows[i])
+    # greedy != optimal: "abcb" -> abc + b (2), never ab + cb
+    assert rows[1].n_wp_tokens == 2
+    # 'd' is outside the alphabet -> whole word [UNK], ONE token
+    assert rows[4].n_wp_tokens == 1 and rows[4].n_unk_words == 1
+
+
+def test_wordpiece_unfinished_after_max_steps_is_unk(spark):
+    from vector_database_app_spark.operators import tokenize as TK
+
+    docs = spark.createDataFrame(
+        [(0, "aaaaaa"), (1, "aaa")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in TK.wordpiece_encode_counts(
+            docs, ["a"], max_steps=4
+        ).collect()
+    }
+    assert rows[1].n_wp_tokens == 3 and rows[1].n_unk_words == 0
+    # 6 singles > 4 steps -> conservatively [UNK], never undercounted
+    assert rows[0].n_wp_tokens == 1 and rows[0].n_unk_words == 1

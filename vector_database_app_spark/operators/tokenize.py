@@ -325,3 +325,109 @@ def bpe_encode_counts(
             ).alias("chars_per_token"),
         )
     )
+
+
+def wordpiece_step_sqls(
+    pieces: list[str], max_piece_len: int
+) -> tuple[str, str, str]:
+    """One WordPiece matching step as three generated-SQL column texts
+    (new pos / cnt / unk over state columns ``w, w_len, pos, cnt,
+    unk``) — shared VERBATIM by the Spark selectExpr chain and the
+    DuckDB oracle CTE chain, so the two engines cannot diverge. The
+    match-length expression tries piece lengths longest-first (the
+    WordPiece rule); substr past the end of the word yields a short
+    string that matches no exact-length IN-list, so no bounds checks
+    are needed."""
+    by_len: dict[int, list[str]] = {}
+    for p in pieces:
+        by_len.setdefault(len(p), []).append(p)
+    arms = []
+    for ln in sorted(by_len, reverse=True):
+        lits = ", ".join(
+            "'" + p.replace("'", "''") + "'" for p in sorted(by_len[ln])
+        )
+        arms.append(f"WHEN substr(w, pos, {ln}) IN ({lits}) THEN {ln}")
+    ml = "CASE " + " ".join(arms) + " ELSE 0 END"
+    pos_sql = (
+        f"CAST(CASE WHEN unk = 1 OR pos > w_len THEN pos "
+        f"WHEN ({ml}) = 0 THEN pos ELSE pos + ({ml}) END AS INT) AS pos"
+    )
+    cnt_sql = (
+        f"CAST(CASE WHEN unk = 1 OR pos > w_len THEN cnt "
+        f"WHEN ({ml}) = 0 THEN cnt ELSE cnt + 1 END AS INT) AS cnt"
+    )
+    unk_sql = (
+        f"CAST(CASE WHEN unk = 1 THEN 1 "
+        f"WHEN pos <= w_len AND ({ml}) = 0 THEN 1 ELSE 0 END AS INT) AS unk"
+    )
+    return pos_sql, cnt_sql, unk_sql
+
+
+def wordpiece_encode_counts(
+    df: DataFrame,
+    pieces: list[str],
+    *,
+    max_steps: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fertility of a frozen WordPiece tokenizer — greedy
+    LONGEST-match-at-position with whole-word [UNK] on any failure (the
+    WordPiece contract, Wu et al. 2016 §4.1; BERT's tokenizer), the
+    third tokenizer family next to BPE (merge-order replay) and
+    unigram-LM (priority-ordered replace): all three price the same
+    corpus so fertility is comparable across families. This frozen
+    demo vocab uses the same piece strings at word-initial and
+    continuation positions (a real BERT vocab distinguishes ##-pieces;
+    the MATCHING ALGORITHM — longest-first, UNK-whole-word — is what
+    this operator demonstrates). A word still unconsumed after
+    `max_steps` matches is counted [UNK] (same one-token cost).
+
+    Scale shape: the bpe/unigram two-touch contract — the matching
+    loop runs as `max_steps` chained selectExpr projections over the
+    DISTINCT-word frame (vocab-sized work, pure codegen CASE/IN
+    expressions, no HOFs, no Python), and per-doc counts come from
+    joining the token stream back on the word key (AQE broadcasts the
+    vocab side). The step SQL is generated ONCE and shared verbatim
+    with the DuckDB oracle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+            )
+        ).alias("w"),
+    )
+    max_len = max(len(p) for p in pieces)
+    pos_sql, cnt_sql, unk_sql = wordpiece_step_sqls(pieces, max_len)
+    state = (
+        toks.select("w")
+        .distinct()
+        .selectExpr(
+            "w",
+            "CAST(length(w) AS INT) AS w_len",
+            "CAST(1 AS INT) AS pos",
+            "CAST(0 AS INT) AS cnt",
+            "CAST(0 AS INT) AS unk",
+        )
+    )
+    for _ in range(max_steps):
+        state = state.selectExpr("w", "w_len", pos_sql, cnt_sql, unk_sql)
+    vocab_tok = state.selectExpr(
+        "w",
+        "CAST(w_len AS BIGINT) AS w_chars",
+        "CAST(CASE WHEN unk = 1 OR pos <= w_len THEN 1 ELSE cnt END "
+        "AS BIGINT) AS w_tokens",
+        "CAST(CASE WHEN unk = 1 OR pos <= w_len THEN 1 ELSE 0 END "
+        "AS BIGINT) AS w_unk",
+    )
+    return (
+        toks.join(vocab_tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_chars").cast("bigint").alias("n_chars"),
+            F.sum("w_tokens").cast("bigint").alias("n_wp_tokens"),
+            F.sum("w_unk").cast("bigint").alias("n_unk_words"),
+        )
+    )

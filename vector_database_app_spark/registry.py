@@ -12149,6 +12149,68 @@ def _lpa_oracle(rounds: int = 3) -> str:
 ORACLE["graph_label_propagation"] = _lpa_oracle(3)
 
 
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece fertility under the frozen piece inventory
+    (tokenize.wordpiece_encode_counts): greedy longest-match-at-
+    position with whole-word [UNK] — the third tokenizer family next
+    to bpe_encode and unigram_encode, priced over the same corpus so
+    fertility is comparable across families. The matching-step SQL is
+    generated once and shared VERBATIM with this oracle."""
+    from .operators import unigram as _ug
+
+    return tokenize.wordpiece_encode_counts(
+        _t(spark, sf_dir, "documents"),
+        [p["piece"] for p in _ug.PINNED_PIECES],
+    )
+
+
+QUERIES["wordpiece_encode"] = q_wordpiece_encode
+
+
+def _wordpiece_oracle(max_steps: int = 16) -> str:
+    from .operators import unigram as _ug
+
+    pieces = [p["piece"] for p in _ug.PINNED_PIECES]
+    pos_sql, cnt_sql, unk_sql = tokenize.wordpiece_step_sqls(
+        pieces, max(len(p) for p in pieces)
+    )
+    cte = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ), s0 AS (
+        SELECT DISTINCT w, CAST(length(w) AS INT) AS w_len,
+               CAST(1 AS INT) AS pos, CAST(0 AS INT) AS cnt,
+               CAST(0 AS INT) AS unk
+        FROM toks
+    )"""
+    prev = "s0"
+    for i in range(1, max_steps + 1):
+        cte += f""", s{i} AS (
+        SELECT w, w_len, {pos_sql}, {cnt_sql}, {unk_sql} FROM {prev}
+    )"""
+        prev = f"s{i}"
+    return cte + f""", vocab AS (
+        SELECT w, CAST(w_len AS BIGINT) AS w_chars,
+               CAST(CASE WHEN unk = 1 OR pos <= w_len THEN 1 ELSE cnt
+                    END AS BIGINT) AS w_tokens,
+               CAST(CASE WHEN unk = 1 OR pos <= w_len THEN 1 ELSE 0
+                    END AS BIGINT) AS w_unk
+        FROM {prev}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(w_chars) AS BIGINT) AS n_chars,
+           CAST(sum(w_tokens) AS BIGINT) AS n_wp_tokens,
+           CAST(sum(w_unk) AS BIGINT) AS n_unk_words
+    FROM toks JOIN vocab USING (w) GROUP BY doc_id
+"""
+
+
+ORACLE["wordpiece_encode"] = _wordpiece_oracle(16)
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12432,42 +12494,42 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# FIFTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# SIXTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
 # audio_dedup_fingerprint, video_dedup_framehash,
-# graph_label_propagation (each verified at sf0.001 + sf0.01 + sf0.1
-# + all four structural gates). The CONCRETE list below was assembled
-# from the staleness ledger (max green round per query, window-8
-# members counting as round 8) and PRE-VERIFIED 50/50 at sf0.01 at
-# the END of round 8 (44.8 s, after the final r8 addition
-# graph_label_propagation) — next round: paste it as
+# graph_label_propagation, wordpiece_encode (each verified at
+# sf0.001 + sf0.01 + sf0.1 + all four structural gates). The CONCRETE
+# list below was assembled from the staleness ledger (max green round
+# per query, window-8 members counting as round 8) and PRE-VERIFIED
+# 50/50 at sf0.01 at the END of round 8 (40.0 s, after the final r8
+# addition wordpiece_encode) — next round: paste it as
 # _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
 # the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
 #   image_dedup_ahash, audio_dedup_fingerprint,
-#   video_dedup_framehash, graph_label_propagation
-#   (the 15 never-windowed, FIRST),
+#   video_dedup_framehash, graph_label_propagation, wordpiece_encode
+#   (the 16 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 23 of the r3-only-green block:
+#   then the first 22 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
-#   split_train_test, stream_enrich, stream_stream_join
-#   (table_diff, token_count, window_session, window_sliding and
-#   window_tumbling — the 24th-28th — plus the r4-only-green block
-#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
-#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
-#   window 10).
+#   split_train_test, stream_enrich
+#   (stream_stream_join, table_diff, token_count, window_session,
+#   window_sliding and window_tumbling — the 23rd-28th — plus the
+#   r4-only-green block [admission_gate, agg_skew_twophase,
+#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
+#   corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
