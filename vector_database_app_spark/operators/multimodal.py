@@ -786,19 +786,26 @@ def audio_fingerprint(
 
 def _ahash_int(img, grid: int = 8) -> int:
     """Signed-bigint average-hash of one decoded RGB frame — the ONE
-    definition shared by image_ahash and video_framehash (grayscale
-    channel mean → nearest resample → threshold at mean → pack
-    LSB-first, two's complement)."""
+    definition shared by image_ahash and video_framehash (channel-sum
+    grayscale → nearest resample → threshold at the cell mean → pack
+    LSB-first, two's complement). INTEGER arithmetic end to end: the
+    gray value is the channel SUM (a monotone transform of the mean —
+    no /3), and the threshold compares ``cell·grid² > Σcells`` instead
+    of ``cell > mean`` — so the hash is exactly invariant under a
+    uniform brightness shift and can never flip on a float-rounding
+    tie (a hypothesis run caught the float form differing by 1 ulp at
+    the mean boundary after a +40 shift)."""
     import numpy as np
 
     from ..functions import media
 
-    gray = img.astype(np.float64).mean(axis=2)
-    small = media.resize_nearest(gray, grid, grid)
-    bits = (small > small.mean()).reshape(-1)
+    gray = img.astype(np.int64).sum(axis=2)
+    small = media.resize_nearest(gray, grid, grid).reshape(-1)
+    total = int(small.sum())
+    n = grid * grid
     h = 0
-    for ix, bit in enumerate(bits):
-        if bit:
+    for ix, cell in enumerate(small.tolist()):
+        if cell * n > total:
             h |= 1 << ix
     if h >= 1 << 63:
         h -= 1 << 64
