@@ -160,6 +160,7 @@ HEADLINE = [
     "video_dedup_framehash",
     "graph_label_propagation",
     "wordpiece_encode",
+    "entity_resolution",
 ]
 
 

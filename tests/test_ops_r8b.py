@@ -420,3 +420,49 @@ def test_wordpiece_unfinished_after_max_steps_is_unk(spark):
     assert rows[1].n_wp_tokens == 3 and rows[1].n_unk_words == 0
     # 6 singles > 4 steps -> conservatively [UNK], never undercounted
     assert rows[0].n_wp_tokens == 1 and rows[0].n_unk_words == 1
+
+
+def test_entity_resolution_bounded_hop_canonicalization(spark):
+    rows = (
+        [("alpha widget",)] * 3
+        + [("alphq widget",)] * 2
+        + [("alpho widget",)]        # links to both above -> one cluster
+        + [("beta bolt",), ("betta bolt",)]
+        + [("gamma rod",)]           # singleton
+    )
+    df = spark.createDataFrame(rows, "p_name string")
+    out = {
+        r.name: r
+        for r in relational.entity_resolution(
+            df, name_col="p_name", hops=4
+        ).collect()
+    }
+    assert len(out) == 6
+    widget = {"alpha widget", "alphq widget", "alpho widget"}
+    for n in widget:
+        assert out[n].canonical == "alpha widget"
+        assert out[n].cluster_size == 3
+    assert out["alpha widget"].is_canonical == 1
+    assert out["alphq widget"].is_canonical == 0
+    assert out["alpha widget"].n_rows == 3 and out["alphq widget"].n_rows == 2
+    for n in ("beta bolt", "betta bolt"):
+        assert out[n].canonical == "beta bolt" and out[n].cluster_size == 2
+    assert out["gamma rod"].canonical == "gamma rod"
+    assert out["gamma rod"].cluster_size == 1
+
+
+def test_entity_resolution_hop_bound_caps_chains(spark):
+    # a chain a0 - a1 - ... a6 where only adjacent names are within
+    # lev<=1 (shared last token so all share one block): with hops=2
+    # the far end must NOT reach the chain head
+    names = ["a" * (4 + i) + " x" for i in range(7)]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    out = {
+        r.name: r.canonical
+        for r in relational.entity_resolution(
+            df, name_col="p_name", max_dist=1, len_band=1, hops=2
+        ).collect()
+    }
+    assert out[names[0]] == names[0]
+    assert out[names[2]] == names[0]      # within 2 hops
+    assert out[names[6]] != names[0]      # chain cap: entity bleed stopped

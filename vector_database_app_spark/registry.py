@@ -12211,6 +12211,68 @@ def _wordpiece_oracle(max_steps: int = 16) -> str:
 ORACLE["wordpiece_encode"] = _wordpiece_oracle(16)
 
 
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end record linkage over part names (relational.
+    entity_resolution): name universe → blocked levenshtein pairs →
+    BOUNDED-hop (4) min-label canonicalization, the production-ER
+    chain cap that stops a→ab→abc entity bleed (Christen 2012 §6).
+    All unrolled lazy rounds; the oracle replays the identical hops."""
+    return relational.entity_resolution(
+        _t(spark, sf_dir, "part"), name_col="p_name", hops=4
+    )
+
+
+QUERIES["entity_resolution"] = q_entity_resolution
+
+
+def _er_oracle(hops: int = 4) -> str:
+    cte = """
+    WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ), b AS (
+        SELECT name, string_split(name, ' ')[-1] AS block,
+               length(name) AS l
+        FROM names
+    ), pairs AS (
+        SELECT a.name AS name_a, b2.name AS name_b
+        FROM b a JOIN b b2
+          ON a.block = b2.block AND a.name < b2.name
+         AND abs(a.l - b2.l) <= 4
+        WHERE levenshtein(a.name, b2.name) <= 4
+    ), edges AS (
+        SELECT name_a AS src, name_b AS dst FROM pairs
+        UNION ALL SELECT name_b AS src, name_a AS dst FROM pairs
+    ), l0 AS (
+        SELECT name, name AS canonical FROM names
+    )"""
+    prev = "l0"
+    for i in range(1, hops + 1):
+        cte += f""", m{i} AS (
+        SELECT e.dst AS name, min(l.canonical) AS nmin
+        FROM edges e JOIN {prev} l ON e.src = l.name
+        GROUP BY e.dst
+    ), l{i} AS (
+        SELECT l.name,
+               least(l.canonical, coalesce(m.nmin, l.canonical))
+                   AS canonical
+        FROM {prev} l LEFT JOIN m{i} m USING (name)
+    )"""
+        prev = f"l{i}"
+    return cte + f""", sizes AS (
+        SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM {prev} GROUP BY canonical
+    )
+    SELECT n.name, l.canonical, n.n_rows, s.cluster_size,
+           CAST(n.name = l.canonical AS INT) AS is_canonical
+    FROM names n JOIN {prev} l USING (name)
+    JOIN sizes s USING (canonical)
+"""
+
+
+ORACLE["entity_resolution"] = _er_oracle(4)
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12494,42 +12556,42 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# SIXTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# SEVENTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
 # audio_dedup_fingerprint, video_dedup_framehash,
-# graph_label_propagation, wordpiece_encode (each verified at
-# sf0.001 + sf0.01 + sf0.1 + all four structural gates). The CONCRETE
-# list below was assembled from the staleness ledger (max green round
-# per query, window-8 members counting as round 8) and PRE-VERIFIED
-# 50/50 at sf0.01 at the END of round 8 (40.0 s, after the final r8
-# addition wordpiece_encode) — next round: paste it as
+# graph_label_propagation, wordpiece_encode, entity_resolution (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates).
+# The CONCRETE list below was assembled from the staleness ledger (max
+# green round per query, window-8 members counting as round 8) and
+# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (85.9 s, after
+# the final r8 addition entity_resolution) — next round: paste it as
 # _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
 # the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
 #   image_dedup_ahash, audio_dedup_fingerprint,
-#   video_dedup_framehash, graph_label_propagation, wordpiece_encode
-#   (the 16 never-windowed, FIRST),
+#   video_dedup_framehash, graph_label_propagation, wordpiece_encode,
+#   entity_resolution (the 17 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 22 of the r3-only-green block:
+#   then the first 21 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
 #   quality_classifier, repetition_signals, scd_type2,
-#   split_train_test, stream_enrich
-#   (stream_stream_join, table_diff, token_count, window_session,
-#   window_sliding and window_tumbling — the 23rd-28th — plus the
-#   r4-only-green block [admission_gate, agg_skew_twophase,
-#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
-#   corpus_filter] slide to window 10).
+#   split_train_test
+#   (stream_enrich, stream_stream_join, table_diff, token_count,
+#   window_session, window_sliding and window_tumbling — the
+#   22nd-28th — plus the r4-only-green block [admission_gate,
+#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
+#   contamination_report, corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
