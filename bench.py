@@ -161,6 +161,8 @@ HEADLINE = [
     "graph_label_propagation",
     "wordpiece_encode",
     "entity_resolution",
+    "events_cohort_ltv",
+    "term_burstiness",
 ]
 
 

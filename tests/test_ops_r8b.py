@@ -466,3 +466,105 @@ def test_entity_resolution_hop_bound_caps_chains(spark):
     assert out[names[0]] == names[0]
     assert out[names[2]] == names[0]      # within 2 hops
     assert out[names[6]] != names[0]      # chain cap: entity bleed stopped
+
+
+def test_events_cohort_ltv_cumulative_math(spark):
+    import datetime as dt
+
+    from vector_database_app_spark.operators import textops  # noqa: F401
+    from vector_database_app_spark.registry import QUERIES  # noqa: F401
+    from vector_database_app_spark.sources.catalog import load_table  # noqa: F401
+
+    # two users in one cohort week, activity over three weeks
+    base = dt.datetime(2026, 3, 2)  # a Monday
+    rows = [
+        (1, base, 10.0),
+        (2, base + dt.timedelta(days=1), 20.0),
+        (1, base + dt.timedelta(days=7), 5.0),
+        (1, base + dt.timedelta(days=15), 2.5),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", v, "{}") for i, (u, ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_wk")
+    )
+    per = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk"), "value")
+        .join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_us"),
+            F.floor(F.datediff("wk", "cohort_wk") / 7)
+            .cast("bigint")
+            .alias("wk_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active_users"),
+            F.round(F.sum("value"), 2).alias("period_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_us")
+        .orderBy("wk_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = {
+        r.wk_offset: r
+        for r in per.select(
+            "*", F.round(F.sum("period_value").over(w), 2).alias("cum_value")
+        ).collect()
+    }
+    assert out[0].n_active_users == 2 and out[0].period_value == 30.0
+    assert out[1].n_active_users == 1 and out[1].period_value == 5.0
+    assert out[2].period_value == 2.5
+    assert out[0].cum_value == 30.0
+    assert out[1].cum_value == 35.0
+    assert out[2].cum_value == 37.5
+
+
+def test_term_burstiness_vmr_semantics(spark):
+    from vector_database_app_spark.operators import textops  # noqa: F401
+
+    # 'flat' appears once in each of 5 docs (VMR 0); 'bursty' appears 5x
+    # in one doc and 1x in four docs
+    docs = spark.createDataFrame(
+        [
+            (0, "flat bursty bursty bursty bursty bursty"),
+            (1, "flat bursty"),
+            (2, "flat bursty"),
+            (3, "flat bursty"),
+            (4, "flat bursty"),
+        ],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("c2"),
+        )
+        .collect()
+    )
+    stats = {r.term: r for r in agg}
+    f, b = stats["flat"], stats["bursty"]
+    # VMR = (n*Σc² − (Σc)²)/(n*Σc)
+    assert (f.df * f.c2 - f.tf * f.tf) == 0                  # uniform
+    vmr_b = (b.df * b.c2 - b.tf * b.tf) / (b.df * b.tf)
+    assert vmr_b > 1.0                                       # bursty

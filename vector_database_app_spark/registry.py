@@ -12273,6 +12273,155 @@ def _er_oracle(hops: int = 4) -> str:
 ORACLE["entity_resolution"] = _er_oracle(4)
 
 
+def q_events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: users bucketed by first-seen week
+    (events_retention's cohort), then per (cohort, week-offset) the
+    active-user count, the period's summed value, and the RUNNING
+    cumulative value — the LTV-by-cohort-age rollup next to the
+    retention matrix (retention counts heads; this prices them). The
+    running sum folds ALREADY-ROUNDED period values in week order
+    inside a cohort-partitioned window (never SinglePartition), the
+    window_running_sum determinism recipe.
+
+    Scale shape: the cohort and activity legs key on user_id (one
+    partitioning serves both), the rollup keys on (cohort, offset) —
+    a few hundred keys with map-side partials — and the window
+    partitions by cohort."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_wk")
+    )
+    per = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").alias("wk"),
+            "value",
+        )
+        .join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_us"),
+            F.floor(F.datediff("wk", "cohort_wk") / 7)
+            .cast("bigint")
+            .alias("wk_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id")
+            .cast("bigint")
+            .alias("n_active_users"),
+            F.round(F.sum("value"), 2).alias("period_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_us")
+        .orderBy("wk_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_us",
+        "wk_offset",
+        "n_active_users",
+        "period_value",
+        F.round(F.sum("period_value").over(w), 2).alias("cum_value"),
+    )
+
+
+QUERIES["events_cohort_ltv"] = q_events_cohort_ltv
+
+ORACLE["events_cohort_ltv"] = """
+    WITH cohort AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk
+        FROM events GROUP BY user_id
+    ), per AS (
+        SELECT CAST(epoch_us(c.cohort_wk) AS BIGINT) AS cohort_us,
+               CAST(floor(date_diff('day', c.cohort_wk,
+                                    date_trunc('week', e.ts)) / 7)
+                    AS BIGINT) AS wk_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT)
+                   AS n_active_users,
+               round(sum(e.value), 2) AS period_value
+        FROM events e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_us, wk_offset, n_active_users, period_value,
+           round(sum(period_value) OVER (
+               PARTITION BY cohort_us ORDER BY wk_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_value
+    FROM per
+"""
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Per-term burstiness over containing docs (Church & Gale 1995
+    class): for every term with df ≥ 5, the variance-to-mean ratio of
+    its per-doc counts — bursty terms (topical, VMR ≫ 1) vs uniform
+    function words (VMR ≈ 1), the corpus statistic that separates
+    content from glue next to zipf_fit's global shape. Integer-exact
+    core: VMR = (n·Σc² − (Σc)²)/(n·Σc) is three bigint aggregates and
+    ONE double division, rounded once — no float accumulation.
+
+    Scale shape: one (doc, term) hash agg with map-side partials, one
+    term-keyed re-agg; reducer state bounds by the vocabulary."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_c2"),
+        )
+        .where(F.col("df") >= 5)
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(F.col("tf").cast("double") / F.col("df"), 6).alias(
+                "mean_tf"
+            ),
+            F.round(
+                (
+                    F.col("df") * F.col("_c2") - F.col("tf") * F.col("tf")
+                ).cast("double")
+                / (F.col("df") * F.col("tf")).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+    )
+
+
+QUERIES["term_burstiness"] = q_term_burstiness
+
+ORACLE["term_burstiness"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY doc_id, term
+    ), agg AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS tf,
+               CAST(sum(c * c) AS BIGINT) AS c2
+        FROM tf GROUP BY term
+    )
+    SELECT term, df, tf,
+           round(CAST(tf AS DOUBLE) / df, 6) AS mean_tf,
+           round(CAST(df * c2 - tf * tf AS DOUBLE)
+                 / CAST(df * tf AS DOUBLE), 6) AS vmr
+    FROM agg WHERE df >= 5
+"""
+
+
 def q_events_seasonality(spark, sf_dir):
     """Hour-of-week activity profile: events and distinct users per
     (day-of-week, hour), each cell's per-mille share of total traffic,
@@ -12556,42 +12705,44 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# SEVENTEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# NINETEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
 # audio_dedup_fingerprint, video_dedup_framehash,
-# graph_label_propagation, wordpiece_encode, entity_resolution (each
-# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates).
-# The CONCRETE list below was assembled from the staleness ledger (max
-# green round per query, window-8 members counting as round 8) and
-# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (85.9 s, after
-# the final r8 addition entity_resolution) — next round: paste it as
-# _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and re-run
-# the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
+# graph_label_propagation, wordpiece_encode, entity_resolution,
+# events_cohort_ltv, term_burstiness (each verified at sf0.001 +
+# sf0.01 + sf0.1 + all four structural gates). The CONCRETE list
+# below was assembled from the staleness ledger (max green round per
+# query, window-8 members counting as round 8) and PRE-VERIFIED 50/50
+# at sf0.01 at the END of round 8 (59.1 s, after the final r8
+# additions events_cohort_ltv + term_burstiness) — next round: paste
+# it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and
+# re-run the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
 #   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
 #   image_dedup_ahash, audio_dedup_fingerprint,
 #   video_dedup_framehash, graph_label_propagation, wordpiece_encode,
-#   entity_resolution (the 17 never-windowed, FIRST),
+#   entity_resolution, events_cohort_ltv, term_burstiness
+#   (the 19 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 21 of the r3-only-green block:
+#   then the first 19 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
-#   quality_classifier, repetition_signals, scd_type2,
-#   split_train_test
-#   (stream_enrich, stream_stream_join, table_diff, token_count,
-#   window_session, window_sliding and window_tumbling — the
-#   22nd-28th — plus the r4-only-green block [admission_gate,
-#   agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
-#   contamination_report, corpus_filter] slide to window 10).
+#   quality_classifier, repetition_signals
+#   (scd_type2, split_train_test, stream_enrich, stream_stream_join,
+#   table_diff, token_count, window_session, window_sliding and
+#   window_tumbling — the 20th-28th — plus the r4-only-green block
+#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
+#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
+#   window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
