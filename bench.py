@@ -163,6 +163,7 @@ HEADLINE = [
     "entity_resolution",
     "events_cohort_ltv",
     "term_burstiness",
+    "events_survival",
 ]
 
 

@@ -568,3 +568,45 @@ def test_term_burstiness_vmr_semantics(spark):
     assert (f.df * f.c2 - f.tf * f.tf) == 0                  # uniform
     vmr_b = (b.df * b.c2 - b.tf * b.tf) / (b.df * b.tf)
     assert vmr_b > 1.0                                       # bursty
+
+
+def test_events_survival_product_limit_math(spark):
+    import datetime as dt
+
+    from vector_database_app_spark.registry import QUERIES
+    import pyspark.sql.functions as F  # noqa: F401
+
+    base = dt.datetime(2026, 3, 2)
+    horizon = base + dt.timedelta(days=40)
+    # users 1,2: one event -> duration 0, churned (last << horizon-14d)
+    # user 3: events 8 days apart -> duration 1, churned
+    # user 4: active until the horizon -> duration 1, CENSORED
+    rows = [
+        (1, base), (2, base),
+        (3, base), (3, base + dt.timedelta(days=8)),
+        (4, horizon - dt.timedelta(days=8)), (4, horizon),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    # reuse the registry query against a staged dir with just events
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        pass  # events_survival touches only events
+    out = {
+        r.duration_wk: r
+        for r in QUERIES["events_survival"](spark, d).collect()
+    }
+    s0, s1 = out[0], out[1]
+    assert s0.n_at_risk == 4 and s0.n_churned == 2 and s0.n_censored == 0
+    assert abs(s0.survival - 0.5) < 1e-6
+    assert s1.n_at_risk == 2 and s1.n_churned == 1 and s1.n_censored == 1
+    # S(1) = 0.5 * (1 - 1/2): the censored user joins the risk set but
+    # is never a death
+    assert abs(s1.survival - 0.25) < 1e-6

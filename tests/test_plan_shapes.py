@@ -28,6 +28,11 @@ SF = "/root/testdata/sf0.001"
 
 #: query -> why its global window input is bounded (and by what)
 BOUNDED_GLOBAL_WINDOWS = {
+    "events_survival": (
+        "one shared-frame global window over the <=|weeks|-row "
+        "Kaplan-Meier step aggregate (observation span bounds the "
+        "frame; registry q_events_survival)"
+    ),
     "quality_calibration": (
         "prefix windows over the <= n_buckets(64)-row bucket-totals "
         "aggregate (two-phase prefix pattern, textops.py)"

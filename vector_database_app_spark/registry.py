@@ -12273,6 +12273,147 @@ def _er_oracle(hops: int = 4) -> str:
 ORACLE["entity_resolution"] = _er_oracle(4)
 
 
+def q_events_survival(spark, sf_dir):
+    """Kaplan–Meier churn curve (product-limit estimator, Kaplan &
+    Meier 1958): per user the active span in weeks; a user is CHURNED
+    when their last event sits ≥14 days before the corpus horizon,
+    CENSORED otherwise (still active at observation end) — the
+    survival analysis standard next to retention (which has no
+    censoring concept). S(t) = Π_{i≤t}(1 − d_i/n_i) over the
+    ≤|weeks|-row step table.
+
+    Determinism: each factor's log is QUANTIZED (round(ln(·), 6) — the
+    zipf_fit JVM-vs-libm discipline) before the cumulative sum; all
+    three step quantities (risk set, log-sum, died-out flag) share ONE
+    window frame over the bounded step aggregate (BOUNDED_GLOBAL_WINDOWS
+    entry), so the plan carries a single tiny global Window node; a
+    step where everyone at risk churns drives survival to exact 0.0
+    through the flag, never through ln(0).
+
+    Scale shape: one user-keyed agg (map-side partials), one
+    duration-keyed re-agg to ≤|weeks| rows, two bounded single-row
+    cross joins (horizon + total), one bounded global window."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.groupBy().agg(F.max("ts").alias("_max_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("_f"), F.max("ts").alias("_l"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor(F.datediff("_l", "_f") / 7)
+            .cast("bigint")
+            .alias("duration_wk"),
+            F.when(
+                F.col("_l") < F.col("_max_ts") - F.expr("INTERVAL 14 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("_churned"),
+        )
+    )
+    total = per_user.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    steps = (
+        per_user.groupBy("duration_wk")
+        .agg(
+            F.sum("_churned").cast("bigint").alias("n_churned"),
+            F.sum(1 - F.col("_churned")).cast("bigint").alias("n_censored"),
+            F.count(F.lit(1)).cast("bigint").alias("_n_end"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy("duration_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = steps.select(
+        "duration_wk",
+        "n_churned",
+        "n_censored",
+        (
+            F.col("_total") - (F.sum("_n_end").over(w) - F.col("_n_end"))
+        ).alias("n_at_risk"),
+        "_n_end",
+        "_total",
+    ).select(
+        "duration_wk",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.when(
+            F.col("n_churned") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_lnf"),
+        F.when(F.col("n_churned") >= F.col("n_at_risk"), 1)
+        .otherwise(0)
+        .alias("_dead"),
+    )
+    return cum.select(
+        "duration_wk",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.when(F.max("_dead").over(w) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("_lnf").over(w)), 6))
+        .alias("survival"),
+    )
+
+
+QUERIES["events_survival"] = q_events_survival
+
+ORACLE["events_survival"] = """
+    WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+    per_user AS (
+        SELECT CAST(floor(date_diff('day', CAST(min(ts) AS DATE),
+                                    CAST(max(ts) AS DATE)) / 7)
+                    AS BIGINT) AS duration_wk,
+               CASE WHEN max(ts) < (SELECT max_ts FROM horizon)
+                                   - INTERVAL 14 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY user_id
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM per_user),
+    steps AS (
+        SELECT duration_wk,
+               CAST(sum(churned) AS BIGINT) AS n_churned,
+               CAST(sum(1 - churned) AS BIGINT) AS n_censored,
+               CAST(count(*) AS BIGINT) AS n_end
+        FROM per_user GROUP BY duration_wk
+    ), cum AS (
+        SELECT duration_wk, n_churned, n_censored,
+               (SELECT t FROM total)
+                 - (sum(n_end) OVER w - n_end) AS n_at_risk,
+               n_end
+        FROM steps
+        WINDOW w AS (ORDER BY duration_wk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), terms AS (
+        SELECT duration_wk, n_at_risk, n_churned, n_censored,
+               CASE WHEN n_churned < n_at_risk
+                    THEN round(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE)), 6)
+                    ELSE 0.0 END AS lnf,
+               CASE WHEN n_churned >= n_at_risk THEN 1 ELSE 0 END AS dead
+        FROM cum
+    )
+    SELECT duration_wk, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_churned, n_censored,
+           CASE WHEN max(dead) OVER w = 1 THEN 0.0
+                ELSE round(exp(sum(lnf) OVER w), 6) END AS survival
+    FROM terms
+    WINDOW w AS (ORDER BY duration_wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_cohort_ltv(spark, sf_dir):
     """Cohort lifetime-value curve: users bucketed by first-seen week
     (events_retention's cohort), then per (cohort, week-offset) the
@@ -12705,18 +12846,18 @@ _DRIVER_WINDOW_R8 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
 # above, the never-windowed oracle-backed remainder is exactly the
-# NINETEEN mid/late-r8 additions — shuffle_corpus, length_buckets,
+# TWENTY mid/late-r8 additions — shuffle_corpus, length_buckets,
 # epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
 # zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
 # dedup_span_clean, events_seasonality, image_dedup_ahash,
 # audio_dedup_fingerprint, video_dedup_framehash,
 # graph_label_propagation, wordpiece_encode, entity_resolution,
-# events_cohort_ltv, term_burstiness (each verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates). The CONCRETE list
-# below was assembled from the staleness ledger (max green round per
-# query, window-8 members counting as round 8) and PRE-VERIFIED 50/50
-# at sf0.01 at the END of round 8 (59.1 s, after the final r8
-# additions events_cohort_ltv + term_burstiness) — next round: paste
+# events_cohort_ltv, term_burstiness, events_survival (each verified
+# at sf0.001 + sf0.01 + sf0.1 + all four structural gates). The
+# CONCRETE list below was assembled from the staleness ledger (max
+# green round per query, window-8 members counting as round 8) and
+# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (after the final
+# r8 addition events_survival; timing in PERF.md) — next round: paste
 # it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and
 # re-run the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
@@ -12724,25 +12865,25 @@ _DRIVER_WINDOW_R8 = [
 #   bloom_decontaminate, dedup_span_clean, events_seasonality,
 #   image_dedup_ahash, audio_dedup_fingerprint,
 #   video_dedup_framehash, graph_label_propagation, wordpiece_encode,
-#   entity_resolution, events_cohort_ltv, term_burstiness
-#   (the 19 never-windowed, FIRST),
+#   entity_resolution, events_cohort_ltv, term_burstiness,
+#   events_survival (the 20 never-windowed, FIRST),
 #   then the stalest r2-only-green 12: set_except, set_intersect,
 #   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
 #   window_lead, window_range_rolling, window_rank,
 #   window_running_sum, with_literal,
-#   then the first 19 of the r3-only-green block:
+#   then the first 18 of the r3-only-green block:
 #   ann_index_incremental, anomaly_outliers, curriculum_order,
 #   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
 #   events_rolling_active, gopher_quality, lang_id,
 #   lang_id_confusion, lm_bigram_score, lm_unigram_score,
 #   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
-#   quality_classifier, repetition_signals
-#   (scd_type2, split_train_test, stream_enrich, stream_stream_join,
-#   table_diff, token_count, window_session, window_sliding and
-#   window_tumbling — the 20th-28th — plus the r4-only-green block
-#   [admission_gate, agg_skew_twophase, ann_probe_sweep,
-#   boilerplate_ngrams, contamination_report, corpus_filter] slide to
-#   window 10).
+#   quality_classifier
+#   (repetition_signals, scd_type2, split_train_test, stream_enrich,
+#   stream_stream_join, table_diff, token_count, window_session,
+#   window_sliding and window_tumbling — the 19th-28th — plus the
+#   r4-only-green block [admission_gate, agg_skew_twophase,
+#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
+#   corpus_filter] slide to window 10).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
     "rows-only queries with known driver-canonicalizer hazards must "
