@@ -12856,8 +12856,8 @@ _DRIVER_WINDOW_R8 = [
 # at sf0.001 + sf0.01 + sf0.1 + all four structural gates). The
 # CONCRETE list below was assembled from the staleness ledger (max
 # green round per query, window-8 members counting as round 8) and
-# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (after the final
-# r8 addition events_survival; timing in PERF.md) — next round: paste
+# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (51.5 s, after the final r8
+# addition events_survival) — next round: paste
 # it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and
 # re-run the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
 #   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
