@@ -12765,76 +12765,76 @@ _DRIVER_WINDOW_R6 = [
     "hybrid_search",
 ]
 
-# ROUND-8 WINDOW: round 7 banked its 50 green (CORRECTNESS_r07.json,
-# 50/50). The never-windowed oracle-backed remainder is exactly ONE
-# query — ann_ivfpq_trained_pinned (mid-r7; verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates, and independently by the
-# r7 judge's sf0.01 run) — it goes FIRST. Banking it makes every
-# oracle-backed query in the engine driver-verified (cumulative
-# distinct 231/231 — the verification ledger fully closed). The
-# remaining 49 slots re-confirm by staleness (max green round per
-# query): the window-5-era never-re-confirmed 18, the r1-only-green
-# scalar-function block 9, and the stalest r2-only-green relational
-# block 22. This exact list was PRE-VERIFIED 50/50 at sf0.01 at the
-# end of round 7 (by the builder AND the judge) and re-verified with
-# the sf0.01 mirror (SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest
-# tests/test_oracle.py) before shipping round 8.
+# ROUND-9 WINDOW: round 8 banked its 50 green (CORRECTNESS_r08.json,
+# 50/50), closing the r7 ledger at 231/231. The never-windowed
+# oracle-backed remainder is exactly the TWENTY mid/late-r8 additions
+# — they go FIRST; banking them makes every value-oracled query
+# (251/251) driver-verified again. The remaining 30 slots re-confirm
+# by staleness (max green round per query, window-8 members counting
+# as round 8): the stalest r2-only-green block (12) and the first 18
+# of the r3-only-green block. This exact list was PRE-VERIFIED 50/50
+# at sf0.01 at the END of round 8 (51.5 s, by the builder) and
+# independently by the r8 judge (50/50), and re-verified with the
+# sf0.01 mirror (SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest
+# tests/test_oracle.py) before shipping round 9.
 
-_DRIVER_WINDOW_R8 = [
-    # the 1 never-windowed oracle-backed query — close the ledger
-    "ann_ivfpq_trained_pinned",
-    # backfill: window-5-era never-re-confirmed (18)
-    "window_ntile",
-    "agg_grouping_sets",
-    "join_right",
-    "join_salted",
-    "chunk_sliding",
-    "token_histogram",
-    "profile_table",
-    "profile_embeddings",
-    "dsir_select",
-    "vocab_profile",
-    "l_diversity",
-    "bpe_pair_counts",
-    "ngram_containment",
-    "embedding_outliers",
-    "events_markov",
-    "graph_triangles",
-    "decontaminate_semantic",
-    "events_pivot",
-    # backfill: r1-only-green scalar-function block (9)
-    "array_funcs",
-    "chunk_fixed",
-    "cond_funcs",
-    "date_funcs",
-    "json_funcs",
-    "map_funcs",
-    "math_funcs",
-    "regex_funcs",
-    "string_funcs",
-    # backfill: stalest r2-only-green relational block (22)
-    "agg_corr",
-    "agg_cube",
-    "agg_distinct",
-    "agg_group",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "filter_contains",
-    "filter_eq",
-    "filter_neq",
-    "join_asof",
-    "join_cross",
-    "join_full",
-    "join_inner",
-    "join_interval",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "order_limit",
-    "pivot_wide",
-    "project_cols",
-    "scan_parquet",
+_DRIVER_WINDOW_R9 = [
+    # the 20 never-windowed oracle-backed r8 additions — close the
+    # ledger again (each verified at sf0.001 + sf0.01 + sf0.1 + the
+    # four structural gates; pre-verified 50/50 at sf0.01 at the end
+    # of round 8 by the builder AND independently by the r8 judge)
+    "shuffle_corpus",
+    "length_buckets",
+    "epoch_allocation",
+    "vocab_coverage",
+    "duplicate_spans",
+    "mlm_masking",
+    "zipf_fit",
+    "fuzzy_join_blocked",
+    "bloom_decontaminate",
+    "dedup_span_clean",
+    "events_seasonality",
+    "image_dedup_ahash",
+    "audio_dedup_fingerprint",
+    "video_dedup_framehash",
+    "graph_label_propagation",
+    "wordpiece_encode",
+    "entity_resolution",
+    "events_cohort_ltv",
+    "term_burstiness",
+    "events_survival",
+    # backfill: stalest r2-only-green block (12)
+    "set_except",
+    "set_intersect",
+    "topk_per_group",
+    "union_all",
+    "unpivot_long",
+    "window_cume",
+    "window_lag",
+    "window_lead",
+    "window_range_rolling",
+    "window_rank",
+    "window_running_sum",
+    "with_literal",
+    # backfill: first 18 of the r3-only-green block
+    "ann_index_incremental",
+    "anomaly_outliers",
+    "curriculum_order",
+    "decontaminate",
+    "doc_simhash_md5",
+    "doc_winnow",
+    "dq_expectations",
+    "events_rolling_active",
+    "gopher_quality",
+    "lang_id",
+    "lang_id_confusion",
+    "lm_bigram_score",
+    "lm_unigram_score",
+    "merge_upsert",
+    "pack_sequences",
+    "perplexity_buckets",
+    "pii_scrub",
+    "quality_classifier",
 ]
 
 # Ledger hygiene (judge r4, "What's wrong" #3): dedup_minhash,
@@ -12844,62 +12844,34 @@ _DRIVER_WINDOW_R8 = [
 # list-typed embedding column). They are rows-only BY DESIGN — their
 # value-checkable md5 twins (dedup_minhash_md5, doc_simhash_md5) are
 # driver-green — and must stay out of oracle windows permanently.
-# _DRIVER_WINDOW_R9 (round-9 planning): after this round banks the 50
-# above, the never-windowed oracle-backed remainder is exactly the
-# TWENTY mid/late-r8 additions — shuffle_corpus, length_buckets,
-# epoch_allocation, vocab_coverage, duplicate_spans, mlm_masking,
-# zipf_fit, fuzzy_join_blocked, bloom_decontaminate,
-# dedup_span_clean, events_seasonality, image_dedup_ahash,
-# audio_dedup_fingerprint, video_dedup_framehash,
-# graph_label_propagation, wordpiece_encode, entity_resolution,
-# events_cohort_ltv, term_burstiness, events_survival (each verified
-# at sf0.001 + sf0.01 + sf0.1 + all four structural gates). The
-# CONCRETE list below was assembled from the staleness ledger (max
-# green round per query, window-8 members counting as round 8) and
-# PRE-VERIFIED 50/50 at sf0.01 at the END of round 8 (51.5 s, after the final r8
-# addition events_survival) — next round: paste
-# it as _DRIVER_WINDOW_R9, swap the asserts/reorder block to it, and
-# re-run the sf0.01 mirror before shipping (rounds 6/7/8 discipline):
-#   shuffle_corpus, length_buckets, epoch_allocation, vocab_coverage,
-#   duplicate_spans, mlm_masking, zipf_fit, fuzzy_join_blocked,
-#   bloom_decontaminate, dedup_span_clean, events_seasonality,
-#   image_dedup_ahash, audio_dedup_fingerprint,
-#   video_dedup_framehash, graph_label_propagation, wordpiece_encode,
-#   entity_resolution, events_cohort_ltv, term_burstiness,
-#   events_survival (the 20 never-windowed, FIRST),
-#   then the stalest r2-only-green 12: set_except, set_intersect,
-#   topk_per_group, union_all, unpivot_long, window_cume, window_lag,
-#   window_lead, window_range_rolling, window_rank,
-#   window_running_sum, with_literal,
-#   then the first 18 of the r3-only-green block:
-#   ann_index_incremental, anomaly_outliers, curriculum_order,
-#   decontaminate, doc_simhash_md5, doc_winnow, dq_expectations,
-#   events_rolling_active, gopher_quality, lang_id,
-#   lang_id_confusion, lm_bigram_score, lm_unigram_score,
-#   merge_upsert, pack_sequences, perplexity_buckets, pii_scrub,
-#   quality_classifier
-#   (repetition_signals, scd_type2, split_train_test, stream_enrich,
-#   stream_stream_join, table_diff, token_count, window_session,
-#   window_sliding and window_tumbling — the 19th-28th — plus the
-#   r4-only-green block [admission_gate, agg_skew_twophase,
-#   ann_probe_sweep, boilerplate_ngrams, contamination_report,
-#   corpus_filter] slide to window 10).
+# _DRIVER_WINDOW_R10 (round-10 planning): after this round banks the
+# 50 above, the staleness ledger's front is the displaced tail of the
+# r3-only-green block (10): repetition_signals, scd_type2,
+# split_train_test, stream_enrich, stream_stream_join, table_diff,
+# token_count, window_session, window_sliding, window_tumbling;
+# then the r4-only-green block (6): admission_gate,
+# agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
+# contamination_report, corpus_filter; then any round-9 additions
+# (never-windowed, which by rotation discipline go FIRST instead),
+# then continue by staleness into the r4/r5-green blocks. Assemble
+# the concrete 50 at round-9 close, pre-verify with the sf0.01
+# mirror, and record the verified list here (rounds 6-9 discipline).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
-assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R8), (
+assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R9), (
     "rows-only queries with known driver-canonicalizer hazards must "
     "never enter the oracle window"
 )
 
-assert len(_DRIVER_WINDOW_R8) == 50, len(_DRIVER_WINDOW_R8)
-assert len(set(_DRIVER_WINDOW_R8)) == 50, "duplicate window entries"
-_missing = [n for n in _DRIVER_WINDOW_R8 if n not in QUERIES]
+assert len(_DRIVER_WINDOW_R9) == 50, len(_DRIVER_WINDOW_R9)
+assert len(set(_DRIVER_WINDOW_R9)) == 50, "duplicate window entries"
+_missing = [n for n in _DRIVER_WINDOW_R9 if n not in QUERIES]
 assert not _missing, f"window names absent from QUERIES: {_missing}"
-_no_oracle = [n for n in _DRIVER_WINDOW_R8 if n not in ORACLE]
+_no_oracle = [n for n in _DRIVER_WINDOW_R9 if n not in ORACLE]
 assert not _no_oracle, f"window names lack oracle SQL: {_no_oracle}"
 
 # Rebuild QUERIES in place (same dict object; __spark_entry__ snapshots
 # it per call, so insertion order here IS the driver's sweep order).
-_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R8}
+_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R9}
 _rest = {n: f for n, f in QUERIES.items() if n not in _front}
 QUERIES.clear()
 QUERIES.update(_front)
