@@ -188,6 +188,50 @@ def test_dedup_span_clean_cuts_exactly_the_spans(spark):
     assert rows[1].removed_permille == (1000 * 9) // 13
 
 
+def test_zipf_fit_excludes_degenerate_single_term_sources(spark):
+    """r8-advice regression: a source whose vocabulary has ONE term
+    makes the OLS denominator exactly 0 (Spark NULL vs DuckDB
+    version-dependent NULL/Inf) — such sources are excluded, not
+    emitted with engine-dependent values."""
+    docs = spark.createDataFrame(
+        [
+            (0, "only only only only", "mono"),
+            (1, "a b a c a b d e", "multi"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = textops.zipf_fit(docs, top_r=200).collect()
+    assert [r.source for r in rows] == ["multi"]
+    assert rows[0].slope is not None and math.isfinite(rows[0].slope)
+
+
+def test_dedup_span_clean_multi_space_alignment(spark):
+    """r8-advice regression: duplicate_spans used the UNFILTERED
+    split(text,' ') position space while remove_duplicate_spans cut a
+    FILTERED word array — consecutive/leading/trailing spaces shifted
+    the indices and the wrong words were cut. Both now share the
+    empty-token-filtered word space."""
+    base = " ".join(f"w{i}" for i in range(10))
+    # doc 1: leading spaces + a double space inside the prefix — under
+    # the old unfiltered position space these shifted every span index
+    copy = "  x0  x1 " + " ".join(f"w{i}" for i in range(9)) + " y0 y1"
+    docs = spark.createDataFrame(
+        [(0, base), (1, copy)], "doc_id long, text string"
+    )
+    spans = {
+        r.doc_id: r for r in textops.duplicate_spans(docs, n=8).collect()
+    }
+    # filtered word space: x0 x1 w0..w8 y0 y1 -> span covers words 2..10
+    assert (spans[1].span_start, spans[1].span_end) == (2, 10)
+    rows = {
+        r.doc_id: r
+        for r in textops.remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert rows[0].n_removed == 0
+    assert rows[1].n_words == 13 and rows[1].n_removed == 9
+    assert rows[1].cleaned == "x0 x1 y0 y1"
+
+
 def test_events_seasonality_buckets_and_shares(spark):
     from vector_database_app_spark.registry import QUERIES
 

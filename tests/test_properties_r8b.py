@@ -54,9 +54,7 @@ def test_wordpiece_step_sql_matches_python_reference(ws):
     the CTEs in DuckDB over arbitrary words and comparing with a
     pure-Python reference."""
     max_steps = 16
-    pos_sql, cnt_sql, unk_sql = wordpiece_step_sqls(
-        _PIECES, max(len(p) for p in _PIECES)
-    )
+    pos_sql, cnt_sql, unk_sql = wordpiece_step_sqls(_PIECES)
     vals = ", ".join("('" + w + "')" for w in ws)
     sql = f"""
     WITH s0 AS (

@@ -741,14 +741,23 @@ def audio_fingerprint(
     n_segments: int = 64,
 ) -> DataFrame:
     """Energy-envelope audio fingerprint over REAL-decoded WAV
-    payloads: split the clip into `n_segments` equal windows, RMS per
-    window, bit i = window i's RMS above the clip median — one signed
-    bigint per clip (the banded-hamming-ready shape of the landmark
-    fingerprints in Wang 2003's Shazam paper, reduced to the energy
-    envelope: level shifts and small edits move few bits, different
-    clips ~n_segments/2). Arrow-batched mapInPandas; the hash is a
-    pure function of the payload, so the fixture table pins as
-    literals (media_oracle_literals contract)."""
+    payloads: split the clip into `n_segments` equal windows, INTEGER
+    energy (sum of squared samples) per window, bit i = window i's
+    energy above the clip's median energy — one signed bigint per clip
+    (the banded-hamming-ready shape of the landmark fingerprints in
+    Wang 2003's Shazam paper, reduced to the energy envelope: level
+    shifts and small edits move few bits, different clips
+    ~n_segments/2). INTEGER arithmetic end to end, like _ahash_int:
+    equal window lengths make the energy ordering identical to the RMS
+    ordering, and the median threshold compares ``2·e_i > e_lo + e_hi``
+    on the two middle order statistics in exact int — so the hash can
+    never flip on a float-rounding tie at the median boundary (the
+    hazard class the aHash integer fix closed; r8 advice). Still
+    exactly invariant under a uniform gain: scaling every sample by g
+    scales every energy by g², preserving the strict inequality.
+    Arrow-batched mapInPandas; the hash is a pure function of the
+    payload, so the fixture table pins as literals
+    (media_oracle_literals contract)."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -759,14 +768,16 @@ def audio_fingerprint(
             hashes = []
             for payload in pdf[payload_col]:
                 sam, _rate, _ch = media.wav_decode(bytes(payload))
-                x = sam.astype(np.float64)
+                x = sam.astype(np.int64)
                 n = (x.size // n_segments) * n_segments
                 segs = x[:n].reshape(n_segments, -1)
-                rms = np.sqrt((segs * segs).mean(axis=1))
-                bits = rms > np.median(rms)
+                energy = [int(v) for v in (segs * segs).sum(axis=1)]
+                srt = sorted(energy)
+                lo = srt[(n_segments - 1) // 2]
+                hi = srt[n_segments // 2]
                 h = 0
-                for ix, bit in enumerate(bits):
-                    if bit:
+                for ix, e in enumerate(energy):
+                    if 2 * e > lo + hi:
                         h |= 1 << ix
                 if h >= 1 << 63:
                     h -= 1 << 64
@@ -925,7 +936,14 @@ def video_framehash(
             ids, ixs, hs = [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                assert b[:4] == _VID_MAGIC, "not a VID0 container"
+                if b[:4] != _VID_MAGIC:
+                    # never assert here: under python -O the check
+                    # would vanish and a corrupt payload silently
+                    # misparses; a ValueError names the offending doc
+                    raise ValueError(
+                        f"doc_id={int(i)}: payload is not a VID0 "
+                        f"container (magic={b[:4]!r})"
+                    )
                 (nf,) = _struct.unpack(">I", b[4:8])
                 off = 8
                 for f in range(nf):

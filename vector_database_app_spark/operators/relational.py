@@ -449,7 +449,16 @@ def entity_resolution(
     Scale shape: fuzzy_join_blocked's shapes (name-universe agg, block
     equi-join) plus `hops` rounds of one edge⋈labels join + one
     min-agg each — all over the NAME UNIVERSE, which is value-domain
-    bounded, never row-count bounded."""
+    bounded, never row-count bounded.
+
+    Persist lifecycle: `names` and `edges` are persist()ed (lazy
+    marks, zero jobs at build — each is consumed by every hop round)
+    and PINNED onto the result via caching.pin, so callers release
+    the cached blocks with caching.release(result) after their action
+    (the corpus_release_manifest / quality_calibration discipline;
+    bench.py does this per timed query). No other collect/persist in
+    this constructor."""
+    from .. import caching
     pairs = fuzzy_join_blocked(
         df, name_col=name_col, max_dist=max_dist, len_band=len_band
     )
@@ -496,7 +505,7 @@ def entity_resolution(
     sizes = labels.groupBy("canonical").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
-    return (
+    out = (
         names.join(labels, "name")
         .join(sizes, "canonical")
         .select(
@@ -509,3 +518,4 @@ def entity_resolution(
             .alias("is_canonical"),
         )
     )
+    return caching.pin(out, names, edges)

@@ -2494,10 +2494,16 @@ def duplicate_spans(
     over only the DUPLICATED positions (never a global window; bounded
     by words-per-doc). At 100 TB the owner agg should key on
     xxhash64(passage) like passage_dedup's note; the oracle form keys
-    on the string so the whole trajectory replays in SQL."""
+    on the string so the whole trajectory replays in SQL.
+
+    Tokenization: empty tokens from consecutive/leading/trailing
+    spaces are FILTERED before windowing, so positions live in the
+    same word space remove_duplicate_spans cuts in (r8 advice: the
+    unfiltered position space shifted the cut for multi-spaced
+    docs)."""
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     occ = (
         df.where(F.size(words) >= n)
         .select(
@@ -2678,6 +2684,11 @@ def zipf_fit(
     sxy = _fold(F.transform("rf", lambda e: qlog(e["rank"]) * qlog(e["freq"])))
     nf = F.col("n_fit_terms").cast("double")
     denom = nf * sxx - sx * sx
+    # n_fit_terms=1 makes denom exactly 0: Spark returns NULL for the
+    # division while DuckDB's double division is version-dependent
+    # (NULL or Inf), so degenerate sources are excluded outright —
+    # a one-term "fit" carries no slope information anyway (r8 advice).
+    arr = arr.where(F.col("n_fit_terms") >= 2)
     out = arr.join(tot, "source").select(
         "source",
         "n_terms",

@@ -327,9 +327,7 @@ def bpe_encode_counts(
     )
 
 
-def wordpiece_step_sqls(
-    pieces: list[str], max_piece_len: int
-) -> tuple[str, str, str]:
+def wordpiece_step_sqls(pieces: list[str]) -> tuple[str, str, str]:
     """One WordPiece matching step as three generated-SQL column texts
     (new pos / cnt / unk over state columns ``w, w_len, pos, cnt,
     unk``) — shared VERBATIM by the Spark selectExpr chain and the
@@ -398,8 +396,7 @@ def wordpiece_encode_counts(
             )
         ).alias("w"),
     )
-    max_len = max(len(p) for p in pieces)
-    pos_sql, cnt_sql, unk_sql = wordpiece_step_sqls(pieces, max_len)
+    pos_sql, cnt_sql, unk_sql = wordpiece_step_sqls(pieces)
     state = (
         toks.select("w")
         .distinct()

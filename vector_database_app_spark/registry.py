@@ -11711,9 +11711,13 @@ QUERIES["duplicate_spans"] = q_duplicate_spans
 ORACLE["duplicate_spans"] = """
     -- replay of textops.duplicate_spans: sliding 8-word windows,
     -- earliest-doc ownership (dedup_passage's), duplicated positions
-    -- merged gaps-and-islands into inclusive 0-based word spans
+    -- merged gaps-and-islands into inclusive 0-based word spans;
+    -- empty tokens filtered so positions share the word space
+    -- remove_duplicate_spans cuts in
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
     ), p AS (
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                array_to_string(ws[i:i+7], ' ') AS passage
@@ -11837,6 +11841,7 @@ ORACLE["zipf_fit"] = """
                  / (CAST(s.n_fit_terms AS DOUBLE) * sxx - sx * sx), 6)
                AS intercept
     FROM sums s JOIN tot t ON s.source = t.source
+    WHERE s.n_fit_terms >= 2
 """
 
 
@@ -11950,9 +11955,13 @@ QUERIES["dedup_span_clean"] = q_dedup_span_clean
 ORACLE["dedup_span_clean"] = """
     -- duplicate_spans replay + the cut: DuckDB list lambdas index from
     -- 1 (hence i - 1); array_to_string of an empty list is NULL in
-    -- DuckDB where Spark's array_join is '' — coalesce to ''
+    -- DuckDB where Spark's array_join is '' — coalesce to ''.
+    -- Empty tokens filtered up front: ONE word space for both the
+    -- span computation and the cut (r8 advice fix)
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
     ), p AS (
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                array_to_string(ws[i:i+7], ' ') AS passage
@@ -11975,7 +11984,7 @@ ORACLE["dedup_span_clean"] = """
         SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
         FROM spans GROUP BY doc_id
     ), j AS (
-        SELECT w.doc_id, list_filter(w.ws, x -> x <> '') AS ws,
+        SELECT w.doc_id, w.ws AS ws,
                coalesce(sp.sps, []) AS sps
         FROM w LEFT JOIN sp USING (doc_id)
     ), cut AS (
@@ -12171,9 +12180,7 @@ def _wordpiece_oracle(max_steps: int = 16) -> str:
     from .operators import unigram as _ug
 
     pieces = [p["piece"] for p in _ug.PINNED_PIECES]
-    pos_sql, cnt_sql, unk_sql = tokenize.wordpiece_step_sqls(
-        pieces, max(len(p) for p in pieces)
-    )
+    pos_sql, cnt_sql, unk_sql = tokenize.wordpiece_step_sqls(pieces)
     cte = """
     WITH toks AS (
         SELECT doc_id,
