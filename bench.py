@@ -172,6 +172,9 @@ HEADLINE = [
     "events_cohort_ltv",
     "term_burstiness",
     "events_survival",
+    # round 9: the capped similarity join (judge r8 task 7), priced
+    # from day one
+    "dedup_similarity_capped",
 ]
 
 

@@ -222,3 +222,29 @@ def test_similarity_join_cap_logs_drops_and_keeps_values(spark, caplog):
     assert set(capped) <= set(exact)   # recall-only change
     for pair, j in capped.items():
         assert j == exact[pair]        # values never change
+
+
+def test_similarity_join_cap_lazy_stats_matches_eager(spark):
+    """The registry's zero-job capped form (eager_drop_stats=False)
+    applies the IDENTICAL hot-shingle anti-join cut — same pairs, same
+    jaccard values — it only skips the construct-time stats pull/log
+    (r9: dedup_similarity_capped registry query)."""
+    from vector_database_app_spark.operators.dedup import similarity_join
+
+    corpus = _dup_heavy_corpus(spark)
+    eager = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in similarity_join(
+            corpus, threshold=0.5, max_df_per_shingle=3
+        ).collect()
+    }
+    lazy = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in similarity_join(
+            corpus,
+            threshold=0.5,
+            max_df_per_shingle=3,
+            eager_drop_stats=False,
+        ).collect()
+    }
+    assert lazy == eager

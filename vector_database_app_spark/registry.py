@@ -12628,6 +12628,70 @@ ORACLE["events_seasonality"] = """
 """
 
 
+def q_dedup_similarity_capped(spark, sf_dir):
+    """`dedup_similarity_join` with the `max_df_per_shingle` scale cap
+    COMPOSED and value-verified (judge r8 task 7): shingles shared by
+    more than 4 docs are excluded from candidate generation (bounding
+    per-shingle fan-out at df² — the one measured scale hazard of the
+    exact form, PERF.md r7 sweep), while the exact verify always reads
+    the FULL shingle stream. The DuckDB oracle replays the identical
+    hot-shingle exclusion, pinning at query level that the cap changes
+    RECALL only — a surviving pair's jaccard is bit-identical to the
+    uncapped form's. `prefix_filter=False` ISOLATES the cap: the
+    PPJoin prefix guarantee is relative to FULL shingle sets, so
+    composing it with the cap prunes on capped-set prefixes and can
+    drop further pairs (observed at sf0.1: 60 vs 61 — see the operator
+    docstring); one recall mechanism at a time keeps the oracle an
+    exact replay. Uses `eager_drop_stats=False` (zero jobs at
+    construction, the registry laziness gate); the eager logged-drop
+    form is pinned by tests/test_dedup_extensions.py."""
+    return dedup.similarity_join(
+        _docs_parallel(spark, sf_dir),
+        threshold=0.5,
+        prefix_filter=False,
+        max_df_per_shingle=4,
+        eager_drop_stats=False,
+    )
+
+
+QUERIES["dedup_similarity_capped"] = q_dedup_similarity_capped
+
+ORACLE["dedup_similarity_capped"] = f"""
+    -- capped replay: df per shingle over the DISTINCT per-doc shingle
+    -- stream, shingles with df > 4 excluded from candidate generation
+    -- (anti join), exact jaccard verified on the FULL shingle sets
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents)
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), hot AS (
+        SELECT shingle FROM (
+            SELECT shingle, count(*) AS df FROM ex GROUP BY shingle
+        ) WHERE df > 4
+    ), cold AS (
+        SELECT e.doc_id, e.shingle FROM ex e
+        ANTI JOIN hot h ON e.shingle = h.shingle
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM cold a JOIN cold b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.s, sb.s))
+                     / len(list_distinct(list_concat(sa.s, sb.s))), 6)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    ) WHERE jaccard >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
