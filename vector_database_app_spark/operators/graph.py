@@ -223,7 +223,12 @@ def label_propagation(
     # the algorithm, when they need a cheaper demonstration (the
     # registry query filters to a deterministic order-key slice, the
     # dedup_clusters_sampled precedent). Same in-operator persist
-    # pattern as search/pq/corpus_pipeline.
+    # pattern as search/pq/corpus_pipeline; both persists are PINNED
+    # onto the result (caching.pin) so callers release the cached
+    # blocks with caching.release(result) after their action (r9 —
+    # the entity_resolution release-handle discipline).
+    from .. import caching
+
     edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -258,4 +263,4 @@ def label_propagation(
                 F.coalesce(picked["label"], nodes["node"]).alias("label"),
             )
         )
-    return labels
+    return caching.pin(labels, edges, nodes)

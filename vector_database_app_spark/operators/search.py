@@ -939,7 +939,8 @@ def mmr_rerank(
         )
         .persist()
     )
-    short = short.drop(vec_col)
+    short_cached = short  # the persisted plan (drop() below derives a
+    short = short.drop(vec_col)  # new frame; unpersist needs this one)
 
     dec = f"decimal(18,{sim_scale})"
     lam_lit = F.expr(f"CAST({lam!r} AS DECIMAL(10,6))")
@@ -999,7 +1000,12 @@ def mmr_rerank(
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
-    return out
+    # every persisted frame here is ≤ |queries|·shortlist rows, but a
+    # long-lived session looping MMR queries still accumulates them —
+    # pin release handles onto the result (caching.pin discipline, r9)
+    from .. import caching
+
+    return caching.pin(out, short_cached, pair, *picks)
 
 
 def pca_train(
