@@ -175,6 +175,14 @@ HEADLINE = [
     # round 9: the capped similarity join (judge r8 task 7), priced
     # from day one
     "dedup_similarity_capped",
+    # round 9: corpus-health fits, weighted sampling, changepoints,
+    # split-leakage audit, k-core — priced from day one
+    "syllable_profile",
+    "sample_gumbel_topk",
+    "heaps_law",
+    "events_changepoint",
+    "split_leakage",
+    "graph_kcore",
 ]
 
 

@@ -264,3 +264,63 @@ def label_propagation(
             )
         )
     return caching.pin(labels, edges, nodes)
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983 cores; the classic
+    iterative algorithm bounded to `rounds` peels — the bounded-hop
+    discipline of entity_resolution/BFS): each round drops every node
+    whose degree in the SURVIVING subgraph is < `k`, then recomputes
+    degrees. After r rounds the survivor set is a superset of the true
+    k-core that equals it whenever peeling converges within r rounds —
+    the bound is a documented semantic, not a shortcut (full
+    convergence needs a data-dependent iteration count; production
+    systems cap it). Degree counts both directions of an edge
+    (undirected view); self-loops count once.
+
+    Scale shape: per round one (node) hash agg over the surviving
+    edge list + two semi-joins to drop edges touching peeled nodes —
+    all keyed shuffles, plan LINEAR in rounds, no driver loop, no
+    jobs at construction. Replays as unrolled SQL CTEs. Output: every
+    original node with its final surviving degree and an in_core
+    flag."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.where(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("a"), F.col(src).alias("b")
+            )
+        )
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    surv = sym
+    for _ in range(rounds):
+        deg = surv.groupBy("a").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        keep = deg.where(F.col("deg") >= k).select(F.col("a").alias("node"))
+        surv = (
+            surv.join(keep.select(F.col("node").alias("a")), "a", "semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "semi")
+        )
+    final_deg = surv.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    return nodes.join(
+        final_deg.select(F.col("a").alias("node"), "core_degree"),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce("core_degree", F.lit(0)).cast("bigint").alias(
+            "core_degree"
+        ),
+        (F.col("core_degree").isNotNull()).cast("int").alias("in_core"),
+    )

@@ -2923,3 +2923,240 @@ def remove_duplicate_spans(
         .alias("removed_permille"),
         "cleaned",
     )
+
+
+def syllable_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Lexical-complexity profile per source via vowel-group syllable
+    approximation — the Flesch/Dale-Chall readability family's core
+    signal, reduced to what a punctuation-free corpus supports (the
+    engine's documents table carries no sentence boundaries, so the
+    sentence-rate term is out of scope by design): syllables(word) ≈
+    number of maximal ``[aeiou]+`` runs, the standard cheap
+    approximation (Flesch 1948 operationalizations count vowel groups).
+    Output per source, integers end to end: word/syllable totals,
+    per-mille mean syllables-per-word, per-mille share of complex
+    words (>= 3 vowel groups — the Gunning-fog 'hard word' cutoff) and
+    of monosyllables.
+
+    Scale shape: one explode + one (source) hash agg with map-side
+    partials; the per-word syllable count is a built-in
+    regexp_extract_all inside codegen (no UDF). DuckDB replays
+    ``len(regexp_extract_all(...))`` identically."""
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    ).alias("w")
+    per_word = df.select(F.col(source_col).alias("source"), words).select(
+        "source",
+        F.size(F.expr("regexp_extract_all(w, '[aeiou]+', 0)"))
+        .cast("bigint")
+        .alias("syl"),
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("syl").cast("bigint").alias("n_syllables"),
+            F.sum(F.when(F.col("syl") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_complex"),
+            F.sum(F.when(F.col("syl") <= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mono"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_syllables",
+            "n_complex",
+            "n_mono",
+            F.expr("(1000 * n_syllables) DIV n_words")
+            .cast("bigint")
+            .alias("syl_per_word_permille"),
+            F.expr("(1000 * n_complex) DIV n_words")
+            .cast("bigint")
+            .alias("complex_permille"),
+            F.expr("(1000 * n_mono) DIV n_words")
+            .cast("bigint")
+            .alias("mono_permille"),
+        )
+    )
+
+
+def sample_gumbel_topk(
+    df: DataFrame,
+    *,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    source — the Efraimidis-Spirakis (2006) exponential-keys scheme
+    (the weighted generalization of reservoir sampling; equivalently
+    the Gumbel-top-k trick): each row draws key = ln(u)/w with
+    u uniform and w its weight, and the k LARGEST keys are the sample
+    — inclusion probabilities match sequential weighted draws without
+    replacement. The uniform is the md5-position hash (the
+    mlm_masking/minhash recipe), NOT an RNG, so the sample is a pure
+    function of (id, weight) — reproducible across engines, runs and
+    partitionings, and replayable in DuckDB.
+
+    Float discipline (the zipf_fit rules): u's log is QUANTIZED —
+    round(ln(h+1), 6) − round(ln(2**40), 6) — before the single
+    division by the integer weight; identical doubles divide
+    identically in both engines, and the key is rounded once more for
+    the output column. Zero-weight rows are excluded (they cannot be
+    sampled under the scheme).
+
+    Scale shape: one row-local projection + one (source)-partitioned
+    row_number window over rows pre-pruned to candidates — never
+    SinglePartition. The window partitions by source, whose row count
+    scales with the corpus; at 100 TB pre-aggregate with a per-
+    partition top-k (the topk_per_group two-phase trick) before the
+    final window — the one-window form keeps the oracle replay
+    one-to-one."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 23, 10), 16, 10
+    ).cast("bigint")
+    log_u = F.round(F.log((h + 1).cast("double")), 6) - F.round(
+        F.log(F.lit(float(2**40))), 6
+    )
+    scored = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            F.round(log_u / F.col(weight_col).cast("double"), 6).alias(
+                "gumbel_key"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("gumbel_key"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(
+            id_col,
+            "source",
+            "weight",
+            "gumbel_key",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    *,
+    checkpoints: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096,
+                                    8192, 16384, 32768, 65536),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: distinct-vocabulary
+    size V(n) vs cumulative token count n at FIXED doc-id checkpoints,
+    OLS of ln V on ln n — V(n) ≈ K·n^β with β ≈ 0.4-0.6 for natural
+    language (Heaps 1978; Baeza-Yates & Ribeiro-Neto 1999 §6) — the
+    growth-side complement of zipf_fit's rank-frequency audit:
+    template/machine-generated feeds saturate vocabulary early (β
+    collapses), and a β shift between sources flags a generator change.
+
+    Scale shape — deliberately WINDOW-FREE (contrast the naive
+    cumulative-distinct form, which needs an sf-scaling window):
+    vocabulary growth is recovered from each term's FIRST-occurrence
+    doc id (one (source, term) min-agg), then each checkpoint's V and
+    n are hash aggs over a broadcast of <= len(checkpoints) literal
+    rows. The fit folds <= len(checkpoints) quantized-log points per
+    source in checkpoint order (the zipf_fit IEEE discipline: each
+    ln quantized to 6 dp, sorted-array fold, closed-form slope/
+    intercept rounded once). Checkpoints with zero vocabulary drop
+    out; sources need >= 2 surviving points (the zipf_fit degenerate-
+    denominator rule)."""
+    cps = F.array(*[F.lit(int(c)) for c in checkpoints])
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_d"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    first_occ = toks.groupBy("source", "term").agg(
+        F.min("_d").alias("first_d")
+    )
+    # V(c): terms first seen at or before each checkpoint
+    v_pts = (
+        first_occ.select("source", "first_d", F.explode(cps).alias("cp"))
+        .where(F.col("first_d") <= F.col("cp"))
+        .groupBy("source", "cp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    # n(c): tokens in docs at or before each checkpoint
+    doc_tok = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_d"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("_nt"),
+    )
+    n_pts = (
+        doc_tok.select("source", "_d", "_nt", F.explode(cps).alias("cp"))
+        .where(F.col("_d") <= F.col("cp"))
+        .groupBy("source", "cp")
+        .agg(F.sum("_nt").cast("bigint").alias("tokens"))
+    )
+    # checkpoints with no docs between them duplicate (tokens, vocab):
+    # collapse to ONE point per distinct token count (min cp as the
+    # representative) so the OLS never sees repeated x — with >= 2
+    # distinct x values the denominator is strictly positive
+    pts = (
+        v_pts.join(n_pts, ["source", "cp"])
+        .where((F.col("vocab") > 0) & (F.col("tokens") > 0))
+        .groupBy("source", "tokens", "vocab")
+        .agg(F.min("cp").alias("cp"))
+    )
+    qlog = lambda c: F.round(F.log(c.cast("double")), 6)  # noqa: E731
+    arr = pts.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cp"),
+                    qlog(F.col("tokens")).alias("x"),
+                    qlog(F.col("vocab")).alias("y"),
+                )
+            )
+        ).alias("xy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fit_points"),
+        F.max("vocab").cast("bigint").alias("vocab_final"),
+        F.max("tokens").cast("bigint").alias("tokens_final"),
+    ).where(F.col("n_fit_points") >= 2)
+
+    def _fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+
+    sx = _fold(F.transform("xy", lambda e: e["x"]))
+    sy = _fold(F.transform("xy", lambda e: e["y"]))
+    sxx = _fold(F.transform("xy", lambda e: e["x"] * e["x"]))
+    sxy = _fold(F.transform("xy", lambda e: e["x"] * e["y"]))
+    nf = F.col("n_fit_points").cast("double")
+    denom = nf * sxx - sx * sx
+    return arr.select(
+        "source",
+        "n_fit_points",
+        "vocab_final",
+        "tokens_final",
+        F.round((nf * sxy - sx * sy) / denom, 6).alias("beta"),
+        F.round((sy * sxx - sx * sxy) / denom, 6).alias("log_k"),
+    )

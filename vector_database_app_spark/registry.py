@@ -12692,6 +12692,392 @@ ORACLE["dedup_similarity_capped"] = f"""
 """
 
 
+def q_syllable_profile(spark, sf_dir):
+    """Lexical-complexity profile (textops.syllable_profile): vowel-
+    group syllable approximation per word — the Flesch/Gunning-fog
+    readability family's core signal reduced to a punctuation-free
+    corpus (no sentence term by design). One explode + one source agg,
+    regexp_extract_all inside codegen; integers end to end."""
+    return textops.syllable_profile(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["syllable_profile"] = q_syllable_profile
+
+ORACLE["syllable_profile"] = """
+    WITH w AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ), s AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(w, '[aeiou]+')) AS BIGINT)
+                   AS syl
+        FROM w
+    ), g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(syl) AS BIGINT) AS n_syllables,
+               CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_complex,
+               CAST(sum(CASE WHEN syl <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mono
+        FROM s GROUP BY source
+    )
+    SELECT source, n_words, n_syllables, n_complex, n_mono,
+           CAST((1000 * n_syllables) // n_words AS BIGINT)
+               AS syl_per_word_permille,
+           CAST((1000 * n_complex) // n_words AS BIGINT)
+               AS complex_permille,
+           CAST((1000 * n_mono) // n_words AS BIGINT) AS mono_permille
+    FROM g
+"""
+
+
+def q_sample_gumbel_topk(spark, sf_dir):
+    """Deterministic weighted sampling without replacement, 100 per
+    source (textops.sample_gumbel_topk): Efraimidis-Spirakis
+    exponential keys with the md5-position hash in place of an RNG —
+    the quality-weighted data-selection primitive (weight = n_chars
+    here; a real pipeline plugs any positive score). Quantized-log
+    float discipline; ties break on doc_id."""
+    return textops.sample_gumbel_topk(
+        _t(spark, sf_dir, "documents"), k=100
+    )
+
+
+QUERIES["sample_gumbel_topk"] = q_sample_gumbel_topk
+
+ORACLE["sample_gumbel_topk"] = """
+    -- Efraimidis-Spirakis replay: u from the md5-position hash
+    -- (10 hex chars = 40 bits), key = (qln(h+1) - qln(2^40)) / w,
+    -- each log quantized to 6 dp before the division (zipf_fit rules)
+    WITH s AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               round((round(ln(CAST(('0x' || substr(
+                          md5(CAST(doc_id AS VARCHAR)), 23, 10))::BIGINT
+                          + 1 AS DOUBLE)), 6)
+                      - round(ln(1099511627776.0), 6))
+                     / CAST(n_chars AS DOUBLE), 6) AS gumbel_key
+        FROM documents WHERE n_chars > 0
+    ), r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY gumbel_key DESC, doc_id ASC) AS rk
+        FROM s
+    )
+    SELECT doc_id, source, weight, gumbel_key,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 100
+"""
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit per source (textops.heaps_law):
+    V(n) ≈ K·n^β recovered WINDOW-FREE from term first-occurrence doc
+    ids at fixed doc-id checkpoints — the growth-side complement of
+    zipf_fit (template feeds collapse β). Quantized-log OLS, sorted
+    fold, >= 2 distinct points per source."""
+    return textops.heaps_law(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["heaps_law"] = q_heaps_law
+
+ORACLE["heaps_law"] = """
+    WITH cps(cp) AS (VALUES (64),(128),(256),(512),(1024),(2048),
+                            (4096),(8192),(16384),(32768),(65536)),
+    toks AS (
+        SELECT source, doc_id AS d,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), fo AS (
+        SELECT source, term, min(d) AS first_d
+        FROM toks GROUP BY source, term
+    ), v AS (
+        SELECT source, cp, CAST(count(*) AS BIGINT) AS vocab
+        FROM fo, cps WHERE first_d <= cp GROUP BY source, cp
+    ), dt AS (
+        SELECT source, doc_id AS d,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS nt
+        FROM documents
+    ), n AS (
+        SELECT source, cp, CAST(sum(nt) AS BIGINT) AS tokens
+        FROM dt, cps WHERE d <= cp GROUP BY source, cp
+    ), pts AS (
+        SELECT source, tokens, vocab, min(cp) AS cp
+        FROM v JOIN n USING (source, cp)
+        WHERE vocab > 0 AND tokens > 0
+        GROUP BY source, tokens, vocab
+    ), arr AS (
+        SELECT source,
+               list(round(ln(CAST(tokens AS DOUBLE)), 6)
+                    ORDER BY cp) AS xs,
+               list(round(ln(CAST(vocab AS DOUBLE)), 6)
+                    ORDER BY cp) AS ys,
+               list(round(ln(CAST(tokens AS DOUBLE)), 6)
+                    * round(ln(CAST(tokens AS DOUBLE)), 6)
+                    ORDER BY cp) AS xxs,
+               list(round(ln(CAST(tokens AS DOUBLE)), 6)
+                    * round(ln(CAST(vocab AS DOUBLE)), 6)
+                    ORDER BY cp) AS xys,
+               CAST(count(*) AS BIGINT) AS n_fit_points,
+               CAST(max(vocab) AS BIGINT) AS vocab_final,
+               CAST(max(tokens) AS BIGINT) AS tokens_final
+        FROM pts GROUP BY source HAVING count(*) >= 2
+    ), sums AS (
+        SELECT source, n_fit_points, vocab_final, tokens_final,
+               list_reduce(xs, (a, b) -> a + b) AS sx,
+               list_reduce(ys, (a, b) -> a + b) AS sy,
+               list_reduce(xxs, (a, b) -> a + b) AS sxx,
+               list_reduce(xys, (a, b) -> a + b) AS sxy
+        FROM arr
+    )
+    SELECT source, n_fit_points, vocab_final, tokens_final,
+           round((CAST(n_fit_points AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_fit_points AS DOUBLE) * sxx - sx * sx), 6)
+               AS beta,
+           round((sy * sxx - sx * sxy)
+                 / (CAST(n_fit_points AS DOUBLE) * sxx - sx * sx), 6)
+               AS log_k
+    FROM sums
+"""
+
+
+def q_events_changepoint(spark, sf_dir):
+    """CUSUM-style changepoint table over daily event counts (Page
+    1954's cumulative-sum chart, the two-sided no-reset form): per
+    (event_type, day), the INTEGER-scaled deviation of the cumulative
+    count from the uniform-rate line — dev_scaled(t) = n_days·cum(t)
+    − t·total, exactly 0 under a constant rate, peaking at the
+    changepoint (all integer: no mean division, engine-exact). One
+    day-bucket hash agg + one event_type-partitioned cumulative
+    window (rows per partition bounded by calendar days)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_days"),
+    )
+    return (
+        daily.withColumn(
+            "cum_events",
+            F.sum("n_events").over(w).cast("bigint"),
+        )
+        .withColumn("day_ix", F.row_number().over(w).cast("bigint"))
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "cum_events",
+            "day_ix",
+            (
+                F.col("_n_days") * F.col("cum_events")
+                - F.col("day_ix") * F.col("_total")
+            )
+            .cast("bigint")
+            .alias("dev_scaled"),
+        )
+    )
+
+
+QUERIES["events_changepoint"] = q_events_changepoint
+
+ORACLE["events_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, day, n_events,
+               CAST(sum(n_events) OVER (PARTITION BY event_type
+                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) AS BIGINT) AS cum_events,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS day_ix
+        FROM daily
+    ), t AS (
+        SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT c.event_type, c.day, c.n_events, c.cum_events, c.day_ix,
+           CAST(t.n_days * c.cum_events - c.day_ix * t.total AS BIGINT)
+               AS dev_scaled
+    FROM c JOIN t ON c.event_type = t.event_type
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate leakage audit: the exact similarity
+    pair set (dedup.similarity_join, threshold 0.5) joined against the
+    deterministic train/val/test assignment (split_train_test's Knuth
+    hash), keeping pairs whose endpoints landed in DIFFERENT splits —
+    the train→test contamination a random split of a near-dup-laden
+    corpus always produces (the reason dedup precedes splitting; Lee
+    et al. 2022 §6 measure the effect on eval loss). Output per
+    ordered split pair: leaked-pair count, exact-dup count (J = 1)
+    and max jaccard. Composes two value-oracled primitives; adds one
+    broadcast-sized join + one 9-key hash agg. Runs on the
+    deterministic 20% subcorpus (doc_id % 5 = 0) because the ORACLE
+    side is the deliberately-naive all-pairs jaccard, quadratic in
+    DuckDB — the dedup_similarity_join_sampled precedent; the Spark
+    side scales to the full corpus unchanged."""
+    docs = _docs_parallel(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    pairs = dedup.similarity_join(docs, threshold=0.5, prefix_filter=True)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(
+        4294967296
+    ) % 10
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaked_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+QUERIES["split_leakage"] = q_split_leakage
+
+ORACLE["split_leakage"] = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct({_SQL_SHINGLES3.format(ws="ws", t="text")}) AS s
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents WHERE doc_id % 5 = 0)
+    ), pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), sp AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(sum(CASE WHEN jaccard >= 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dups,
+           max(jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+"""
+
+
+def q_graph_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling (graph.kcore, Seidman 1983) over
+    the supplier↔customer trade-graph slice (the LPA/BFS edges):
+    3 peel rounds at k=3 — the cohesion-core primitive next to
+    triangles (local cohesion) and label propagation (communities).
+    Each round one degree agg + two semi-joins; unrolled lazy plan;
+    replays as unrolled SQL CTEs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey").cast("long") + 100000).alias("dst"),
+        )
+        .distinct()
+    )
+    from .operators import graph as G
+
+    return G.kcore(edges, k=3, rounds=3)
+
+
+QUERIES["graph_kcore"] = q_graph_kcore
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    head = """
+    WITH e AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(o_custkey AS BIGINT) + 100000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 4 = 0
+    ), e0 AS (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL
+        SELECT dst, src FROM e WHERE src <> dst
+    ), nodes AS (SELECT DISTINCT a AS node FROM e0)"""
+    body = ""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        body += f""",
+    d{r} AS (SELECT a, count(*) AS deg FROM {prev} GROUP BY a),
+    k{r} AS (SELECT a FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+        SELECT p.a, p.b FROM {prev} p
+        WHERE p.a IN (SELECT a FROM k{r})
+          AND p.b IN (SELECT a FROM k{r})
+    )"""
+        prev = f"e{r}"
+    tail = f""",
+    fd AS (SELECT a, CAST(count(*) AS BIGINT) AS core_degree
+           FROM {prev} GROUP BY a)
+    SELECT node,
+           CAST(coalesce(core_degree, 0) AS BIGINT) AS core_degree,
+           CAST(CASE WHEN fd.a IS NULL THEN 0 ELSE 1 END AS INT)
+               AS in_core
+    FROM nodes LEFT JOIN fd ON nodes.node = fd.a"""
+    return head + body + tail
+
+
+ORACLE["graph_kcore"] = _kcore_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
