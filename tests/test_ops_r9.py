@@ -172,3 +172,37 @@ def test_split_leakage_flags_cross_split_dups(spark):
     assert len(leaked) == 1
     assert leaked[0].jaccard == 1.0
     assert {leaked[0].split_a, leaked[0].split_b} == {"train", "test"}
+
+
+def test_graph_kcore_matches_python_reference_on_random_graph(spark):
+    """Spark bounded peel == the pure-Python reference on a pseudo-
+    random multigraph (deterministic congruential edges), for two
+    (k, rounds) settings."""
+    edges = [((i * 7919) % 23, (i * 104729) % 23) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def ref(k, rounds):
+        sym = []
+        for a, b in edges:
+            sym.append((a, b))
+            if a != b:
+                sym.append((b, a))
+        nodes = {a for a, _ in sym}
+        surv = list(sym)
+        for _ in range(rounds):
+            deg = {}
+            for a, _ in surv:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            surv = [(a, b) for a, b in surv if a in keep and b in keep]
+        deg = {}
+        for a, _ in surv:
+            deg[a] = deg.get(a, 0) + 1
+        return {n: (deg.get(n, 0), 1 if n in deg else 0) for n in nodes}
+
+    for k, rounds in ((3, 2), (5, 3)):
+        got = {
+            r.node: (r.core_degree, r.in_core)
+            for r in graph.kcore(df, k=k, rounds=rounds).collect()
+        }
+        assert got == ref(k, rounds)
