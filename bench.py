@@ -183,6 +183,7 @@ HEADLINE = [
     "events_changepoint",
     "split_leakage",
     "graph_kcore",
+    "events_robust_zscore",
 ]
 
 

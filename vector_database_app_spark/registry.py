@@ -13078,6 +13078,89 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
 ORACLE["graph_kcore"] = _kcore_oracle()
 
 
+def q_events_robust_zscore(spark, sf_dir):
+    """Robust outlier profile per event type: median / MAD (median
+    absolute deviation) in place of mean / std — the Hampel-identifier
+    discipline (Hampel 1974; Leys et al. 2013's 3-MAD rule), immune to
+    the very outliers it hunts, where events_anomaly's EWMA band is
+    not. Exact interpolated percentiles (the agg_percentile parity:
+    Spark `percentile` == DuckDB `quantile_cont`), every float rounded
+    to 4 dp at the agg boundary, and the 3-MAD cut compared on
+    FLOOR-SCALED INTEGERS (floor(x·10⁴) both sides — CAST(double AS
+    BIGINT) rounds in DuckDB but truncates in Spark, so the flag never
+    rides a cast-semantics difference). Two hash aggs + one join back;
+    the documented agg_percentile 100 TB caveat applies (exact
+    percentile buffers per group — swap approx_percentile at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 4).alias("dev"),
+    )
+    return (
+        dev.groupBy("event_type", "med")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.percentile("dev", F.lit(0.5)), 4).alias("mad"),
+        )
+        .join(dev, ["event_type", "med"])
+        .groupBy("event_type", "med", "n_events", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("dev") * 10000).cast("bigint")
+                    > F.lit(3) * F.floor(F.col("mad") * 10000).cast("bigint"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            "mad",
+            "n_outliers",
+            F.expr("(1000 * n_outliers) DIV n_events")
+            .cast("bigint")
+            .alias("outlier_permille"),
+        )
+    )
+
+
+QUERIES["events_robust_zscore"] = q_events_robust_zscore
+
+ORACLE["events_robust_zscore"] = """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, m.med,
+               round(abs(e.value - m.med), 4) AS dev
+        FROM events e JOIN med m USING (event_type)
+    ), agg AS (
+        SELECT event_type, med,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(quantile_cont(dev, 0.5), 4) AS mad
+        FROM dev GROUP BY event_type, med
+    )
+    SELECT a.event_type, a.n_events, a.med, a.mad,
+           CAST(sum(CASE WHEN CAST(floor(d.dev * 10000) AS BIGINT)
+                              > 3 * CAST(floor(a.mad * 10000) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST((1000 * sum(CASE WHEN CAST(floor(d.dev * 10000) AS BIGINT)
+                              > 3 * CAST(floor(a.mad * 10000) AS BIGINT)
+                         THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+               AS outlier_permille
+    FROM agg a JOIN dev d ON a.event_type = d.event_type
+    GROUP BY a.event_type, a.n_events, a.med, a.mad
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
