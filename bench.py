@@ -184,6 +184,7 @@ HEADLINE = [
     "split_leakage",
     "graph_kcore",
     "events_robust_zscore",
+    "ann_ivfpq_residual_pinned",
 ]
 
 

@@ -157,3 +157,65 @@ def test_ivfpq_with_cover_all_shortlist_equals_ivf_exact(spark, sf_dir):
     }
     assert got == want
     assert len(got) == 15
+
+
+def test_residual_encode_zero_residual_scores_like_origin(spark, codebooks):
+    """A vector that IS its cell centroid has residual 0 — its codes
+    must equal the codes of the all-zero vector under the same
+    codebooks (the residual-identity sanity of IVFADC encode)."""
+    cents = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") < 4
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    ).persist()
+    corpus = cents.select(
+        F.col("centroid_id").alias("vec_id"),
+        F.col("centroid").alias("embedding"),
+    )
+    got = {
+        r.vec_id: r.codes
+        for r in pq.pq_encode_residual(
+            corpus, cents, codebooks, dim=DIM
+        ).collect()
+    }
+    zero = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    zero_codes = pq.pq_encode(zero, codebooks, dim=DIM).collect()[0].codes
+    # every corpus vector assigns to itself (cosine 1.0 beats any other
+    # cell; ties broken by centroid_id can only pick an identical twin,
+    # whose residual is also 0) -> all codes equal the zero-vector codes
+    assert all(codes == zero_codes for codes in got.values())
+    cents.unpersist()
+
+
+def test_ivfpq_residual_rerank_recall(emb, codebooks, queries):
+    """Residual IVFADC with a generous shortlist + exact re-rank tracks
+    brute force within the probe budget's ceiling — and the ADC stage
+    (q·c + residual lookups) must beat chance on its own."""
+    from vector_database_app_spark.registry import _ivf_centroids
+
+    K = 10
+    centroids = _ivf_centroids(emb)
+    assigned = pq.pq_encode_residual(emb, centroids, codebooks, dim=DIM)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in search.knn_batch(emb, queries, k=K)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    adc_only = pq.ivfpq_residual_search(
+        assigned, centroids, codebooks, queries,
+        k=K, n_probe=4, m=M, dim=DIM,
+    )
+    refined = pq.ivfpq_residual_search(
+        assigned, centroids, codebooks, queries,
+        k=K, n_probe=4, m=M, dim=DIM, shortlist=100, refine_with=emb,
+    )
+    r_adc = _recall(adc_only, truth)
+    r_ref = _recall(refined, truth)
+    assert r_adc > 0.3
+    assert r_ref >= r_adc
+    assert r_ref >= 0.7  # 4/8-ish probed cells bound recall, not ADC
+    assert refined.columns == ["query_id", "vec_id", "sim", "adc_score", "rk"]

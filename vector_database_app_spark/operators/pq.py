@@ -510,3 +510,202 @@ def ivfpq_search(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "sim", "adc_score", "rk")
     )
+
+
+def pq_encode_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    *,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RESIDUAL product quantization — the actual IVFADC encode of
+    Jégou et al. 2011 §V (ivfpq_search's direct-vector form is the
+    'no-residual' simplification FAISS calls IndexIVFPQ with
+    by_residual=False): assign each vector to its coarse cell, then
+    PQ-encode the RESIDUAL r = x − c(x) instead of x. Residuals
+    concentrate near the origin, so the same codebook budget spends
+    its resolution on the within-cell displacement — the reason
+    production IVFADC defaults to residual encoding.
+
+    Plan shape: one broadcast centroid join for assignment (ivf_assign),
+    one more broadcast join to attach the winning centroid's vector, a
+    row-local zip_with subtraction, then pq_encode's literal-codebook
+    argmin — the corpus never shuffles. Output (id, centroid_id,
+    codes), the stored form a residual deployment writes at index-build
+    time."""
+    from . import search as _search
+
+    assign = _search.ivf_assign(
+        corpus, centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "centroid_id")
+    with_cent = (
+        corpus.select(id_col, vec_col)
+        .join(assign, id_col)
+        .join(
+            F.broadcast(
+                centroids.select(
+                    "centroid_id", F.col("centroid").alias("_cvec")
+                )
+            ),
+            "centroid_id",
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_cvec").cast("array<double>"),
+                lambda x, y: x - y,
+            ).alias("_res"),
+        )
+    )
+    return pq_encode(
+        with_cent,
+        codebooks,
+        dim=dim,
+        vec_col="_res",
+        id_col=id_col,
+        keep_cols=["centroid_id"],
+    )
+
+
+def ivfpq_residual_search(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    shortlist: int | None = None,
+    refine_with: DataFrame | None = None,
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """IVF-PQ search over RESIDUAL codes (pq_encode_residual) — the
+    full IVFADC of Jégou et al. 2011 §V: q·x ≈ q·c + q·r, so the ADC
+    score per candidate is the query-centroid dot of the candidate's
+    OWN cell plus the residual-codebook table lookups. Each term is a
+    6-dp-rounded double summed in DECIMAL(18,6), so the score is exact
+    given its inputs, independent of accumulation order and engine —
+    the pinned value-oracle contract of ivfpq_search extended by one
+    additive term.
+
+    Probe selection stays rounded-cosine (ivf_assign's metric, so a
+    vector's cell is always among its nearest queries' probes); the
+    ADC q·c term is the RAW dot — under the corpus's L2-normalized
+    embeddings (F12 invariant) dot(q, x) IS the cosine being
+    approximated, and normalizing by |c| would mis-weight the
+    centroid term. Scale accounting matches ivfpq_search: the float
+    column is touched only by the shortlist re-rank."""
+    sub = dim // m
+
+    def _dot6(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            _ADC_SCALE,
+        )
+
+    q_cent = queries.crossJoin(
+        F.broadcast(centroids.select("centroid_id", "centroid"))
+    ).select(
+        query_id_col,
+        "centroid_id",
+        cosine_rounded(
+            F.col(query_vec_col), F.col("centroid"), sim_scale
+        ).alias("qcsim"),
+        _dot6(
+            F.col(query_vec_col).cast("array<double>"),
+            F.col("centroid").cast("array<double>"),
+        ).alias("qc_dot"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcsim"), F.asc("centroid_id")
+    )
+    probes = (
+        q_cent.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= n_probe)
+        .select(query_id_col, "centroid_id", "qc_dot")
+    )
+
+    table = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(
+            F.col(query_id_col),
+            "subspace",
+            "code",
+            _dot6(
+                F.slice(
+                    F.col(query_vec_col).cast("array<double>"),
+                    F.col("subspace") * sub + 1,
+                    sub,
+                ),
+                F.col("centroid"),
+            ).alias("partial"),
+        )
+    )
+    cand = assigned_codes.join(F.broadcast(probes), "centroid_id")
+    exploded = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("qc_dot"),
+        F.posexplode_outer("codes").alias("subspace", "code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(table), [query_id_col, "subspace", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("partial").cast("decimal(18,6)"))
+                    + F.first("qc_dot").cast("decimal(18,6)")
+                ).cast("double"),
+                _ADC_SCALE,
+            ).alias("adc_score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    if refine_with is None:
+        return (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id_col, id_col, "adc_score", "rk")
+        )
+    short = shortlist or max(5 * k, 50)
+    cand_top = adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= short
+    )
+    rescored = (
+        cand_top.select(query_id_col, id_col, "adc_score")
+        .join(refine_with.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .withColumn(
+            "sim",
+            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "sim", "adc_score", "rk")
+    )

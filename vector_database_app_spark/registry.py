@@ -13161,6 +13161,170 @@ ORACLE["events_robust_zscore"] = """
 """
 
 
+def q_ann_ivfpq_residual_pinned(spark, sf_dir):
+    """RESIDUAL IVF-PQ (the true IVFADC of Jégou et al. 2011 §V —
+    FAISS by_residual=True) under the value gate: codes quantize
+    r = x − c(x) instead of x, and the ADC score adds the exact
+    query·centroid dot of the candidate's own cell to the residual
+    table lookups (q·x ≈ q·c + q·r). Stand-in centroids (ann_ivf's
+    first-per-label recipe) + the FROZEN codebooks reused as residual
+    codebooks; every stage replays in DuckDB — the residual
+    subtraction is an elementwise zip, the code argmin and ADC terms
+    are the pinned-PQ decimal discipline, the q·c term one more
+    6-dp-rounded decimal addend (operators/pq.pq_encode_residual,
+    ivfpq_residual_search)."""
+    from .operators import pq as PQ  # noqa: PLC0415
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(emb)
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, cent)
+            for s, rows in sorted(PINNED_PQ_CODEBOOKS.items())
+            for c, cent in rows
+        ],
+        _PQ_SCHEMA,
+    )
+    assigned_codes = PQ.pq_encode_residual(
+        emb, centroids, PINNED_PQ_CODEBOOKS
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.ivfpq_residual_search(
+        assigned_codes,
+        centroids,
+        codebooks,
+        queries,
+        k=5,
+        n_probe=2,
+        m=8,
+        shortlist=50,
+        refine_with=emb,
+    )
+
+
+QUERIES["ann_ivfpq_residual_pinned"] = q_ann_ivfpq_residual_pinned
+
+
+def _ivfpq_residual_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import PINNED_PQ_CODEBOOKS  # noqa: PLC0415
+
+    sub = 8
+    rows = []
+    for s, entries in sorted(PINNED_PQ_CODEBOOKS.items()):
+        for code, cent in entries:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            nh = repr(sum(v * v for v in cent) / 2.0)
+            rows.append(f"({s}, {code}, {lit}, {nh})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH cb(subspace, code, centroid, nh) AS (VALUES
+        {values}
+    ), cents AS (
+        SELECT label AS centroid_id, embedding AS centroid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn = 1
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_SQL_COS.format(a="e.embedding", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS rk
+            FROM embeddings e, cents c
+        ) WHERE rk = 1
+    ), enc_scored AS (
+        SELECT e.vec_id, a.centroid_id, b.subspace, b.code,
+               round(list_dot_product(
+                   list_transform(list_zip(
+                       (e.embedding::DOUBLE[])
+                           [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                       (ct.centroid::DOUBLE[])
+                           [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}]
+                   ), t -> t[1] - t[2]),
+                   b.centroid) - b.nh, 6) AS score
+        FROM embeddings e
+        JOIN assign a USING (vec_id)
+        JOIN cents ct ON ct.centroid_id = a.centroid_id, cb b
+    ), codes AS (
+        SELECT vec_id, centroid_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY score DESC, code ASC
+            ) AS rk
+            FROM enc_scored
+        ) WHERE rk = 1
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 3
+    ), probes AS (
+        SELECT query_id, centroid_id, qc_dot FROM (
+            SELECT q.query_id, c.centroid_id,
+                   round(list_dot_product(q.qe::DOUBLE[],
+                                          c.centroid::DOUBLE[]), 6)
+                       AS qc_dot,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_SQL_COS.format(a="q.qe", b="c.centroid")} DESC,
+                                c.centroid_id ASC
+                   ) AS prk
+            FROM qp q, cents c
+        ) WHERE prk <= 2
+    ), cand AS (
+        SELECT p.query_id, a.vec_id, p.qc_dot
+        FROM assign a JOIN probes p USING (centroid_id)
+    ), adc_table AS (
+        SELECT q.query_id, b.subspace, b.code,
+               CAST(round(list_dot_product(
+                   (q.qe::DOUBLE[])
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid), 6) AS DECIMAL(18,6)) AS partial
+        FROM qp q, cb b
+    ), adc AS (
+        SELECT n.query_id, n.vec_id,
+               round(CAST(sum(t.partial)
+                          + CAST(n.qc_dot AS DECIMAL(18,6)) AS DOUBLE),
+                     6) AS adc_score
+        FROM cand n
+        JOIN codes c USING (vec_id)
+        JOIN adc_table t
+          ON t.query_id = n.query_id
+         AND t.subspace = c.subspace AND t.code = c.code
+        GROUP BY n.query_id, n.vec_id, n.qc_dot
+    ), short AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, vec_id ASC
+            ) AS crk
+            FROM adc
+        ) WHERE crk <= 50
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qp q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, sim, adc_score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+        ) AS rk
+        FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["ann_ivfpq_residual_pinned"] = _ivfpq_residual_pinned_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
