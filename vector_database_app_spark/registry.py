@@ -13549,17 +13549,39 @@ _DRIVER_WINDOW_R9 = [
 # value-checkable md5 twins (dedup_minhash_md5, doc_simhash_md5) are
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R10 (round-10 planning): after this round banks the
-# 50 above, the staleness ledger's front is the displaced tail of the
-# r3-only-green block (10): repetition_signals, scd_type2,
-# split_train_test, stream_enrich, stream_stream_join, table_diff,
-# token_count, window_session, window_sliding, window_tumbling;
-# then the r4-only-green block (6): admission_gate,
-# agg_skew_twophase, ann_probe_sweep, boilerplate_ngrams,
-# contamination_report, corpus_filter; then any round-9 additions
-# (never-windowed, which by rotation discipline go FIRST instead),
-# then continue by staleness into the r4/r5-green blocks. Assemble
-# the concrete 50 at round-9 close, pre-verify with the sf0.01
-# mirror, and record the verified list here (rounds 6-9 discipline).
+# 50 above, the never-windowed oracle-backed remainder is exactly the
+# NINE round-9 additions — dedup_similarity_capped, syllable_profile,
+# sample_gumbel_topk, heaps_law, events_changepoint, split_leakage,
+# graph_kcore, events_robust_zscore, ann_ivfpq_residual_pinned (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
+# they go FIRST. The concrete 50, assembled from the staleness ledger
+# (max green round per query, window-9 members counting as round 9;
+# regeneration script in PERF.md §"Canonical coverage ledger") and
+# PRE-VERIFIED with the sf0.01 mirror at round-9 close — next round:
+# paste as _DRIVER_WINDOW_R10, swap the asserts/reorder block, re-run
+# the mirror before shipping (rounds 6-9 discipline):
+#   dedup_similarity_capped, syllable_profile, sample_gumbel_topk,
+#   heaps_law, events_changepoint, split_leakage, graph_kcore,
+#   events_robust_zscore, ann_ivfpq_residual_pinned
+#   (the 9 never-windowed, FIRST),
+#   then the displaced r3-only-green tail (10): repetition_signals,
+#   scd_type2, split_train_test, stream_enrich, stream_stream_join,
+#   table_diff, token_count, window_session, window_sliding,
+#   window_tumbling,
+#   then the first 31 of the r4-only-green block (alphabetical):
+#   admission_gate, agg_skew_twophase, ann_probe_sweep,
+#   boilerplate_ngrams, contamination_report, corpus_filter,
+#   corpus_filter_relative, corpus_release_manifest,
+#   dedup_clusters_sampled, dedup_lsh_sweep,
+#   dedup_similarity_join_sampled, doc_fingerprint, embed_centroid,
+#   embed_quantize, events_pipeline, frame_sample, graph_pagerank,
+#   k_anonymity, late_interaction_search, mixture_plan,
+#   multimodal_meta, ngram_jaccard, pyds_synthetic_docs,
+#   quality_calibration, rag_mmr, rag_rerank, rrf_fusion,
+#   sample_mixture, sample_stratified, stream_attribution,
+#   text_normalize
+#   (timeseries_gapfill and top_terms_per_lang — the r4 tail — plus
+#   the r5-only-green block slide to window 11).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R9), (
     "rows-only queries with known driver-canonicalizer hazards must "
