@@ -185,6 +185,7 @@ HEADLINE = [
     "graph_kcore",
     "events_robust_zscore",
     "ann_ivfpq_residual_pinned",
+    "rollup_incremental",
 ]
 
 

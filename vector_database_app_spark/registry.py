@@ -13325,6 +13325,94 @@ def _ivfpq_residual_pinned_oracle_sql() -> str:
 ORACLE["ann_ivfpq_residual_pinned"] = _ivfpq_residual_pinned_oracle_sql()
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental aggregate maintenance (the materialized-view delta
+    pattern every warehouse runs — Gupta & Mumick 1995's IVM for
+    distributive aggregates): the daily rollup is NOT recomputed from
+    scratch when a new batch lands; the base partial (ts before the
+    2024-01-21 cutoff) and the delta partial (at/after) each aggregate
+    independently and MERGE by key — count adds, DECIMAL(18,4) value
+    sums add exactly, so the merged table is bit-identical to the full
+    recompute. The DuckDB oracle IS the full recompute: the value
+    match is the associativity proof at query level. A midnight-
+    aligned cutoff means no day straddles base and delta; `refreshed`
+    marks delta-touched days. Two hash aggs + one key-merge join —
+    the delta side's input is the new batch alone, the 100 TB point
+    of IVM."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "timestamp'2024-01-21 00:00:00'"
+
+    def _part(df):
+        return df.groupBy(
+            "event_type",
+            F.expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+            .cast("bigint")
+            .alias("day"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("value"), 4).cast("decimal(18,4)")
+            ).alias("v"),
+        )
+
+    base = _part(ev.where(F.expr(f"ts < {cutoff}")))
+    delta = _part(ev.where(F.expr(f"ts >= {cutoff}")))
+    merged = (
+        base.select(
+            "event_type", "day", F.col("n").alias("_nb"),
+            F.col("v").alias("_vb"),
+        )
+        .join(
+            delta.select(
+                "event_type", "day", F.col("n").alias("_nd"),
+                F.col("v").alias("_vd"),
+            ),
+            ["event_type", "day"],
+            "full",
+        )
+        .select(
+            "event_type",
+            "day",
+            (
+                F.coalesce("_nb", F.lit(0)) + F.coalesce("_nd", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_events"),
+            F.round(
+                (
+                    F.coalesce(F.col("_vb"), F.lit(0).cast("decimal(18,4)"))
+                    + F.coalesce(
+                        F.col("_vd"), F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double"),
+                4,
+            ).alias("val_sum"),
+            F.when(F.col("_nd").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("refreshed"),
+        )
+    )
+    return merged
+
+
+QUERIES["rollup_incremental"] = q_rollup_incremental
+
+ORACLE["rollup_incremental"] = """
+    -- the FULL recompute: equality with Spark's base+delta merge is
+    -- the IVM associativity proof
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+                      AS DOUBLE), 4) AS val_sum,
+           CAST(CASE WHEN max(ts) >= TIMESTAMP '2024-01-21 00:00:00'
+                     THEN 1 ELSE 0 END AS INT) AS refreshed
+    FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -13550,11 +13638,11 @@ _DRIVER_WINDOW_R9 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R10 (round-10 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# NINE round-9 additions — dedup_similarity_capped, syllable_profile,
+# TEN round-9 additions — dedup_similarity_capped, syllable_profile,
 # sample_gumbel_topk, heaps_law, events_changepoint, split_leakage,
-# graph_kcore, events_robust_zscore, ann_ivfpq_residual_pinned (each
-# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
-# they go FIRST. The concrete 50, assembled from the staleness ledger
+# graph_kcore, events_robust_zscore, ann_ivfpq_residual_pinned,
+# rollup_incremental (each verified at sf0.001 + sf0.01 + sf0.1 + all
+# four structural gates) — they go FIRST. The concrete 50, assembled from the staleness ledger
 # (max green round per query, window-9 members counting as round 9;
 # regeneration script in PERF.md §"Canonical coverage ledger") and
 # PRE-VERIFIED with the sf0.01 mirror at round-9 close — next round:
@@ -13562,13 +13650,14 @@ _DRIVER_WINDOW_R9 = [
 # the mirror before shipping (rounds 6-9 discipline):
 #   dedup_similarity_capped, syllable_profile, sample_gumbel_topk,
 #   heaps_law, events_changepoint, split_leakage, graph_kcore,
-#   events_robust_zscore, ann_ivfpq_residual_pinned
-#   (the 9 never-windowed, FIRST),
+#   events_robust_zscore, ann_ivfpq_residual_pinned,
+#   rollup_incremental
+#   (the 10 never-windowed, FIRST),
 #   then the displaced r3-only-green tail (10): repetition_signals,
 #   scd_type2, split_train_test, stream_enrich, stream_stream_join,
 #   table_diff, token_count, window_session, window_sliding,
 #   window_tumbling,
-#   then the first 31 of the r4-only-green block (alphabetical):
+#   then the first 30 of the r4-only-green block (alphabetical):
 #   admission_gate, agg_skew_twophase, ann_probe_sweep,
 #   boilerplate_ngrams, contamination_report, corpus_filter,
 #   corpus_filter_relative, corpus_release_manifest,
@@ -13578,10 +13667,9 @@ _DRIVER_WINDOW_R9 = [
 #   k_anonymity, late_interaction_search, mixture_plan,
 #   multimodal_meta, ngram_jaccard, pyds_synthetic_docs,
 #   quality_calibration, rag_mmr, rag_rerank, rrf_fusion,
-#   sample_mixture, sample_stratified, stream_attribution,
-#   text_normalize
-#   (timeseries_gapfill and top_terms_per_lang — the r4 tail — plus
-#   the r5-only-green block slide to window 11).
+#   sample_mixture, sample_stratified, stream_attribution
+#   (text_normalize, timeseries_gapfill and top_terms_per_lang — the
+#   r4 tail — plus the r5-only-green block slide to window 11).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R9), (
     "rows-only queries with known driver-canonicalizer hazards must "
