@@ -299,21 +299,45 @@ def kcore(
             )
         )
     )
+    from .. import caching
+
+    # Plan/runtime discipline (the entity_resolution 2^hops lesson,
+    # plus a new one): the naive unrolled form rebuilds and re-persists
+    # a CORPUS-SIZED edge frame every round — each round references it
+    # twice, the raw tree doubles per round (measured 502 exchanges at
+    # rounds=3), and even persisted, parallel stages race its cache
+    # fill inside the one action (measured 22-57 s vs ~4 s at sf0.1).
+    # The fix is structural, not a cache knob: the edge list is cached
+    # ONCE and only ever READ; each round derives a NODE-survival
+    # frame (alive_r — value-domain sized, cheap to cache) and the
+    # surviving subgraph is re-induced from the fixed edge cache by
+    # two semi-joins. Edge survival iff both endpoints alive is
+    # exactly edge peeling, by induction. Every persist is lazy (zero
+    # construction jobs) and PINNED for caching.release.
+    sym = sym.persist()
+    cached = [sym]
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    surv = sym
+    alive = nodes
     for _ in range(rounds):
-        deg = surv.groupBy("a").agg(
-            F.count(F.lit(1)).cast("bigint").alias("deg")
+        deg = (
+            sym.join(alive.select(F.col("node").alias("a")), "a", "semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "semi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select(F.col("a").alias("node"))
-        surv = (
-            surv.join(keep.select(F.col("node").alias("a")), "a", "semi")
-            .join(keep.select(F.col("node").alias("b")), "b", "semi")
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .persist()
         )
-    final_deg = surv.groupBy("a").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        cached.append(alive)
+    final_deg = (
+        sym.join(alive.select(F.col("node").alias("a")), "a", "semi")
+        .join(alive.select(F.col("node").alias("b")), "b", "semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
-    return nodes.join(
+    out = nodes.join(
         final_deg.select(F.col("a").alias("node"), "core_degree"),
         "node",
         "left",
@@ -324,3 +348,4 @@ def kcore(
         ),
         (F.col("core_degree").isNotNull()).cast("int").alias("in_core"),
     )
+    return caching.pin(out, *cached)
