@@ -7,8 +7,10 @@ with TWO JSON lines, both carrying {"metric", "value": total_sec,
 calibration-probe readings) that a tail-capped artifact capture can
 never truncate. Parse the final line.
 
-Each query is timed as the MIN OF 2 consecutive runs (construct +
-execute; a transient host stall inflates one run, not the min) and
+Each query is timed as the MIN over TWO FULL SWEEPS (construct +
+execute; a transient stall — host load or a JVM GC pause — inflates
+one sample, and two samples minutes apart cannot share a transient
+the way back-to-back runs can) and
 materialized through the noop sink (full plan execution, no driver
 collect bottleneck, no disk write skew). A fixed 50M-row calibration
 probe runs before and after the sweep: idle hosts read well under a
@@ -186,6 +188,8 @@ HEADLINE = [
     "events_robust_zscore",
     "ann_ivfpq_residual_pinned",
     "rollup_incremental",
+    "quantile_histogram",
+    "lm_kneser_ney",
 ]
 
 

@@ -206,3 +206,88 @@ def test_graph_kcore_matches_python_reference_on_random_graph(spark):
             for r in graph.kcore(df, k=k, rounds=rounds).collect()
         }
         assert got == ref(k, rounds)
+
+
+def test_quantile_histogram_tracks_exact_percentiles(spark):
+    """Grid estimates land within one bin width (0.25) of the exact
+    interpolated percentile, and the result is partitioning-invariant
+    (the mergeability claim — the hash agg's whole point)."""
+    from vector_database_app_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    est = {r.event_type: r for r in QUERIES["quantile_histogram"](spark, sf).collect()}
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(vals)
+    for t, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        # the estimator's contract: within one bin width (0.25) of the
+        # ceil(q·n)-th order statistic it targets (NOT the interpolated
+        # percentile — in a sparse tail adjacent order stats can sit
+        # further apart than a bin)
+        for q, got in ((500, est[t].p50_est), (900, est[t].p90_est),
+                       (990, est[t].p99_est)):
+            target = xs[(q * n + 999) // 1000 - 1]
+            assert abs(got - target) <= 0.25 + 1e-9, (t, q, got, target)
+    again = {
+        r.event_type: r
+        for r in QUERIES["quantile_histogram"](spark, sf)
+        .repartition(17)
+        .collect()
+    }
+    for t in est:
+        assert (est[t].p50_est, est[t].p90_est, est[t].p99_est) == (
+            again[t].p50_est, again[t].p90_est, again[t].p99_est)
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Spark per-doc KN micro-nats == a pure-Python replay of the
+    interpolated bigram Kneser-Ney formula (D = 0.75) with the same
+    quantize-log/decimal-sum/floored-integer discipline."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    texts = {
+        0: "a b a b c",
+        1: "a b c d",
+        2: "b c d a b",
+        3: "x",                       # < 2 tokens: excluded
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_neg_logp_micro)
+        for r in textops.kneser_ney_score(docs).collect()
+    }
+
+    bigrams = {
+        d: [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        for d, t in texts.items()
+        if len(ws := t.split()) >= 2
+    }
+    all_bg = [b for bs in bigrams.values() for b in bs]
+    cb, cw = Counter(all_bg), Counter(w1 for w1, _ in all_bg)
+    types = set(all_bg)
+    n1f = Counter(w1 for w1, _ in types)
+    n1r = Counter(w2 for _, w2 in types)
+    nbb = len(types)
+
+    def logp(w1, w2):
+        p = max(cb[(w1, w2)] - 0.75, 0.0) / cw[w1] + (
+            0.75 * n1f[w1] / cw[w1]
+        ) * (n1r[w2] / nbb)
+        return Decimal(str(round(math.log(p), 6)))
+
+    want = {}
+    for d, bs in bigrams.items():
+        s = sum((logp(*b) for b in bs), Decimal(0))
+        want[d] = (len(bs), int(-s * 1_000_000) // len(bs))
+    assert got == want
+    assert 3 not in got

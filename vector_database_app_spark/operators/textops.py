@@ -3160,3 +3160,109 @@ def heaps_law(
         F.round((nf * sxy - sx * sy) / denom, 6).alias("beta"),
         F.round((sy * sxx - sx * sxy) / denom, 6).alias("log_k"),
     )
+
+
+#: One arithmetic text BOTH engines run (the wordpiece_step_sqls
+#: discipline): interpolated bigram Kneser-Ney with absolute discount
+#: D = 0.75 (exactly dyadic — 3/4 — so the subtraction is exact).
+#: Placeholders are integer column names; every cast/op appears in the
+#: same order in Spark and DuckDB, so the resulting double is
+#: bit-identical given identical integer inputs.
+KN_P_SQL = (
+    "greatest(CAST({cb} AS DOUBLE) - 0.75, 0.0) / CAST({cw} AS DOUBLE)"
+    " + (0.75 * CAST({n1f} AS DOUBLE) / CAST({cw} AS DOUBLE))"
+    " * (CAST({n1r} AS DOUBLE) / CAST({nbb} AS DOUBLE))"
+)
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document interpolated bigram Kneser-Ney score (Kneser &
+    Ney 1995; the Chen & Goodman 1998 interpolated form) — the
+    canonical n-gram smoothing, upgrading lm_bigram_score's raw
+    commonness: P(w2|w1) = max(c(w1w2) − D, 0)/c(w1•) +
+    D·N1+(w1•)/c(w1•) · N1+(•w2)/N1+(••), with the continuation
+    probability carrying unseen-context mass. D = 0.75 (Chen &
+    Goodman's benchmark discount) is exactly dyadic, and the whole
+    probability is ONE shared SQL text (KN_P_SQL) evaluated over
+    integer corpus counts in both engines; each bigram's ln is
+    quantized to 6 dp and summed as DECIMAL(18,6), so the per-doc
+    score is independent of accumulation order and engine.
+
+    Output per doc (docs with >= 2 tokens): n_bigrams and the average
+    negative log-probability in FLOORED MICRO-NATS (the per-token
+    cross-entropy proxy a perplexity filter thresholds on —
+    perplexity_buckets' CCNet discipline with a properly smoothed LM
+    underneath). Micro-nat integers, not a rounded double: the exact
+    decimal sum × 10⁶ is an integer, and integer DIV by n_bigrams is
+    engine-identical — round(-sum/n, 6) hit a 7th-decimal half-way
+    tie at sf0.1 (Spark decimal-string HALF_UP vs DuckDB binary
+    half-even, the documented MMR hazard class), observed on exactly
+    one document before this form replaced it.
+
+    Scale shape: one explode to the bigram stream, three (w1)/(w2)/
+    (w1,w2)-keyed hash aggs with map-side partials, one single-row
+    broadcast for N1+(••), one keyed join back to the stream, one
+    doc-keyed agg. No window, no Python."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bg = (
+        df.where(F.size(words) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.struct(
+                        F.element_at(words, i + 1).alias("w1"),
+                        F.element_at(words, i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    n1f = cb.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1f")
+    )
+    n1r = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1r")
+    )
+    nbb = cb.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("nbb"))
+    p_expr = KN_P_SQL.format(cb="cb", cw="cw", n1f="n1f", n1r="n1r", nbb="nbb")
+    ptab = (
+        cb.join(cw, "w1")
+        .join(n1f, "w1")
+        .join(n1r, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"CAST(round(ln({p_expr}), 6) AS DECIMAL(18,6))").alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        bg.join(ptab, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("logp").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr(
+                "CAST(CAST(-_s * 1000000 AS BIGINT) DIV n_bigrams"
+                " AS BIGINT)"
+            ).alias("kn_neg_logp_micro"),
+        )
+    )

@@ -13413,6 +13413,179 @@ ORACLE["rollup_incremental"] = """
 """
 
 
+def q_quantile_histogram(spark, sf_dir):
+    """Mergeable fixed-grid histogram quantiles — the SCALE path the
+    agg_percentile caveat names (exact interpolated percentile buffers
+    every group value; approx_percentile's t-digest is engine-internal
+    and not oracle-comparable): bucket each value into a fixed-width
+    bin on the 1e4-scaled integer grid (floor division — a pure
+    map-side hash agg whose state is |observed bins|, mergeable across
+    partitions/engines by construction), then estimate P50/P90/P99 by
+    linear interpolation within the covering bin. Deterministic end to
+    end: bins and cumulative counts are integers; the interpolation is
+    one shared arithmetic shape on identical doubles. The bin-ordered
+    cumulative window runs over |bins-per-type| rows (value-domain
+    bounded, never the event stream). Contract (pinned in tests): the
+    estimate lands within ONE bin width of the ceil(q·n)-th order
+    statistic it targets — the explicit grid-error trade the mergeable
+    form buys (vs agg_percentile's exact-but-buffered form). Note it
+    targets an order statistic, not the interpolated percentile: in a
+    sparse tail adjacent order statistics can sit further apart than
+    any grid bound."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    width = 2500  # bin width = 0.25 on the 1e4-scaled integer grid
+    binned = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.floor(F.round(F.col("value"), 4) * 10000) / width
+        )
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    tot = binned.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("_n")
+    )
+    cum = (
+        binned.withColumn("cum", F.sum("c").over(w).cast("bigint"))
+        .join(tot, "event_type")
+    )
+
+    def _q(q_permille: int, name: str):
+        # the UNIQUE covering bin — where the cumulative count crosses
+        # ceil(q·n/1000): cum − c < target <= cum (a bare cum >= target
+        # also matches every LATER bin, whose extrapolation is
+        # negative-fraction garbage); interpolate linearly inside it
+        target = F.expr(f"CAST(({q_permille} * _n + 999) DIV 1000 AS BIGINT)")
+        est = (
+            F.col("bin").cast("double") * width
+            + (
+                (target - (F.col("cum") - F.col("c"))).cast("double")
+                / F.col("c").cast("double")
+            )
+            * width
+        ) / 10000.0
+        covering = (F.col("cum") >= target) & (
+            (F.col("cum") - F.col("c")) < target
+        )
+        return F.min(F.when(covering, F.round(est, 6))).alias(name)
+
+    return (
+        cum.groupBy("event_type", "_n")
+        .agg(
+            _q(500, "p50_est"),
+            _q(900, "p90_est"),
+            _q(990, "p99_est"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        )
+        .select(
+            "event_type",
+            F.col("_n").alias("n_events"),
+            "n_bins",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+        )
+    )
+
+
+QUERIES["quantile_histogram"] = q_quantile_histogram
+
+ORACLE["quantile_histogram"] = """
+    WITH binned AS (
+        SELECT event_type,
+               CAST(floor(floor(round(value, 4) * 10000) / 2500)
+                    AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM binned
+        GROUP BY event_type
+    ), cum AS (
+        SELECT b.event_type, b.bin, b.c, t.n,
+               CAST(sum(b.c) OVER (PARTITION BY b.event_type
+                    ORDER BY b.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum
+        FROM binned b JOIN tot t USING (event_type)
+    ), est AS (
+        SELECT event_type, n,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               min(CASE WHEN cum >= (500 * n + 999) // 1000
+                         AND cum - c < (500 * n + 999) // 1000 THEN
+                   round((CAST(bin AS DOUBLE) * 2500
+                      + (CAST((500 * n + 999) // 1000 - (cum - c)
+                             AS DOUBLE) / CAST(c AS DOUBLE)) * 2500)
+                     / 10000.0, 6) END) AS p50_est,
+               min(CASE WHEN cum >= (900 * n + 999) // 1000
+                         AND cum - c < (900 * n + 999) // 1000 THEN
+                   round((CAST(bin AS DOUBLE) * 2500
+                      + (CAST((900 * n + 999) // 1000 - (cum - c)
+                             AS DOUBLE) / CAST(c AS DOUBLE)) * 2500)
+                     / 10000.0, 6) END) AS p90_est,
+               min(CASE WHEN cum >= (990 * n + 999) // 1000
+                         AND cum - c < (990 * n + 999) // 1000 THEN
+                   round((CAST(bin AS DOUBLE) * 2500
+                      + (CAST((990 * n + 999) // 1000 - (cum - c)
+                             AS DOUBLE) / CAST(c AS DOUBLE)) * 2500)
+                     / 10000.0, 6) END) AS p99_est
+        FROM cum GROUP BY event_type, n
+    )
+    SELECT event_type, n AS n_events, n_bins, p50_est, p90_est, p99_est
+    FROM est
+"""
+
+
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated bigram Kneser-Ney cross-entropy per document
+    (textops.kneser_ney_score) — the canonical n-gram smoothing under
+    the value gate: the probability arithmetic is ONE shared SQL text
+    (textops.KN_P_SQL) over integer corpus counts, each log quantized
+    to 6 dp and summed as exact DECIMAL. The properly-smoothed upgrade
+    of lm_bigram_score; the statistic a CCNet-style perplexity filter
+    thresholds on."""
+    return textops.kneser_ney_score(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["lm_kneser_ney"] = q_lm_kneser_ney
+
+ORACLE["lm_kneser_ney"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) g
+        WHERE len(ws) >= 2
+    ), cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bg GROUP BY w1, w2
+    ), cw AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS cw FROM bg GROUP BY w1
+    ), n1f AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY w1
+    ), n1r AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cb GROUP BY w2
+    ), nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cb),
+    ptab AS (
+        SELECT cb.w1, cb.w2,
+               CAST(round(ln({textops.KN_P_SQL.format(
+                   cb="cb.cb", cw="cw.cw", n1f="n1f.n1f",
+                   n1r="n1r.n1r", nbb="nbb.nbb")}), 6)
+                    AS DECIMAL(18,6)) AS logp
+        FROM cb JOIN cw USING (w1) JOIN n1f USING (w1)
+                JOIN n1r USING (w2), nbb
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(-sum(p.logp) * 1000000 AS BIGINT) // count(*)
+                AS BIGINT) AS kn_neg_logp_micro
+    FROM bg JOIN ptab p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    GROUP BY bg.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -13638,11 +13811,13 @@ _DRIVER_WINDOW_R9 = [
 # driver-green — and must stay out of oracle windows permanently.
 # _DRIVER_WINDOW_R10 (round-10 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# TEN round-9 additions — dedup_similarity_capped, syllable_profile,
-# sample_gumbel_topk, heaps_law, events_changepoint, split_leakage,
-# graph_kcore, events_robust_zscore, ann_ivfpq_residual_pinned,
-# rollup_incremental (each verified at sf0.001 + sf0.01 + sf0.1 + all
-# four structural gates) — they go FIRST. The concrete 50, assembled from the staleness ledger
+# TWELVE round-9 additions — dedup_similarity_capped,
+# syllable_profile, sample_gumbel_topk, heaps_law,
+# events_changepoint, split_leakage, graph_kcore,
+# events_robust_zscore, ann_ivfpq_residual_pinned,
+# rollup_incremental, quantile_histogram, lm_kneser_ney (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates)
+# — they go FIRST. The concrete 50, assembled from the staleness ledger
 # (max green round per query, window-9 members counting as round 9;
 # regeneration script in PERF.md §"Canonical coverage ledger") and
 # PRE-VERIFIED with the sf0.01 mirror at round-9 close — next round:
@@ -13651,13 +13826,13 @@ _DRIVER_WINDOW_R9 = [
 #   dedup_similarity_capped, syllable_profile, sample_gumbel_topk,
 #   heaps_law, events_changepoint, split_leakage, graph_kcore,
 #   events_robust_zscore, ann_ivfpq_residual_pinned,
-#   rollup_incremental
-#   (the 10 never-windowed, FIRST),
+#   rollup_incremental, quantile_histogram, lm_kneser_ney
+#   (the 12 never-windowed, FIRST),
 #   then the displaced r3-only-green tail (10): repetition_signals,
 #   scd_type2, split_train_test, stream_enrich, stream_stream_join,
 #   table_diff, token_count, window_session, window_sliding,
 #   window_tumbling,
-#   then the first 30 of the r4-only-green block (alphabetical):
+#   then the first 28 of the r4-only-green block (alphabetical):
 #   admission_gate, agg_skew_twophase, ann_probe_sweep,
 #   boilerplate_ngrams, contamination_report, corpus_filter,
 #   corpus_filter_relative, corpus_release_manifest,
@@ -13667,9 +13842,10 @@ _DRIVER_WINDOW_R9 = [
 #   k_anonymity, late_interaction_search, mixture_plan,
 #   multimodal_meta, ngram_jaccard, pyds_synthetic_docs,
 #   quality_calibration, rag_mmr, rag_rerank, rrf_fusion,
-#   sample_mixture, sample_stratified, stream_attribution
-#   (text_normalize, timeseries_gapfill and top_terms_per_lang — the
-#   r4 tail — plus the r5-only-green block slide to window 11).
+#   sample_mixture
+#   (sample_stratified, stream_attribution, text_normalize,
+#   timeseries_gapfill and top_terms_per_lang — the r4 tail — plus
+#   the r5-only-green block slide to window 11).
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
 assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R9), (
     "rows-only queries with known driver-canonicalizer hazards must "
