@@ -807,3 +807,50 @@ def test_stream_bloom_decontaminate_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == corpus.count()
+
+
+def test_stream_quantile_histogram_equals_batch(spark, tmp_path):
+    """Continuous quantile monitoring (SW.run_stream_quantile_histogram):
+    events replayed in two waves through the integer-count delta store;
+    after the full drain the estimates equal the batch
+    quantile_histogram registry query row-for-row — per-batch partial
+    histograms merged by summing counts IS the mergeability the grid
+    form exists for."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "quantiles")
+    ckpt = str(tmp_path / "ckpt")
+
+    w1 = ev.filter("event_id % 2 = 0")
+    w2 = ev.filter("event_id % 2 = 1")
+    w1.coalesce(1).write.parquet(str(arrivals / "w1"))
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(w1.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_quantile_histogram(stream, store_dir, out_dir, ckpt)
+
+    _drain()
+    assert spark.read.parquet(out_dir).count() > 0
+    w2.coalesce(1).write.parquet(str(arrivals / "w2"))
+    _drain()
+
+    def keyed(df):
+        return {
+            (r.event_type, r.n_events, r.n_bins,
+             r.p50_est, r.p90_est, r.p99_est)
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["quantile_histogram"](spark, SF))
+    assert got == want

@@ -519,3 +519,79 @@ def entity_resolution(
         )
     )
     return caching.pin(out, names, edges)
+
+
+HIST_BIN_WIDTH = 2500  # bin width = 0.25 on the 1e4-scaled integer grid
+
+
+def bin_values(df: DataFrame, *, key_col: str, value_col: str) -> DataFrame:
+    """Fixed-grid integer binning of a value column — the mergeable
+    histogram state (key, bin, c): floor the 1e4-scaled value into
+    HIST_BIN_WIDTH buckets and hash-count. Pure map-side-combinable
+    agg; partial histograms from any partitioning (or any micro-batch
+    split — the streaming twin merges per-batch deltas by summing c)
+    combine exactly, which is the whole point of the grid form."""
+    return df.groupBy(
+        F.col(key_col).alias("key"),
+        F.floor(
+            F.floor(F.round(F.col(value_col), 4) * 10000) / HIST_BIN_WIDTH
+        )
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def histogram_quantiles(binned: DataFrame) -> DataFrame:
+    """P50/P90/P99 estimates from mergeable (key, bin, c) histogram
+    state: cumulative counts over the bin-ordered (value-domain
+    bounded) frame, then linear interpolation inside the UNIQUE
+    covering bin (cum − c < target <= cum; a bare cum >= target also
+    matches every later bin, whose extrapolation is negative-fraction
+    garbage — caught in review before it shipped). The estimate lands
+    within one bin width of the ceil(q·n)-th order statistic it
+    targets (pinned in tests). Shared verbatim by the batch registry
+    query `quantile_histogram` and the streaming twin
+    `run_stream_quantile_histogram` — ONE arithmetic, two drivers."""
+    from pyspark.sql import Window
+
+    width = HIST_BIN_WIDTH
+    w = Window.partitionBy("key").orderBy("bin")
+    tot = binned.groupBy("key").agg(F.sum("c").cast("bigint").alias("_n"))
+    cum = binned.withColumn(
+        "cum", F.sum("c").over(w).cast("bigint")
+    ).join(tot, "key")
+
+    def _q(q_permille: int, name: str):
+        target = F.expr(
+            f"CAST(({q_permille} * _n + 999) DIV 1000 AS BIGINT)"
+        )
+        est = (
+            F.col("bin").cast("double") * width
+            + (
+                (target - (F.col("cum") - F.col("c"))).cast("double")
+                / F.col("c").cast("double")
+            )
+            * width
+        ) / 10000.0
+        covering = (F.col("cum") >= target) & (
+            (F.col("cum") - F.col("c")) < target
+        )
+        return F.min(F.when(covering, F.round(est, 6))).alias(name)
+
+    return (
+        cum.groupBy("key", "_n")
+        .agg(
+            _q(500, "p50_est"),
+            _q(900, "p90_est"),
+            _q(990, "p99_est"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        )
+        .select(
+            "key",
+            F.col("_n").alias("n_events"),
+            "n_bins",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+        )
+    )

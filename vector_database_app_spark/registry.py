@@ -13420,75 +13420,25 @@ def q_quantile_histogram(spark, sf_dir):
     and not oracle-comparable): bucket each value into a fixed-width
     bin on the 1e4-scaled integer grid (floor division — a pure
     map-side hash agg whose state is |observed bins|, mergeable across
-    partitions/engines by construction), then estimate P50/P90/P99 by
-    linear interpolation within the covering bin. Deterministic end to
-    end: bins and cumulative counts are integers; the interpolation is
-    one shared arithmetic shape on identical doubles. The bin-ordered
-    cumulative window runs over |bins-per-type| rows (value-domain
-    bounded, never the event stream). Contract (pinned in tests): the
-    estimate lands within ONE bin width of the ceil(q·n)-th order
-    statistic it targets — the explicit grid-error trade the mergeable
-    form buys (vs agg_percentile's exact-but-buffered form). Note it
-    targets an order statistic, not the interpolated percentile: in a
-    sparse tail adjacent order statistics can sit further apart than
-    any grid bound."""
+    partitions/engines/micro-batches by construction — the streaming
+    twin run_stream_quantile_histogram merges per-batch deltas through
+    the SAME estimator), then estimate P50/P90/P99 by linear
+    interpolation within the unique covering bin
+    (operators/relational.bin_values + histogram_quantiles). Contract
+    (pinned in tests): the estimate lands within ONE bin width of the
+    ceil(q·n)-th order statistic it targets. Note it targets an order
+    statistic, not the interpolated percentile: in a sparse tail
+    adjacent order statistics can sit further apart than any grid
+    bound. The bin-ordered cumulative window runs over
+    |bins-per-type| rows (value-domain bounded, never the stream)."""
     ev = _t(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    width = 2500  # bin width = 0.25 on the 1e4-scaled integer grid
-    binned = ev.groupBy(
-        "event_type",
-        F.floor(
-            F.floor(F.round(F.col("value"), 4) * 10000) / width
-        )
-        .cast("bigint")
-        .alias("bin"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = Window.partitionBy("event_type").orderBy("bin")
-    tot = binned.groupBy("event_type").agg(
-        F.sum("c").cast("bigint").alias("_n")
+    binned = relational.bin_values(
+        ev, key_col="event_type", value_col="value"
     )
-    cum = (
-        binned.withColumn("cum", F.sum("c").over(w).cast("bigint"))
-        .join(tot, "event_type")
+    return relational.histogram_quantiles(binned).withColumnRenamed(
+        "key", "event_type"
     )
 
-    def _q(q_permille: int, name: str):
-        # the UNIQUE covering bin — where the cumulative count crosses
-        # ceil(q·n/1000): cum − c < target <= cum (a bare cum >= target
-        # also matches every LATER bin, whose extrapolation is
-        # negative-fraction garbage); interpolate linearly inside it
-        target = F.expr(f"CAST(({q_permille} * _n + 999) DIV 1000 AS BIGINT)")
-        est = (
-            F.col("bin").cast("double") * width
-            + (
-                (target - (F.col("cum") - F.col("c"))).cast("double")
-                / F.col("c").cast("double")
-            )
-            * width
-        ) / 10000.0
-        covering = (F.col("cum") >= target) & (
-            (F.col("cum") - F.col("c")) < target
-        )
-        return F.min(F.when(covering, F.round(est, 6))).alias(name)
-
-    return (
-        cum.groupBy("event_type", "_n")
-        .agg(
-            _q(500, "p50_est"),
-            _q(900, "p90_est"),
-            _q(990, "p99_est"),
-            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-        )
-        .select(
-            "event_type",
-            F.col("_n").alias("n_events"),
-            "n_bins",
-            "p50_est",
-            "p90_est",
-            "p99_est",
-        )
-    )
 
 
 QUERIES["quantile_histogram"] = q_quantile_histogram

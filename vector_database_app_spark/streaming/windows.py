@@ -1169,3 +1169,62 @@ def run_stream_bloom_decontaminate(
         q.awaitTermination()
     finally:
         bm.unpersist()
+
+
+def run_stream_quantile_histogram(
+    event_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous quantile monitoring — the streaming twin of the batch
+    `quantile_histogram` registry query, and the DEMONSTRATION of that
+    query's mergeability claim: the fixed-grid histogram's state is
+    (key, bin, c) integer counts, so per-batch partial histograms merge
+    by summing c — exactly the property that makes the grid form the
+    scale path where exact percentiles (full value buffers) and
+    t-digests (engine-internal, approximate merge) are not
+    oracle-comparable.
+
+    Delta-store discipline (run_stream_events_resample's): each
+    micro-batch bins ITS OWN events (relational.bin_values — the only
+    corpus-sized work) and overwrites ``{store_dir}/batch=<id>``
+    (replay-idempotent); the merged histogram is the integer sum over
+    all deltas, and the quantile view (relational.histogram_quantiles —
+    the SAME estimator the batch query runs, one arithmetic, two
+    drivers) is recomputed into ``out_dir`` each batch. Deltas, merged
+    state and view are all |bins|-sized; per-batch cost is bounded
+    regardless of corpus size.
+
+    Parity (tests/test_streaming.py): after draining the replayed
+    event stream in two waves, the out table equals the batch
+    `quantile_histogram` output row-for-row."""
+    from ..operators import relational
+
+    spark = event_stream.sparkSession
+
+    def _quantiles(batch_df: DataFrame, batch_id: int) -> None:
+        delta = relational.bin_values(
+            batch_df, key_col="event_type", value_col="value"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{store_dir.rstrip('/')}/batch={batch_id}"
+        )
+        merged = (
+            spark.read.parquet(store_dir)
+            .groupBy("key", "bin")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        view = relational.histogram_quantiles(merged).withColumnRenamed(
+            "key", "event_type"
+        )
+        view.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        event_stream.writeStream.foreachBatch(_quantiles)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
