@@ -3209,16 +3209,22 @@ def kneser_ney_score(
     broadcast for N1+(••), one keyed join back to the stream, one
     doc-keyed agg. No window, no Python."""
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # materialize the word array into a named column FIRST: referencing
+    # the raw filter(split(...)) expression inside the lambda would
+    # re-evaluate the full split per element_at — O(len²) per doc (the
+    # similarity_join generator-re-evaluation lesson; measured 12 s →
+    # 1.5 s at sf0.1)
     bg = (
-        df.where(F.size(words) >= 2)
+        df.select(F.col(id_col), words.alias("_ws"))
+        .where(F.size("_ws") >= 2)
         .select(
             F.col(id_col),
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 2),
+                    F.sequence(F.lit(0), F.size("_ws") - 2),
                     lambda i: F.struct(
-                        F.element_at(words, i + 1).alias("w1"),
-                        F.element_at(words, i + 2).alias("w2"),
+                        F.element_at(F.col("_ws"), i + 1).alias("w1"),
+                        F.element_at(F.col("_ws"), i + 2).alias("w2"),
                     ),
                 )
             ).alias("b"),
