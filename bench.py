@@ -264,24 +264,20 @@ def main() -> None:
     # reproduced at the same sweep position), but not two samples
     # minutes apart. Each run re-constructs the plan (construction is
     # lazy) so both price construct + execute identically.
-    timings: dict[str, float] = {}
-    for _sweep in range(2):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            materialize(df)
-            t = time.perf_counter() - t0
-            # release build-time persist marks pinned onto the result
-            # (caching.pin) so one query's cached blocks don't linger
-            # under the rest of the sweep
-            caching.release(df)
-            timings[name] = round(min(timings.get(name, t), t), 3)
-
-    calib_end = calibration_probe(spark)
+    # no-silent-caps (r5-verdict task 4): name what this bench does NOT
+    # time, every run, on stderr (stdout stays machine-parseable). The
+    # excluded set was full-swept once at sf0.1 (PERF.md r6) and its
+    # top-5 most expensive members promoted into HEADLINE.
+    excluded = sorted(set(QUERIES) - set(HEADLINE))
+    print(
+        f"bench: timed {len(HEADLINE)} headline queries; "
+        f"excluded {len(excluded)}: {' '.join(excluded)}",
+        file=sys.stderr,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
-    total = round(sum(timings.values()), 3)
+
     # The driver's artifact capture keeps the TAIL of output (BENCH_r07
     # and r08 arrived with the full JSON line truncated from the front
     # and `parsed` null — judge r7 #3, r8 #4). Defenses:
@@ -295,46 +291,59 @@ def main() -> None:
     #     plus both calibration probe readings) small enough that a
     #     tail cap can never cut it — the driver's `parsed` is never
     #     null again, and a contended run indicts itself via
-    #     calib_start/end_sec right in the parsed artifact.
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
-        "sf": sf_val,
-    }
-    summary = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "sf": sf_val,
-        "n_queries": len(timings),
-        "timing": "min_of_2_sweeps",
-        "calib_start_sec": calib_start,
-        "calib_end_sec": calib_end,
-        "queries": dict(slowest[:10]),
-        "full_map": "previous JSON line (fastest-first)",
-    }
-    # no-silent-caps (r5-verdict task 4): name what this bench does NOT
-    # time, every run, on stderr (stdout stays machine-parseable). The
-    # excluded set was full-swept once at sf0.1 (PERF.md r6) and its
-    # top-5 most expensive members promoted into HEADLINE.
-    excluded = sorted(set(QUERIES) - set(HEADLINE))
-    print(
-        f"bench: timed {len(HEADLINE)} headline queries; "
-        f"excluded {len(excluded)}: {' '.join(excluded)}",
-        file=sys.stderr,
-    )
-    top, rest = slowest[:40], slowest[40:]
-    print(
-        f"bench epilogue: top {len(top)} of {len(timings)} slowest-first"
-        + (f" ({len(rest)} faster omitted, sum {round(sum(t for _, t in rest), 3)}s)" if rest else "")
-    )
-    for name, t in top:
-        print(f"  {t:8.3f}s {name}")
-    print(json.dumps(out))
-    print(json.dumps(summary))
+    #     calib_start/end_sec right in the parsed artifact;
+    # (d) the full artifact (epilogue + both JSON lines) prints after
+    #     EVERY sweep, not once at the end — if a driver-side timeout
+    #     kills the process mid-sweep-2, the stdout tail still holds
+    #     sweep 1's complete, parseable artifact (labeled by the
+    #     `sweeps_done` field).
+    def emit(timings: dict[str, float], sweeps_done: int, calib_end) -> None:
+        total = round(sum(timings.values()), 3)
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        out = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+            "sf": sf_val,
+        }
+        summary = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "timing": f"min_of_{sweeps_done}_sweeps",
+            "calib_start_sec": calib_start,
+            "calib_end_sec": calib_end,
+            "sweeps_done": sweeps_done,
+            "queries": dict(slowest[:10]),
+            "full_map": "previous JSON line (fastest-first)",
+        }
+        top, rest = slowest[:40], slowest[40:]
+        print(
+            f"bench epilogue (after sweep {sweeps_done}): top {len(top)} "
+            f"of {len(timings)} slowest-first"
+            + (f" ({len(rest)} faster omitted, sum {round(sum(t for _, t in rest), 3)}s)" if rest else "")
+        )
+        for name, t in top:
+            print(f"  {t:8.3f}s {name}")
+        print(json.dumps(out))
+        print(json.dumps(summary), flush=True)
+
+    timings: dict[str, float] = {}
+    for sweep in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            materialize(df)
+            t = time.perf_counter() - t0
+            # release build-time persist marks pinned onto the result
+            # (caching.pin) so one query's cached blocks don't linger
+            # under the rest of the sweep
+            caching.release(df)
+            timings[name] = round(min(timings.get(name, t), t), 3)
+        emit(timings, sweep + 1, calibration_probe(spark))
 
 
 if __name__ == "__main__":
