@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vector_database_app_spark.registry import ORACLE, QUERIES  # noqa: E402
+from vector_database_app_spark.registry import (  # noqa: E402
+    ORACLE,
+    QUERIES,
+    TWINS,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,3 +44,13 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each oracle-checkable query; entries absent
     here (LSH/minhash internals, Arrow UDF stages) are rows-only by design."""
     return dict(ORACLE)
+
+
+def twins() -> dict[str, dict[str, str]]:
+    """Rows-only → value-oracled-twin map: for every `queries()` key with
+    no `oracle_sql()` entry, the value-oracled query covering the closest
+    checkable slice of its semantics (`twin`) and why the query itself
+    cannot carry a cross-engine value oracle (`reason`). Mechanically
+    checkable: keys == queries() − oracle_sql(); every `twin` is a live
+    oracle_sql() key (asserted in tests/test_driver_compat.py)."""
+    return {k: dict(v) for k, v in TWINS.items()}

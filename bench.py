@@ -190,6 +190,9 @@ HEADLINE = [
     "rollup_incremental",
     "quantile_histogram",
     "lm_kneser_ney",
+    # round-10 additions
+    "crossmodal_leakage",
+    "span_grain_sweep",
 ]
 
 
@@ -297,8 +300,11 @@ def main() -> None:
     #     kills the process mid-sweep-2, the stdout tail still holds
     #     sweep 1's complete, parseable artifact (labeled by the
     #     `sweeps_done` field).
-    def emit(timings: dict[str, float], sweeps_done: int, calib_end) -> None:
-        total = round(sum(timings.values()), 3)
+    def emit(raw: dict[str, float], sweeps_done: int, calib_end) -> None:
+        # timings arrive as RAW floats; all rounding happens here so the
+        # cross-sweep min upstream compares like with like
+        timings = {k: round(v, 3) for k, v in raw.items()}
+        total = round(sum(raw.values()), 3)
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
         out = {
             "metric": "headline_queries_total_runtime",
@@ -342,7 +348,10 @@ def main() -> None:
             # (caching.pin) so one query's cached blocks don't linger
             # under the rest of the sweep
             caching.release(df)
-            timings[name] = round(min(timings.get(name, t), t), 3)
+            # keep RAW floats here; emit() rounds — rounding inside the
+            # min would compare sweep-2's raw timing against sweep-1's
+            # already-rounded value (r9-judge advice)
+            timings[name] = min(timings.get(name, t), t)
         emit(timings, sweep + 1, calibration_probe(spark))
 
 

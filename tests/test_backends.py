@@ -103,7 +103,7 @@ def test_gen_backend_registry(spark):
     assert L.resolve_gen_backend("stub") is L.stub_generate
     assert L.from_conf(spark) is L.stub_generate  # default off-path safe
     with pytest.raises(ValueError, match="unknown LLM backend"):
-        L.resolve_gen_backend("claude")
+        L.resolve_gen_backend("no-such-backend")
     # reference response-model routing keys resolve (vector_db.py:40-64)
     assert L.resolve_gen_backend("openai-gpt-4o") is L.gpt_generate
     assert L.resolve_gen_backend("local-mistral-3") is L.mistral_generate

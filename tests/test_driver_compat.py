@@ -78,3 +78,32 @@ def test_every_oracle_has_a_query():
 
     orphans = sorted(set(ORACLE) - set(QUERIES))
     assert not orphans, f"ORACLE entries without a QUERIES entry: {orphans}"
+
+
+def test_twins_map_covers_every_rows_only_query():
+    """The rows-only → value-oracled-twin map (registry.TWINS, exported
+    as __spark_entry__.twins()) must be mechanically in sync: one entry
+    per rows-only query (QUERIES key with no ORACLE SQL), every named
+    twin live in QUERIES AND value-oracled in ORACLE, and no twin
+    rows-only itself (a rows-only 'twin' would cover nothing)."""
+    from vector_database_app_spark.registry import ORACLE, QUERIES, TWINS
+
+    rows_only = set(QUERIES) - set(ORACLE)
+    assert set(TWINS) == rows_only, (
+        sorted(rows_only - set(TWINS)), sorted(set(TWINS) - rows_only))
+    for name, spec in TWINS.items():
+        assert set(spec) == {"twin", "reason"}, name
+        twin = spec["twin"]
+        assert twin in QUERIES, (name, twin)
+        assert twin in ORACLE, (name, twin)
+        assert spec["reason"].strip(), name
+
+
+def test_twins_exported_through_entry_module():
+    import __spark_entry__ as E
+
+    t = E.twins()
+    assert set(t) == set(E.queries()) - set(E.oracle_sql())
+    # mutation of the returned map must not touch the registry
+    t.clear()
+    assert E.twins()

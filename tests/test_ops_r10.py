@@ -1,0 +1,160 @@
+"""Round-10 additions: integer-exact histogram binning on bin edges
+(the r9-judge advice item), plus constructed-input semantics for the
+round-10 op batch."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pyspark.sql.functions as F
+
+from vector_database_app_spark.operators import relational
+
+
+def _exact_bin(v: float) -> int:
+    """Reference bin via exact decimal arithmetic: HALF_UP round to 4
+    decimals (Spark/DuckDB round semantics), scale by 1e4 (exact on
+    DECIMAL(18,4)), floor-divide by the bin width."""
+    scaled = int(
+        (Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        * 10000
+    )
+    return scaled // relational.HIST_BIN_WIDTH  # Python // floors
+
+
+def test_bin_values_integer_exact_on_bin_edges(spark):
+    """Values sitting EXACTLY on bin edges (multiples of 0.25) land in
+    the bin they open, negatives floor (not truncate), 4-decimal
+    values adjacent to an edge stay on their side, and the DuckDB
+    oracle expression (registry ORACLE["quantile_histogram"]'s binned
+    CTE) produces byte-identical bins on the same inputs — the
+    decimal-cast scaling is what makes all three engines (Spark,
+    DuckDB, this pure-decimal reference) agree."""
+    edge_vals = [
+        0.0, 0.25, 0.5, 0.75, 1.0, 2.75, 56.75, 1234.75,
+        -0.25, -0.5, -2.75,            # negative edges: floor, not trunc
+        0.2499, 0.2501, -0.2499, -0.2501,  # one grid-step off an edge
+        3.0825, 8.2, 0.07, 0.1234,     # not binary-representable
+        0.00005, -0.00005,             # HALF_UP rounding at the 4th place
+    ]
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", v) for i, v in enumerate(edge_vals)],
+        "event_type string, value double",
+    )
+    rows = relational.bin_values(
+        df, key_col="event_type", value_col="value"
+    ).collect()
+    # re-derive per-(key,bin) expected counts from the exact reference
+    want: dict[tuple[str, int], int] = {}
+    for i, v in enumerate(edge_vals):
+        k = (f"k{i % 3}", _exact_bin(v))
+        want[k] = want.get(k, 0) + 1
+    got = {(r.key, r.bin): r.c for r in rows}
+    assert got == want
+
+    # engine parity: the oracle's binned-CTE expression on DuckDB
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"event_type": [f"k{i % 3}" for i in range(len(edge_vals))],
+         "value": edge_vals}
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    ora = con.execute(
+        """
+        SELECT event_type AS key,
+               CAST(floor(CAST(CAST(round(value, 4) AS DECIMAL(18,4))
+                               * 10000 AS BIGINT) / 2500)
+                    AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert {(k, b): c for k, b, c in ora} == want
+
+
+def test_bin_values_edge_value_opens_its_bin(spark):
+    """The interpolation contract depends on an edge value v=0.25k
+    binning as k (half-open [k·w, (k+1)·w) buckets): estimates from a
+    pile of identical edge values must equal that value exactly."""
+    df = spark.createDataFrame(
+        [("t", 0.75)] * 100, "event_type string, value double"
+    )
+    binned = relational.bin_values(df, key_col="event_type", value_col="value")
+    (b,) = binned.collect()
+    assert (b.bin, b.c) == (3, 100)
+
+
+def test_duplicate_spans_grain_semantics(spark):
+    """The span sweep's premise: a shared run shorter than the grain is
+    invisible; at or above the grain it is found and merged into one
+    maximal span. Two docs share exactly a 6-word run."""
+    from vector_database_app_spark.operators import textops
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} one two three four five six", "s"),
+            (1, f"zero nine {shared} eight seven six five", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # grain 4: the 6-word run yields 3 sliding windows in each doc; doc 1
+    # (later id) owns none — one merged span of words [2, 7]
+    got4 = {(r.doc_id, r.span_start, r.span_end, r.span_words, r.n_windows)
+            for r in textops.duplicate_spans(docs, n=4).collect()}
+    assert got4 == {(1, 2, 7, 6, 3)}
+    # grain 8: no 8-word window is shared — the run escapes
+    assert textops.duplicate_spans(docs, n=8).count() == 0
+
+
+def test_span_grain_sweep_matches_per_grain_recompute(spark):
+    """The sweep rows equal independent duplicate_spans runs aggregated
+    per grain, on the same 20% subcorpus with the same denominator."""
+    import pyspark.sql.functions as F
+
+    from vector_database_app_spark.operators import textops
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.grain_n: (r.n_docs_affected, r.n_spans, r.dup_words,
+                       r.cut_permille)
+           for r in QUERIES["span_grain_sweep"](spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    total = docs.agg(F.sum(F.size(words))).collect()[0][0]
+    for n in (4, 8, 12, 16):
+        spans = textops.duplicate_spans(docs, n=n).collect()
+        dup_words = sum(r.span_words for r in spans)
+        want = (len({r.doc_id for r in spans}), len(spans), dup_words,
+                1000 * dup_words // total)
+        assert got[n] == want, (n, got[n], want)
+
+
+def test_crossmodal_leakage_composition_invariants(spark):
+    """crossmodal_leakage must agree with the three standalone modality
+    queries it composes (pair counts per modality) and keep its own
+    arithmetic consistent (caught + escaped == pairs, permille formula,
+    escaped_max_jaccard < 0.5 whenever anything escapes)."""
+    from vector_database_app_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.modality: r
+            for r in QUERIES["crossmodal_leakage"](spark, sf).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    standalone = {
+        "image": QUERIES["image_dedup_ahash"],
+        "audio": QUERIES["audio_dedup_fingerprint"],
+        "video": QUERIES["video_dedup_framehash"],
+    }
+    for m, r in rows.items():
+        assert r.n_caught + r.n_escaped == r.n_pairs
+        assert r.catch_permille == 1000 * r.n_caught // r.n_pairs
+        assert r.n_pairs == standalone[m](spark, sf).count()
+        if r.n_escaped:
+            assert -1.0 <= r.escaped_max_jaccard < 0.5
+        else:
+            assert r.escaped_max_jaccard == -1.0
