@@ -193,6 +193,8 @@ HEADLINE = [
     # round-10 additions
     "crossmodal_leakage",
     "span_grain_sweep",
+    "distinct_kmv",
+    "distinct_kmv_merge",
 ]
 
 

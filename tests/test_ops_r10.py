@@ -158,3 +158,29 @@ def test_crossmodal_leakage_composition_invariants(spark):
             assert -1.0 <= r.escaped_max_jaccard < 0.5
         else:
             assert r.escaped_max_jaccard == -1.0
+
+
+def test_distinct_kmv_estimator_tracks_exact(spark):
+    """KMV estimate within the expected relative error (~1/sqrt(k-1) ≈
+    12.6% at k=64; assert 3σ) for keys past the sketch size, EXACT for
+    keys under it, and the per-day merge path equals the direct sketch
+    (mergeability) at sf0.001."""
+    from vector_database_app_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.event_type: r
+            for r in QUERIES["distinct_kmv"](spark, sf).collect()}
+    assert rows
+    for t, r in rows.items():
+        assert r.n_sketch == min(64, r.n_exact if r.n_exact < 64 else 64)
+        if r.n_sketch < 64:
+            # under the sketch size the hash count IS the distinct count
+            # (no 56-bit collisions at this scale)
+            assert r.est_distinct == r.n_sketch == r.n_exact
+        else:
+            assert abs(r.est_distinct - r.n_exact) <= 0.38 * r.n_exact, (
+                t, r.est_distinct, r.n_exact)
+    merged = {r.event_type: (r.n_sketch, r.kth_min, r.est_distinct)
+              for r in QUERIES["distinct_kmv_merge"](spark, sf).collect()}
+    assert merged == {t: (r.n_sketch, r.kth_min, r.est_distinct)
+                      for t, r in rows.items()}

@@ -961,3 +961,42 @@ def test_stream_rollup_incremental_equals_batch(spark, tmp_path):
     # compaction kept the listing bounded
     kids = os.listdir(store_dir)
     assert len([k for k in kids if k.startswith("compact=")]) <= 2, kids
+
+
+def test_stream_distinct_kmv_equals_batch(spark, tmp_path):
+    """Streaming KMV distinct monitoring (SW.run_stream_distinct_kmv):
+    events replayed in three waves; after the drain the per-key sketch
+    and estimate equal the batch distinct_kmv_merge query row-for-row
+    (the k smallest overall are each among their batch's k smallest).
+    Compaction forced every 2 batches."""
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    for i in range(3):
+        ev.filter(f"event_id % 3 = {i}").coalesce(1).write.parquet(
+            str(arrivals / f"w{i}")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_distinct_kmv(
+            stream, store_dir, out_dir, ckpt, compact_every=2
+        )
+
+    def keyed(df):
+        return {(r.event_type, r.n_sketch, r.kth_min, r.est_distinct)
+                for r in df.collect()}
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["distinct_kmv_merge"](spark, SF))
+    assert got == want

@@ -13816,6 +13816,174 @@ ORACLE["span_grain_sweep"] = f"""
 """
 
 
+_KMV_K = 64
+_KMV_M = 1 << 56  # hash range: 14 md5 hex chars = 56 bits
+
+
+def _kmv_hash(col):
+    """56-bit md5-derived integer hash — deterministic and replayable
+    on both engines (the mlm_masking/minhash_md5 recipe), sized so
+    (k-1)·M fits signed-64: 63·2^56 ≈ 4.54e18 < 2^63."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 14), 16, 10
+    ).cast("bigint")
+
+
+def q_distinct_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch per event_type — the
+    VALUE-ORACLED mergeable distinct path (Bar-Yossef et al. 2002): the
+    sketch is the k=64 smallest 56-bit md5 hashes of the distinct user
+    ids, and the estimate (k-1)·M/h_k is a pure integer function of the
+    kth minimum — so unlike HLL (agg_hll_rollup: engine-internal
+    DataSketches bytes, rows-only by design) the ENTIRE trajectory
+    replays in DuckDB and the driver value-checks it. n_exact rides
+    along so the estimate's error is visible in the same row; keys with
+    fewer than k distinct hashes report exactly (est = n_sketch).
+
+    Scale shape: one distinct-agg shuffle on (event_type, h) — the same
+    shuffle exact distinct pays — then TWO-PHASE k-min selection: a
+    window per (event_type, pmod(h, 32)) salt group prunes to ≤ 32·k
+    candidates per key (the global k smallest are each among their salt
+    group's k smallest), so the final per-key window never sorts the
+    full distinct set through one task (a 5-key events table would
+    otherwise sort millions of hashes per task at 100 TB). The 100 TB
+    win is the MERGE story: per-day k-min sketches (|days|·k rows)
+    re-aggregate to any coarser grain without rescanning facts —
+    proved at value level by distinct_kmv_merge."""
+    ev = _t(spark, sf_dir, "events")
+    h = _kmv_hash(F.col("user_id"))
+    dist = ev.select("event_type", h.alias("h")).distinct()
+    salt_w = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(32))
+    ).orderBy("h")
+    cand = (
+        dist.withColumn("rn", F.row_number().over(salt_w))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    mins = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    sk = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("h").cast("bigint").alias("kth_min"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_sketch",
+        "kth_min",
+        F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch"))
+        .otherwise(
+            F.expr(f"CAST({_KMV_K - 1} * {_KMV_M} DIV kth_min AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+QUERIES["distinct_kmv"] = q_distinct_kmv
+
+_KMV_SQL_CORE = f"""
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+                   ::BIGINT AS h
+        FROM events
+"""
+
+ORACLE["distinct_kmv"] = f"""
+    WITH d AS ({_KMV_SQL_CORE}
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM d
+    ), sk AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+               CAST(max(h) AS BIGINT) AS kth_min
+        FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact, s.n_sketch, s.kth_min,
+           CAST(CASE WHEN s.n_sketch < {_KMV_K} THEN s.n_sketch
+                     ELSE {_KMV_K - 1} * {_KMV_M} // s.kth_min END
+                AS BIGINT) AS est_distinct
+    FROM sk s JOIN ex e USING (event_type)
+"""
+
+
+def q_distinct_kmv_merge(spark, sf_dir):
+    """KMV mergeability proved at query level (the rollup_incremental
+    discipline applied to the distinct sketch): build PER-DAY k-min
+    sketches — the state a 100 TB pipeline persists next to its daily
+    rollup, |days|·k rows — then merge them to per-type sketches by
+    re-taking the k smallest distinct hashes across days, WITHOUT
+    rescanning the facts. The k smallest overall are each among their
+    own day's k smallest, so merged == direct by construction — and the
+    DuckDB oracle IS the direct whole-corpus KMV: the value match is
+    the mergeability proof. Same estimator columns as distinct_kmv
+    minus n_exact (the merge path never touches raw facts)."""
+    ev = _t(spark, sf_dir, "events")
+    h = _kmv_hash(F.col("user_id"))
+    day = (
+        F.expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+        .cast("bigint")
+        .alias("day")
+    )
+    dist_day = ev.select("event_type", day, h.alias("h")).distinct()
+    w_day = Window.partitionBy("event_type", "day").orderBy("h")
+    daily = dist_day.withColumn("rn", F.row_number().over(w_day)).where(
+        F.col("rn") <= _KMV_K
+    )
+    merged = daily.select("event_type", "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    mins = merged.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    return mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("h").cast("bigint").alias("kth_min"),
+    ).select(
+        "event_type",
+        "n_sketch",
+        "kth_min",
+        F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch"))
+        .otherwise(
+            F.expr(f"CAST({_KMV_K - 1} * {_KMV_M} DIV kth_min AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+QUERIES["distinct_kmv_merge"] = q_distinct_kmv_merge
+
+ORACLE["distinct_kmv_merge"] = f"""
+    -- the DIRECT whole-corpus KMV: equality with Spark's per-day
+    -- build-then-merge is the mergeability proof
+    WITH d AS ({_KMV_SQL_CORE}
+    ), r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM d
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+           CAST(max(h) AS BIGINT) AS kth_min,
+           CAST(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                     ELSE {_KMV_K - 1} * {_KMV_M} // max(h) END
+                AS BIGINT) AS est_distinct
+    FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -14113,13 +14281,18 @@ _DRIVER_WINDOW_R10 = [
 ]
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
-# 50 above, the staleness ledger's next-up block is the r4 tail
-# (sample_stratified, stream_attribution, text_normalize,
-# timeseries_gapfill, top_terms_per_lang) plus the r5-only-green
-# block, plus any round-10 additions (which go FIRST, per the
-# rounds-6-10 discipline). Regenerate the concrete 50 from the
-# ledger script in PERF.md §"Canonical coverage ledger" at round-10
-# close and pre-verify with the sf0.01 mirror before shipping.
+# 50 above, the never-windowed oracle-backed remainder is exactly the
+# FOUR round-10 additions — crossmodal_leakage, span_grain_sweep,
+# distinct_kmv, distinct_kmv_merge (each verified at sf0.001 + sf0.01
+# + sf0.1 + all four structural gates) — they go FIRST, per the
+# rounds-6-10 discipline. The remaining 46 slots re-confirm by
+# staleness: the r4-only-green tail (5): sample_stratified,
+# stream_attribution, text_normalize, timeseries_gapfill,
+# top_terms_per_lang; then the first 41 of the r5-only-green block
+# (alphabetical; regenerate from the ledger script in PERF.md
+# §"Canonical coverage ledger" at round-11 start — window-10 members
+# count as round 10). Pre-verify the concrete 50 with the sf0.01
+# mirror before shipping (rounds 6-10 discipline).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest

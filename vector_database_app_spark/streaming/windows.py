@@ -1415,3 +1415,77 @@ def run_stream_rollup_incremental(
         view_fn=_view,
         compact_every=compact_every,
     )
+
+
+def run_stream_distinct_kmv(
+    event_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    compact_every: int = 8,
+) -> None:
+    """Continuous distinct-count monitoring — the streaming twin of the
+    batch `distinct_kmv` registry query: per-key KMV sketches (the k=64
+    smallest 56-bit md5 hashes of the user ids) maintained incrementally.
+    Each micro-batch reduces ITS OWN events to per-key k-minima rows
+    (bounded: ≤ k per key per batch), and the merge re-takes the k
+    smallest distinct hashes across accumulated state — the k smallest
+    overall are each among their batch's k smallest, so after any drain
+    the sketch (and hence the estimate) is IDENTICAL to the batch
+    `distinct_kmv_merge` computation over the same facts: parity pinned
+    in tests/test_streaming.py. State, deltas and the out view are all
+    k·|keys|-sized; _run_delta_merge_stream's compaction keeps the
+    listing bounded."""
+    from ..registry import _KMV_K, _KMV_M, _kmv_hash
+
+    def _kmin(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+        )
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        dist = batch_df.select(
+            "event_type", _kmv_hash(F.col("user_id")).alias("h")
+        ).distinct()
+        return _kmin(dist)
+
+    def _merge(df: DataFrame) -> DataFrame:
+        return _kmin(df.distinct())
+
+    def _view(merged: DataFrame) -> DataFrame:
+        return (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+                F.max("h").cast("bigint").alias("kth_min"),
+            )
+            .select(
+                "event_type",
+                "n_sketch",
+                "kth_min",
+                F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch"))
+                .otherwise(
+                    F.expr(
+                        f"CAST({_KMV_K - 1} * {_KMV_M} DIV kth_min "
+                        "AS BIGINT)"
+                    )
+                )
+                .cast("bigint")
+                .alias("est_distinct"),
+            )
+        )
+
+    _run_delta_merge_stream(
+        event_stream,
+        store_dir,
+        out_dir,
+        checkpoint_dir,
+        delta_fn=_delta,
+        merge_fn=_merge,
+        view_fn=_view,
+        compact_every=compact_every,
+    )
