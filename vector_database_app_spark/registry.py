@@ -14286,13 +14286,33 @@ _DRIVER_WINDOW_R10 = [
 # distinct_kmv, distinct_kmv_merge (each verified at sf0.001 + sf0.01
 # + sf0.1 + all four structural gates) — they go FIRST, per the
 # rounds-6-10 discipline. The remaining 46 slots re-confirm by
-# staleness: the r4-only-green tail (5): sample_stratified,
-# stream_attribution, text_normalize, timeseries_gapfill,
-# top_terms_per_lang; then the first 41 of the r5-only-green block
-# (alphabetical; regenerate from the ledger script in PERF.md
-# §"Canonical coverage ledger" at round-11 start — window-10 members
-# count as round 10). Pre-verify the concrete 50 with the sf0.01
-# mirror before shipping (rounds 6-10 discipline).
+# staleness (max green round per query, window-10 members counting as
+# round 10; regenerated from the ledger script in PERF.md §"Canonical
+# coverage ledger" at round-10 close): the r4-only-green tail (5),
+# the whole r5-only-green block (8), and the first 33 of the
+# r6-only-green block (alphabetical). The concrete 50, PRE-VERIFIED
+# with the sf0.01 mirror at round-10 close — next round: paste as
+# _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run the
+# mirror before shipping:
+#   crossmodal_leakage, span_grain_sweep, distinct_kmv,
+#   distinct_kmv_merge (the 4 never-windowed, FIRST),
+#   then the r4 tail (5): sample_stratified, stream_attribution,
+#   text_normalize, timeseries_gapfill, top_terms_per_lang,
+#   then the r5-only-green block (8): customer_rfm, embedding_drift,
+#   events_props_json, events_stickiness, events_wow_growth,
+#   market_basket, region_trade_balance, supplier_lead_time,
+#   then the first 33 of the r6-only-green block (alphabetical):
+#   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
+#   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
+#   ann_recall, ann_srp, audio_features_wav, bpe_encode,
+#   char_entropy, corpus_bootstrap_ci, corpus_pipeline,
+#   cross_source_overlap, dedup_anti_join, dedup_clusters,
+#   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
+#   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
+#   dedup_prune, dedup_semantic, dedup_similarity_join,
+#   dedup_threshold_sweep, dedup_winnow, domain_cap, events_ab_test,
+#   events_ewma, events_forecast_baseline
+#   (the r6 remainder slides to window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
