@@ -195,6 +195,7 @@ HEADLINE = [
     "span_grain_sweep",
     "distinct_kmv",
     "distinct_kmv_merge",
+    "graph_link_prediction",
 ]
 
 

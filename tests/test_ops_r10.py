@@ -184,3 +184,48 @@ def test_distinct_kmv_estimator_tracks_exact(spark):
               for r in QUERIES["distinct_kmv_merge"](spark, sf).collect()}
     assert merged == {t: (r.n_sketch, r.kth_min, r.est_distinct)
                       for t, r in rows.items()}
+
+
+def test_graph_link_prediction_constructed_scores(spark, tmp_path):
+    """Hand-checkable bipartite graph: suppliers 1,2 share customers
+    10,11; suppliers 2,3 share customer 11. Degrees: c10={1,2} (deg 2),
+    c11={1,2,3} (deg 3). CN(1,2)=2, CN(1,3)=CN(2,3)=1; Jaccard and
+    Adamic-Adar from the same arithmetic the op promises (terms rounded
+    to 6dp then summed exactly). Also: a hub customer linked to
+    everything is excluded from pair generation (recall-only cap)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from vector_database_app_spark.registry import (
+        _LP_MAX_CUST_DEG,
+        q_graph_link_prediction,
+    )
+
+    # order/lineitem fixture: o_orderkey % 4 == 0 so every row enters
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (11, 3)]
+    # hub customer 99 connected to every supplier — must be capped out
+    rows += [(99, s) for s in range(1, _LP_MAX_CUST_DEG + 3)]
+    orders = spark.createDataFrame(
+        [(4 * i, c) for i, (c, _) in enumerate(rows)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [(4 * i, s) for i, (_, s) in enumerate(rows)],
+        "l_orderkey long, l_suppkey long",
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(f"{sf}/orders.parquet")
+    li.write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {(r.s_a, r.s_b): (r.common_neighbors, r.jaccard, r.adamic_adar)
+           for r in q_graph_link_prediction(spark, sf).collect()}
+    t2 = round(1.0 / math.log(2), 6)
+    t3 = round(1.0 / math.log(3), 6)
+    # kept-graph supplier degrees: s1=2, s2=2, s3=1
+    want = {
+        (1, 2): (2, round(2 / (2 + 2 - 2), 6), round(t2 + t3, 6)),
+        (1, 3): (1, round(1 / (2 + 1 - 1), 6), t3),
+        (2, 3): (1, round(1 / (2 + 1 - 1), 6), t3),
+    }
+    assert got == want

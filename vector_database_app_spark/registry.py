@@ -13984,6 +13984,147 @@ ORACLE["distinct_kmv_merge"] = f"""
 """
 
 
+_LP_MAX_CUST_DEG = 64  # hub cap: customers linked to more suppliers carry no pair signal
+_LP_TOP = 50
+
+
+def q_graph_link_prediction(spark, sf_dir):
+    """Link prediction over the supplier↔customer trade graph
+    (Liben-Nowell & Kleinberg 2003): for supplier pairs sharing at
+    least one customer, the three classic neighborhood scores —
+    common-neighbor count, neighbor-set Jaccard, and Adamic-Adar
+    (Σ 1/ln deg(z) over shared customers z; deg(z) ≥ 2 by
+    construction, so the log is never zero) — the "suppliers serving
+    the same customers" affinity a procurement graph reads. Top-50 by
+    (Adamic-Adar, common-neighbors, pair id) so the output is bounded
+    and deterministic.
+
+    Determinism: each 1/ln(deg) term is rounded to 6 dp and summed as
+    exact DECIMAL(18,6) (the lm_kneser_ney quantized-log discipline),
+    so the ranking key is engine-exact. Scale shape: the pair
+    generator is a customer-keyed self-join whose fan-out is bounded
+    by the HUB CAP — customers adjacent to more than 64 suppliers are
+    excluded from candidate generation (the boilerplate-n-gram df-cap
+    discipline: a near-universal hub contributes no discriminative
+    signal and only quadratic pairs; recall-only, documented), then
+    one pair-keyed hash agg, two broadcast-sized degree joins, and
+    TakeOrderedAndProject for the top-50. Runs on the deterministic
+    o_orderkey % 4 = 0 order slice (the LPA precedent — the oracle
+    replays the full pair set, quadratic in DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    cdeg = edges.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cdeg")
+    )
+    kept = edges.join(
+        cdeg.where(
+            (F.col("cdeg") >= 2) & (F.col("cdeg") <= _LP_MAX_CUST_DEG)
+        ),
+        "cust",
+    )
+    sdeg = kept.groupBy("supp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdeg")
+    )
+    a = kept.select(
+        "cust", F.col("supp").alias("s_a"), F.col("cdeg").alias("_d")
+    )
+    b = kept.select("cust", F.col("supp").alias("s_b"))
+    term = F.round(F.lit(1.0) / F.log(F.col("_d")), 6).cast(
+        "decimal(18,6)"
+    )
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(term).cast("decimal(18,6)").alias("adamic_adar"),
+        )
+    )
+    scored = (
+        pairs.join(
+            sdeg.select(F.col("supp").alias("s_a"),
+                        F.col("sdeg").alias("_da")),
+            "s_a",
+        )
+        .join(
+            sdeg.select(F.col("supp").alias("s_b"),
+                        F.col("sdeg").alias("_db")),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.col("adamic_adar").cast("double").alias("adamic_adar"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("adamic_adar"),
+        F.desc("common_neighbors"),
+        "s_a",
+        "s_b",
+    ).limit(_LP_TOP)
+
+
+QUERIES["graph_link_prediction"] = q_graph_link_prediction
+
+ORACLE["graph_link_prediction"] = f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 4 = 0
+    ), cdeg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS cdeg
+        FROM edges GROUP BY cust
+    ), kept AS (
+        SELECT e.cust, e.supp, c.cdeg
+        FROM edges e JOIN cdeg c USING (cust)
+        WHERE c.cdeg >= 2 AND c.cdeg <= {_LP_MAX_CUST_DEG}
+    ), sdeg AS (
+        SELECT supp, CAST(count(*) AS BIGINT) AS sdeg
+        FROM kept GROUP BY supp
+    ), pairs AS (
+        SELECT a.supp AS s_a, b.supp AS s_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(CAST(round(1.0 / ln(a.cdeg), 6)
+                             AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                   AS adamic_adar
+        FROM kept a JOIN kept b
+          ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+    )
+    SELECT p.s_a, p.s_b, p.common_neighbors,
+           round(p.common_neighbors
+                 / (da.sdeg + db.sdeg - p.common_neighbors), 6)
+               AS jaccard,
+           CAST(p.adamic_adar AS DOUBLE) AS adamic_adar
+    FROM pairs p
+    JOIN sdeg da ON da.supp = p.s_a
+    JOIN sdeg db ON db.supp = p.s_b
+    ORDER BY CAST(p.adamic_adar AS DOUBLE) DESC,
+             p.common_neighbors DESC, p.s_a, p.s_b
+    LIMIT {_LP_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -14282,26 +14423,27 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# FOUR round-10 additions — crossmodal_leakage, span_grain_sweep,
-# distinct_kmv, distinct_kmv_merge (each verified at sf0.001 + sf0.01
-# + sf0.1 + all four structural gates) — they go FIRST, per the
-# rounds-6-10 discipline. The remaining 46 slots re-confirm by
-# staleness (max green round per query, window-10 members counting as
-# round 10; regenerated from the ledger script in PERF.md §"Canonical
-# coverage ledger" at round-10 close): the r4-only-green tail (5),
-# the whole r5-only-green block (8), and the first 33 of the
-# r6-only-green block (alphabetical). The concrete 50, PRE-VERIFIED
-# with the sf0.01 mirror at round-10 close — next round: paste as
-# _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run the
-# mirror before shipping:
+# FIVE round-10 additions — crossmodal_leakage, span_grain_sweep,
+# distinct_kmv, distinct_kmv_merge, graph_link_prediction (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
+# they go FIRST, per the rounds-6-10 discipline. The remaining 45
+# slots re-confirm by staleness (max green round per query, window-10
+# members counting as round 10; regenerated from the ledger script in
+# PERF.md §"Canonical coverage ledger" at round-10 close): the
+# r4-only-green tail (5), the whole r5-only-green block (8), and the
+# first 32 of the r6-only-green block (alphabetical). The concrete 50,
+# PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
+# paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
+# the mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
-#   distinct_kmv_merge (the 4 never-windowed, FIRST),
+#   distinct_kmv_merge, graph_link_prediction
+#   (the 5 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 33 of the r6-only-green block (alphabetical):
+#   then the first 32 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14311,8 +14453,9 @@ _DRIVER_WINDOW_R10 = [
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
 #   dedup_prune, dedup_semantic, dedup_similarity_join,
 #   dedup_threshold_sweep, dedup_winnow, domain_cap, events_ab_test,
-#   events_ewma, events_forecast_baseline
-#   (the r6 remainder slides to window 12).
+#   events_ewma
+#   (events_forecast_baseline and the r6 remainder slide to
+#   window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
