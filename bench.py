@@ -196,6 +196,8 @@ HEADLINE = [
     "distinct_kmv",
     "distinct_kmv_merge",
     "graph_link_prediction",
+    "keywords_rake",
+    "dp_quantile_release",
 ]
 
 

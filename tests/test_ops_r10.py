@@ -229,3 +229,80 @@ def test_graph_link_prediction_constructed_scores(spark, tmp_path):
         (2, 3): (1, round(1 / (2 + 1 - 1), 6), t3),
     }
     assert got == want
+
+
+def test_keywords_rake_constructed_scores(spark, tmp_path):
+    """Hand-checked RAKE arithmetic: phrases split at stopwords, word
+    score = (1e6·deg) DIV freq, phrase score = Σ word scores.
+    Corpus: "fast table scan and quick table scan" + "the table".
+    freq(table)=3 deg(table)=3+3+1=7 → 2333333; fast/quick/scan get
+    3e6 each (scan: freq 2, deg 6)."""
+    from vector_database_app_spark.registry import q_keywords_rake
+
+    docs = spark.createDataFrame(
+        [(0, "fast table scan and quick table scan", "s", "en"),
+         (1, "the table", "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {r.phrase: (r.n_words, r.n_occurrences, r.score_micro)
+           for r in q_keywords_rake(spark, sf).collect()}
+    w_table = 1000000 * 7 // 3
+    assert got == {
+        "fast table scan": (3, 1, 3000000 + w_table + 3000000),
+        "quick table scan": (3, 1, 3000000 + w_table + 3000000),
+        "table": (1, 1, w_table),
+    }
+
+
+def test_dp_quantile_release_mechanism_replay(spark):
+    """The released histogram equals a pure-Python replay of the
+    geometric mechanism (md5 → 48-bit m → G = 48 − bitlen, noise =
+    G1 − G2, clamp at 0, suppress nonpositive cells) applied to the raw
+    bin counts, and the estimator output over it matches the registry
+    query — the mechanism arithmetic end-to-end, independent of both
+    engines."""
+    import hashlib
+
+    from vector_database_app_spark.operators import relational
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    raw = {(r.key, r.bin): r.c
+           for r in relational.bin_values(
+               ev, key_col="event_type", value_col="value").collect()}
+
+    def g(key, b, tag):
+        m = int(hashlib.md5(f"{key}|{b}{tag}".encode()).hexdigest()[:12], 16)
+        return 48 if m == 0 else 48 - m.bit_length()
+
+    released = {}
+    for (k, b), c in raw.items():
+        noisy = max(c + g(k, b, "|g1") - g(k, b, "|g2"), 0)
+        if noisy > 0:
+            released[(k, b)] = noisy
+
+    # estimator replay on the released counts
+    want = {}
+    for k in {k for k, _ in released}:
+        bins = sorted((b, c) for (kk, b), c in released.items() if kk == k)
+        n = sum(c for _, c in bins)
+        ests = []
+        for q in (500, 900, 990):
+            target = (q * n + 999) // 1000
+            cum = 0
+            for b, c in bins:
+                if cum < target <= cum + c:
+                    ests.append(round(
+                        (b * 2500 + (target - cum) / c * 2500) / 10000.0, 6))
+                    break
+                cum += c
+        want[k] = (n, len(bins), *ests)
+
+    got = {r.event_type: (r.n_events, r.n_bins, r.p50_est, r.p90_est,
+                          r.p99_est)
+           for r in QUERIES["dp_quantile_release"](spark, sf).collect()}
+    assert got == want

@@ -13503,15 +13503,19 @@ def q_quantile_histogram(spark, sf_dir):
 
 QUERIES["quantile_histogram"] = q_quantile_histogram
 
-ORACLE["quantile_histogram"] = """
-    WITH binned AS (
+# The binned CTE and the estimator tail are SEPARATE texts so the DP
+# release below composes the SAME estimator over noised counts — the
+# lm_kneser_ney one-SQL-text discipline.
+_QH_BINNED_SQL = """
         SELECT event_type,
                CAST(floor(CAST(CAST(round(value, 4) AS DECIMAL(18,4))
                                * 10000 AS BIGINT) / 2500)
                     AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
-    ), tot AS (
+"""
+
+_QH_EST_SQL = """ tot AS (
         SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM binned
         GROUP BY event_type
     ), cum AS (
@@ -13546,6 +13550,10 @@ ORACLE["quantile_histogram"] = """
     SELECT event_type, n AS n_events, n_bins, p50_est, p90_est, p99_est
     FROM est
 """
+
+ORACLE["quantile_histogram"] = (
+    f"WITH binned AS ({_QH_BINNED_SQL}),{_QH_EST_SQL}"
+)
 
 
 def q_lm_kneser_ney(spark, sf_dir):
@@ -14125,6 +14133,224 @@ ORACLE["graph_link_prediction"] = f"""
 """
 
 
+#: RAKE phrase-boundary stopwords (Rose et al. 2010 use a full English
+#: list; this fixed inventory is the boundary set BOTH engines split
+#: on — extend it, not the algorithm, for a real corpus).
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+    "with", "at", "by", "or", "as", "it", "be", "are", "was", "that",
+)
+_RAKE_TOP = 50
+
+
+def q_keywords_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal runs of non-stopword tokens (the
+    duplicate_spans gaps-and-islands machinery applied to stopword
+    boundaries instead of duplication), each word scores
+    deg(w)/freq(w) — deg = Σ phrase-length over its occurrences, freq =
+    occurrence count — and a phrase scores the sum of its words'
+    scores. Top-50 phrases by (score, phrase) with occurrence counts:
+    the keyword/topic triage table a corpus curator reads next to
+    top_terms_per_lang and pmi_collocations (which find single terms
+    and word PAIRS; RAKE finds variable-length phrases).
+
+    Integer-exact end to end: word score = (10^6 · deg) DIV freq
+    (micro units), phrase score = Σ integer word scores — identical
+    phrase text ⇒ identical score by construction, so the final
+    phrase-keyed agg is well-defined and the top-50 tiebreak (score
+    DESC, phrase ASC) is total. Scale shape: one posexplode, a
+    doc-partitioned islands window, (doc, island)- then word-keyed
+    hash aggs, one word-keyed join back, TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    ).where(~F.col("word").isin(*RAKE_STOPWORDS))
+    isl = toks.withColumn(
+        "g",
+        F.col("pos")
+        - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    # per-occurrence rows tagged with their phrase's length
+    plen = isl.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    occ = isl.join(plen, ["doc_id", "g"])
+    wscore = occ.groupBy("word").agg(
+        F.expr(
+            "CAST(1000000 * sum(plen) DIV count(*) AS BIGINT)"
+        ).alias("wscore")
+    )
+    phrases = (
+        occ.join(wscore, "word")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").cast("bigint").alias("score_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+QUERIES["keywords_rake"] = q_keywords_rake
+
+_RAKE_SW_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+ORACLE["keywords_rake"] = f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS ws
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t
+        WHERE ws[i] NOT IN ({_RAKE_SW_SQL})
+    ), isl AS (
+        SELECT doc_id, pos, word,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS g
+        FROM toks
+    ), plen AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS plen
+        FROM isl GROUP BY doc_id, g
+    ), occ AS (
+        SELECT i.doc_id, i.g, i.pos, i.word, p.plen
+        FROM isl i JOIN plen p USING (doc_id, g)
+    ), wscore AS (
+        SELECT word,
+               CAST(1000000 * sum(plen) // count(*) AS BIGINT)
+                   AS wscore
+        FROM occ GROUP BY word
+    ), phrases AS (
+        SELECT o.doc_id, o.g,
+               string_agg(o.word, ' ' ORDER BY o.pos) AS phrase,
+               CAST(sum(w.wscore) AS BIGINT) AS score_micro,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM occ o JOIN wscore w USING (word)
+        GROUP BY o.doc_id, o.g
+    )
+    SELECT phrase,
+           CAST(max(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_micro) AS BIGINT) AS score_micro
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY max(score_micro) DESC, phrase
+    LIMIT {_RAKE_TOP}
+"""
+
+
+def q_dp_quantile_release(spark, sf_dir):
+    """MECHANISM AUDIT of a differentially-private quantile release —
+    the dp_release_counts geometric mechanism composed with the
+    quantile_histogram state: the fixed-grid histogram's per-bin
+    counts are each perturbed with two-sided geometric noise
+    (Ghosh-Roughgarden-Sundararajan 2009; counts have sensitivity 1,
+    and the HISTOGRAM is the standard DP quantile mechanism — noise
+    the |bins|-sized state once, then ANY quantile reads for free),
+    nonpositive cells suppressed, and the SAME
+    relational.histogram_quantiles estimator runs over the released
+    counts. This is why the mergeable-histogram state matters for
+    privacy too: the release surface is |bins| cells, never the raw
+    stream.
+
+    The dp_release_counts caveats carry over verbatim: the noise is a
+    DETERMINISTIC md5 function of the public cell key (event_type,
+    bin) — cross-engine replayable, therefore NO ACTUAL PRIVACY
+    GUARANTEE (a production release draws fresh secret randomness);
+    and only OCCUPIED bins are noised (a strict release noises the
+    whole bounded bin domain so absences don't leak) — the mechanism
+    arithmetic, not the publication, is what this query audits.
+    Integer-only inverse-CDF geometric (G = 48 − bitlen(m), ε = ln 2),
+    no float anywhere in the noise path."""
+    from .operators import relational
+
+    ev = _t(spark, sf_dir, "events")
+    binned = relational.bin_values(
+        ev, key_col="event_type", value_col="value"
+    )
+
+    def geom(tag: str):
+        m = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key"),
+                        F.lit("|"),
+                        F.col("bin").cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(m == 0, F.lit(48)).otherwise(
+            F.lit(48) - F.length(F.conv(m.cast("string"), 10, 2))
+        )
+
+    noise = (geom("|g1") - geom("|g2")).cast("bigint")
+    released = binned.select(
+        "key",
+        "bin",
+        F.greatest(F.col("c") + noise, F.lit(0)).cast("bigint").alias("c"),
+    ).where(F.col("c") > 0)
+    return relational.histogram_quantiles(released).withColumnRenamed(
+        "key", "event_type"
+    )
+
+
+QUERIES["dp_quantile_release"] = q_dp_quantile_release
+
+ORACLE["dp_quantile_release"] = f"""
+    WITH rawb AS ({_QH_BINNED_SQL}
+    ), binned AS (
+        SELECT event_type, bin, c FROM (
+            SELECT event_type, bin,
+                   CAST(greatest(
+                       c + (CASE WHEN m1 = 0 THEN 48
+                                 ELSE 48 - len(bin(m1)) END
+                          - CASE WHEN m2 = 0 THEN 48
+                                 ELSE 48 - len(bin(m2)) END),
+                       0) AS BIGINT) AS c
+            FROM (
+                SELECT *,
+                    CAST(('0x' || substr(md5(event_type || '|' ||
+                        CAST(bin AS VARCHAR) || '|g1'), 1, 12))
+                        AS BIGINT) AS m1,
+                    CAST(('0x' || substr(md5(event_type || '|' ||
+                        CAST(bin AS VARCHAR) || '|g2'), 1, 12))
+                        AS BIGINT) AS m2
+                FROM rawb)
+        ) WHERE c > 0
+    ),{_QH_EST_SQL}"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -14423,27 +14649,28 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# FIVE round-10 additions — crossmodal_leakage, span_grain_sweep,
-# distinct_kmv, distinct_kmv_merge, graph_link_prediction (each
-# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
-# they go FIRST, per the rounds-6-10 discipline. The remaining 45
-# slots re-confirm by staleness (max green round per query, window-10
-# members counting as round 10; regenerated from the ledger script in
-# PERF.md §"Canonical coverage ledger" at round-10 close): the
-# r4-only-green tail (5), the whole r5-only-green block (8), and the
-# first 32 of the r6-only-green block (alphabetical). The concrete 50,
-# PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
-# paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
-# the mirror before shipping:
+# SEVEN round-10 additions — crossmodal_leakage, span_grain_sweep,
+# distinct_kmv, distinct_kmv_merge, graph_link_prediction,
+# keywords_rake, dp_quantile_release (each verified at sf0.001 +
+# sf0.01 + sf0.1 + all four structural gates) — they go FIRST, per
+# the rounds-6-10 discipline. The remaining 43 slots re-confirm by
+# staleness (max green round per query, window-10 members counting as
+# round 10; regenerated from the ledger script in PERF.md §"Canonical
+# coverage ledger" at round-10 close): the r4-only-green tail (5),
+# the whole r5-only-green block (8), and the first 30 of the
+# r6-only-green block (alphabetical). The concrete 50, PRE-VERIFIED
+# with the sf0.01 mirror at round-10 close — next round: paste as
+# _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run the
+# mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
-#   distinct_kmv_merge, graph_link_prediction
-#   (the 5 never-windowed, FIRST),
+#   distinct_kmv_merge, graph_link_prediction, keywords_rake,
+#   dp_quantile_release (the 7 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 32 of the r6-only-green block (alphabetical):
+#   then the first 30 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14452,10 +14679,9 @@ _DRIVER_WINDOW_R10 = [
 #   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
 #   dedup_prune, dedup_semantic, dedup_similarity_join,
-#   dedup_threshold_sweep, dedup_winnow, domain_cap, events_ab_test,
-#   events_ewma
-#   (events_forecast_baseline and the r6 remainder slide to
-#   window 12).
+#   dedup_threshold_sweep, dedup_winnow, domain_cap
+#   (events_ab_test, events_ewma, events_forecast_baseline and the
+#   r6 remainder slide to window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
