@@ -198,6 +198,7 @@ HEADLINE = [
     "graph_link_prediction",
     "keywords_rake",
     "dp_quantile_release",
+    "scd_merge_incremental",
 ]
 
 

@@ -306,3 +306,50 @@ def test_dp_quantile_release_mechanism_replay(spark):
                           r.p99_est)
            for r in QUERIES["dp_quantile_release"](spark, sf).collect()}
     assert got == want
+
+
+def test_scd_merge_incremental_carrier_semantics(spark, tmp_path):
+    """The four merge cases, hand-checked: (a) key untouched by the
+    delta passes through; (b) delta continues the open attr — the run
+    FUSES (n_rows adds, version keeps, stays current); (c) delta
+    changes the attr — the open version closes at the first delta date
+    and a new current version opens; (d) a brand-new key versions from
+    1. Output must equal a full scd_type2 rebuild over base+delta."""
+    from vector_database_app_spark.registry import (
+        q_scd_merge_incremental,
+        q_scd_type2,
+    )
+
+    D = "o_custkey long, o_orderpriority string, o_orderdate date, o_orderkey long"
+    rows = [
+        # (a) key 1: base-only, two versions
+        (1, "LOW", "1995-01-01", 1), (1, "HIGH", "1995-06-01", 2),
+        # (b) key 2: open LOW continues in delta
+        (2, "LOW", "1995-02-01", 3), (2, "LOW", "1996-03-01", 4),
+        # (c) key 3: open LOW flips to HIGH in delta
+        (3, "LOW", "1995-03-01", 5), (3, "HIGH", "1996-04-01", 6),
+        # (d) key 4: delta-only
+        (4, "MED", "1996-05-01", 7), (4, "LOW", "1996-06-01", 8),
+    ]
+    import datetime
+
+    orders = spark.createDataFrame(
+        [(k, p, datetime.date.fromisoformat(d), o) for k, p, d, o in rows], D
+    )
+    sf = str(tmp_path)
+    orders.write.parquet(f"{sf}/orders.parquet")
+
+    def keyed(df):
+        return {(r.o_custkey, r.version):
+                (r.o_orderpriority, r.valid_from_us, r.valid_to_us,
+                 r.n_rows, r.is_current)
+                for r in df.collect()}
+
+    got = keyed(q_scd_merge_incremental(spark, sf))
+    want = keyed(q_scd_type2(spark, sf))
+    assert got == want
+    # spot-check the fuse case: key 2 has ONE version with n_rows 2
+    assert got[(2, 1)][3] == 2 and got[(2, 1)][4] is True
+    assert (2, 2) not in got
+    # and the flip case: key 3 version 1 closed at the delta date
+    assert got[(3, 1)][4] is False and got[(3, 2)][4] is True

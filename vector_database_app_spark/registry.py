@@ -14325,6 +14325,115 @@ def q_dp_quantile_release(spark, sf_dir):
     )
 
 
+def q_scd_merge_incremental(spark, sf_dir):
+    """Incremental SCD-Type-2 maintenance — the rollup_incremental IVM
+    discipline applied to DIMENSION HISTORY (Kimball's standard nightly
+    merge, proved at value level): the history table is built once from
+    the base (o_orderdate before 1996-01-01), and the delta batch is
+    APPLIED to it rather than rebuilding — closed versions pass through
+    untouched, open versions of keys absent from the delta pass through
+    untouched, and only keys the delta touches re-run run-detection
+    over (their open version's carrier row + their delta rows). The
+    DuckDB oracle IS the full rebuild over all orders — the value match
+    proves merge == rebuild row-for-row.
+
+    Mechanics: each touched key's OPEN row becomes a 1-row CARRIER
+    (attr + valid_from, tiebreak −1; base dates < cutoff ≤ delta dates,
+    so the carrier always sorts first) through the SAME
+    relational.scd_type2 machinery as the delta rows; afterwards the
+    merged runs shift by the open version's offsets — version += open
+    version − 1, and the carrier run's n_rows += open n_rows − 1 (the
+    carrier stands in for the whole run, not one row). Keys new in the
+    delta get no carrier and version from 1 — exactly the rebuild.
+
+    The 100 TB point: delta-side cost is (delta rows + touched keys),
+    never the history — untouched history is moved, not recomputed,
+    and the split is two keyed semi/anti joins."""
+    cutoff = "date'1996-01-01'"
+    cols = ["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    base = orders.where(F.expr(f"o_orderdate < {cutoff}"))
+    delta = orders.where(F.expr(f"o_orderdate >= {cutoff}"))
+    hist = relational.scd_type2(
+        base, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    open_ = hist.where(F.col("is_current"))
+    closed = hist.where(~F.col("is_current"))
+    dkeys = delta.select("o_custkey").distinct()
+    open_hit = open_.join(dkeys, "o_custkey", "semi")
+    open_rest = open_.join(dkeys, "o_custkey", "anti")
+    carrier = open_hit.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("valid_from").alias("o_orderdate"),
+        F.lit(-1).cast("bigint").alias("o_orderkey"),
+    )
+    merged = relational.scd_type2(
+        carrier.unionByName(delta),
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    offs = open_hit.select(
+        "o_custkey",
+        (F.col("version") - 1).alias("_voff"),
+        (F.col("n_rows") - 1).alias("_noff"),
+    )
+    adjusted = merged.join(offs, "o_custkey", "left").select(
+        "o_custkey",
+        "o_orderpriority",
+        (F.col("version") + F.coalesce("_voff", F.lit(0)))
+        .cast("bigint")
+        .alias("version"),
+        "valid_from",
+        "valid_to",
+        (
+            F.col("n_rows")
+            + F.when(
+                F.col("version") == 1, F.coalesce("_noff", F.lit(0))
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_rows"),
+        "is_current",
+    )
+    keep_cols = [
+        "o_custkey",
+        "o_orderpriority",
+        "version",
+        "valid_from",
+        "valid_to",
+        "n_rows",
+        "is_current",
+    ]
+    out = (
+        closed.select(*keep_cols)
+        .unionByName(open_rest.select(*keep_cols))
+        .unionByName(adjusted.select(*keep_cols))
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderpriority",
+        "version",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "n_rows",
+        "is_current",
+    )
+
+
+QUERIES["scd_merge_incremental"] = q_scd_merge_incremental
+
+# the full rebuild IS the oracle — value equality with the carrier
+# merge above is the IVM proof (the rollup_incremental discipline)
+ORACLE["scd_merge_incremental"] = ORACLE["scd_type2"]
+
+
 QUERIES["dp_quantile_release"] = q_dp_quantile_release
 
 ORACLE["dp_quantile_release"] = f"""
@@ -14649,28 +14758,29 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# SEVEN round-10 additions — crossmodal_leakage, span_grain_sweep,
+# EIGHT round-10 additions — crossmodal_leakage, span_grain_sweep,
 # distinct_kmv, distinct_kmv_merge, graph_link_prediction,
-# keywords_rake, dp_quantile_release (each verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates) — they go FIRST, per
-# the rounds-6-10 discipline. The remaining 43 slots re-confirm by
-# staleness (max green round per query, window-10 members counting as
-# round 10; regenerated from the ledger script in PERF.md §"Canonical
-# coverage ledger" at round-10 close): the r4-only-green tail (5),
-# the whole r5-only-green block (8), and the first 30 of the
-# r6-only-green block (alphabetical). The concrete 50, PRE-VERIFIED
-# with the sf0.01 mirror at round-10 close — next round: paste as
-# _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run the
-# mirror before shipping:
+# keywords_rake, dp_quantile_release, scd_merge_incremental (each
+# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
+# they go FIRST, per the rounds-6-10 discipline. The remaining 42
+# slots re-confirm by staleness (max green round per query, window-10
+# members counting as round 10; regenerated from the ledger script in
+# PERF.md §"Canonical coverage ledger" at round-10 close): the
+# r4-only-green tail (5), the whole r5-only-green block (8), and the
+# first 29 of the r6-only-green block (alphabetical). The concrete 50,
+# PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
+# paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
+# the mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
 #   distinct_kmv_merge, graph_link_prediction, keywords_rake,
-#   dp_quantile_release (the 7 never-windowed, FIRST),
+#   dp_quantile_release, scd_merge_incremental
+#   (the 8 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 30 of the r6-only-green block (alphabetical):
+#   then the first 29 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14679,9 +14789,10 @@ _DRIVER_WINDOW_R10 = [
 #   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
 #   dedup_prune, dedup_semantic, dedup_similarity_join,
-#   dedup_threshold_sweep, dedup_winnow, domain_cap
-#   (events_ab_test, events_ewma, events_forecast_baseline and the
-#   r6 remainder slide to window 12).
+#   dedup_threshold_sweep, dedup_winnow
+#   (domain_cap, events_ab_test, events_ewma,
+#   events_forecast_baseline and the r6 remainder slide to
+#   window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
