@@ -199,6 +199,7 @@ HEADLINE = [
     "keywords_rake",
     "dp_quantile_release",
     "scd_merge_incremental",
+    "video_scene_cuts",
 ]
 
 

@@ -353,3 +353,29 @@ def test_scd_merge_incremental_carrier_semantics(spark, tmp_path):
     assert (2, 2) not in got
     # and the flip case: key 3 version 1 closed at the delta date
     assert got[(3, 1)][4] is False and got[(3, 2)][4] is True
+
+
+def test_video_scene_cuts_constructed_frames(spark):
+    """Hand-built frame-hash sequences: clip 0 = identical frames (one
+    scene); clip 1 = two blocks split by a full bit-flip (two scenes);
+    clip 2 = alternating flips every frame (every frame a cut)."""
+    from vector_database_app_spark.operators.multimodal import (
+        video_scene_cuts,
+    )
+
+    rows = []
+    h0, h1 = 0x0F0F0F0F0F0F0F0F, ~0x0F0F0F0F0F0F0F0F & (2**64 - 1) - 2**64
+    # clip 0: six identical frames
+    rows += [(0, i, 1234567) for i in range(6)]
+    # clip 1: 4 frames h0, then 2 frames ~h0 (64-bit hamming = 64 > 7)
+    rows += [(1, i, h0) for i in range(4)] + [(1, 4 + i, h1) for i in range(2)]
+    # clip 2: alternate h0/~h0 each frame -> 5 cuts in 6 frames
+    rows += [(2, i, h0 if i % 2 == 0 else h1) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, frame_ix int, fhash long")
+    got = {r.doc_id: (r.n_frames, r.n_cuts, r.n_scenes, r.longest_scene)
+           for r in video_scene_cuts(df, max_hamming=7).collect()}
+    assert got == {
+        0: (6, 0, 1, 6),
+        1: (6, 1, 2, 4),
+        2: (6, 5, 6, 1),
+    }

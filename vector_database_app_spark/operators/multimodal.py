@@ -675,6 +675,66 @@ def image_near_dups(
 hamming_near_dups = image_near_dups
 
 
+def video_scene_cuts(
+    framehash_df: DataFrame,
+    *,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut detection from per-frame perceptual hashes — the
+    standard shot-boundary reduction (consecutive-frame dissimilarity
+    thresholding) on the aHash grid: a frame opens a new scene when its
+    hamming distance to the PREVIOUS frame exceeds `max_hamming`
+    (within-scene frames are re-encodes/minor perturbations; replaced
+    frames flip many bits). Per clip: frame count, cut count, scene
+    count (cuts + 1), and the longest scene's frame length — the
+    statistics a frame-SAMPLING stage reads (sample per scene, not per
+    clip, so long static scenes don't dominate).
+
+    Integer-exact end to end (bit_count of xor, integer thresholds);
+    both windows partition by the clip id — never SinglePartition.
+    Composes video_framehash, so the whole trajectory replays in
+    DuckDB around the pinned frame-hash literals."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_ix")
+    flags = framehash_df.withColumn(
+        "_prev", F.lag("fhash").over(w)
+    ).withColumn(
+        "is_cut",
+        F.when(F.col("_prev").isNull(), F.lit(0))
+        .when(
+            F.bit_count(F.col("fhash").bitwiseXOR(F.col("_prev")))
+            > max_hamming,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    scenes = flags.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_scene = scenes.groupBy(id_col, "scene_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len")
+    )
+    agg = scenes.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("is_cut").cast("bigint").alias("n_cuts"),
+    )
+    longest = per_scene.groupBy(id_col).agg(
+        F.max("_len").cast("bigint").alias("longest_scene")
+    )
+    return agg.join(longest, id_col).select(
+        id_col,
+        "n_frames",
+        "n_cuts",
+        (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes"),
+        "longest_scene",
+    )
+
+
 def synthesize_wav_variant_payloads(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -14434,6 +14434,70 @@ QUERIES["scd_merge_incremental"] = q_scd_merge_incremental
 ORACLE["scd_merge_incremental"] = ORACLE["scd_type2"]
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection per clip (multimodal.video_scene_cuts
+    over video_framehash): consecutive-frame aHash hamming > 7 opens a
+    new scene; per clip the frame/cut/scene counts and the longest
+    scene — the statistics a per-SCENE frame-sampling stage reads
+    (sample each scene once instead of each clip once, so long static
+    scenes neither dominate nor starve). Same 200-doc variant fixture
+    and pinned frame-hash literals as video_dedup_framehash, so the
+    whole trajectory value-verifies in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = multimodal.synthesize_video_variant_payloads(docs)
+    return multimodal.video_scene_cuts(
+        multimodal.video_framehash(payloads), max_hamming=7
+    )
+
+
+QUERIES["video_scene_cuts"] = q_video_scene_cuts
+
+# slice the pinned (doc_id, frame_ix, fhash) VALUES table out of the
+# near-dup oracle so BOTH video oracles share ONE literal inventory
+_VID_LIT_VALUES = VIDEO_DEDUP_FRAMEHASH_SQL.split(
+    "WITH lit(doc_id, frame_ix, fhash) AS (", 1
+)[1].split("\n    ), h AS (", 1)[0]
+assert _VID_LIT_VALUES.count("(") >= 1200, "pinned video literal table moved"
+
+ORACLE["video_scene_cuts"] = f"""
+    WITH lit(doc_id, frame_ix, fhash) AS ({_VID_LIT_VALUES}
+    ), h AS (
+        SELECT l.doc_id, l.frame_ix, l.fhash FROM lit l
+        JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          ON l.doc_id = d.doc_id
+    ), seq AS (
+        SELECT doc_id, frame_ix, fhash,
+               lag(fhash) OVER (PARTITION BY doc_id
+                                ORDER BY frame_ix) AS prev
+        FROM h
+    ), flags AS (
+        SELECT doc_id, frame_ix,
+               CASE WHEN prev IS NULL THEN 0
+                    WHEN bit_count(xor(fhash, prev)) > 7 THEN 1
+                    ELSE 0 END AS is_cut
+        FROM seq
+    ), scenes AS (
+        SELECT doc_id, frame_ix, is_cut,
+               sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_ix
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS scene_id
+        FROM flags
+    ), per_scene AS (
+        SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS len
+        FROM scenes GROUP BY doc_id, scene_id
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(is_cut) AS BIGINT) AS n_cuts
+        FROM scenes GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_frames, a.n_cuts,
+           CAST(a.n_cuts + 1 AS BIGINT) AS n_scenes,
+           CAST(max(p.len) AS BIGINT) AS longest_scene
+    FROM agg a JOIN per_scene p USING (doc_id)
+    GROUP BY a.doc_id, a.n_frames, a.n_cuts
+"""
+
+
 QUERIES["dp_quantile_release"] = q_dp_quantile_release
 
 ORACLE["dp_quantile_release"] = f"""
@@ -14758,29 +14822,30 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# EIGHT round-10 additions — crossmodal_leakage, span_grain_sweep,
+# NINE round-10 additions — crossmodal_leakage, span_grain_sweep,
 # distinct_kmv, distinct_kmv_merge, graph_link_prediction,
-# keywords_rake, dp_quantile_release, scd_merge_incremental (each
-# verified at sf0.001 + sf0.01 + sf0.1 + all four structural gates) —
-# they go FIRST, per the rounds-6-10 discipline. The remaining 42
-# slots re-confirm by staleness (max green round per query, window-10
-# members counting as round 10; regenerated from the ledger script in
-# PERF.md §"Canonical coverage ledger" at round-10 close): the
-# r4-only-green tail (5), the whole r5-only-green block (8), and the
-# first 29 of the r6-only-green block (alphabetical). The concrete 50,
+# keywords_rake, dp_quantile_release, scd_merge_incremental,
+# video_scene_cuts (each verified at sf0.001 + sf0.01 + sf0.1 + all
+# four structural gates) — they go FIRST, per the rounds-6-10
+# discipline. The remaining 41 slots re-confirm by staleness (max
+# green round per query, window-10 members counting as round 10;
+# regenerated from the ledger script in PERF.md §"Canonical coverage
+# ledger" at round-10 close): the r4-only-green tail (5), the whole
+# r5-only-green block (8), and the first 28 of the r6-only-green
+# block (alphabetical). The concrete 50,
 # PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
 # paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
 # the mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
 #   distinct_kmv_merge, graph_link_prediction, keywords_rake,
-#   dp_quantile_release, scd_merge_incremental
-#   (the 8 never-windowed, FIRST),
+#   dp_quantile_release, scd_merge_incremental, video_scene_cuts
+#   (the 9 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 29 of the r6-only-green block (alphabetical):
+#   then the first 28 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14789,8 +14854,8 @@ _DRIVER_WINDOW_R10 = [
 #   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
 #   dedup_prune, dedup_semantic, dedup_similarity_join,
-#   dedup_threshold_sweep, dedup_winnow
-#   (domain_cap, events_ab_test, events_ewma,
+#   dedup_threshold_sweep
+#   (dedup_winnow, domain_cap, events_ab_test, events_ewma,
 #   events_forecast_baseline and the r6 remainder slide to
 #   window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
