@@ -200,6 +200,7 @@ HEADLINE = [
     "dp_quantile_release",
     "scd_merge_incremental",
     "video_scene_cuts",
+    "audio_energy_runs",
 ]
 
 

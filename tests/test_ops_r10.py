@@ -379,3 +379,41 @@ def test_video_scene_cuts_constructed_frames(spark):
         1: (6, 1, 2, 4),
         2: (6, 5, 6, 1),
     }
+
+
+def test_audio_energy_runs_bit_semantics(spark):
+    """Hand-built fingerprints through the same unpack+islands path the
+    registry query uses: afp with low 32 bits set = two runs of 32;
+    alternating bits = 64 runs; all bits set = one 64-run."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    fps = [
+        (0, (1 << 32) - 1),                    # bits 0..31 high
+        (1, 0x5555555555555555 - (1 << 64)
+            if 0x5555555555555555 >= (1 << 63) else 0x5555555555555555),
+        (2, -1),                               # all 64 bits high
+    ]
+    fp = spark.createDataFrame(fps, "doc_id long, afp long")
+    bits = fp.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        F.col("afp"),
+    ).select("doc_id", "i",
+             F.expr("bit_get(afp, CAST(i AS INT))").cast("int").alias("b"))
+    w = W.partitionBy("doc_id").orderBy("i")
+    runs = bits.withColumn(
+        "_chg",
+        F.when(F.lag("b").over(w).isNull(), 1)
+        .when(F.lag("b").over(w) != F.col("b"), 1).otherwise(0),
+    ).withColumn("run", F.sum("_chg").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    per = runs.groupBy("doc_id", "run").agg(
+        F.first("b").alias("b"), F.count(F.lit(1)).alias("len"))
+    got = {r.doc_id: (r.n, r.hi, r.lo) for r in per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.max(F.when(F.col("b") == 1, F.col("len"))),
+                   F.lit(0)).alias("hi"),
+        F.coalesce(F.max(F.when(F.col("b") == 0, F.col("len"))),
+                   F.lit(0)).alias("lo"),
+    ).collect()}
+    assert got == {0: (2, 32, 32), 1: (64, 1, 1), 2: (1, 64, 0)}

@@ -14452,6 +14452,113 @@ def q_video_scene_cuts(spark, sf_dir):
 
 QUERIES["video_scene_cuts"] = q_video_scene_cuts
 
+
+def q_audio_energy_runs(spark, sf_dir):
+    """Energy-run segmentation per clip — the audio sibling of
+    video_scene_cuts and the silence-splitting primitive an ASR
+    chunking stage reads (split at long low-energy runs; VAD reduced
+    to the envelope grid): the 64-bit energy-envelope fingerprint
+    (multimodal.audio_fingerprint — bit i = segment i above the clip's
+    median energy, integer-exact) unpacks to its segment bits, runs of
+    consecutive equal bits merge gaps-and-islands, and per clip the
+    output reports high-segment count, run count, and the longest
+    high/low stretches. Bit extraction is two's-complement-safe on
+    both engines (Spark bit_get; DuckDB arithmetic >> then & 1), the
+    window partitions by clip over exactly 64 rows, and the same
+    pinned fingerprint literals as audio_dedup_fingerprint replay the
+    whole trajectory in DuckDB."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fp = multimodal.audio_fingerprint(
+        multimodal.synthesize_wav_variant_payloads(docs)
+    )
+    bits = fp.select(
+        "doc_id",
+        F.col("afp"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+    ).select(
+        "doc_id",
+        "afp",
+        "i",
+        F.expr("bit_get(afp, CAST(i AS INT))").cast("int").alias("b"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    runs = bits.withColumn(
+        "_chg",
+        F.when(F.lag("b").over(w).isNull(), 1)
+        .when(F.lag("b").over(w) != F.col("b"), 1)
+        .otherwise(0),
+    ).withColumn(
+        "run",
+        F.sum("_chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_run = runs.groupBy("doc_id", "run").agg(
+        F.first("b").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    return per_run.groupBy("doc_id").agg(
+        F.sum(F.col("b") * F.col("len")).cast("bigint").alias(
+            "n_high_segments"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == 1, F.col("len"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("longest_high_run"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == 0, F.col("len"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("longest_low_run"),
+    )
+
+
+QUERIES["audio_energy_runs"] = q_audio_energy_runs
+
+_AFP_LIT_VALUES = AUDIO_DEDUP_FP_SQL.split(
+    "WITH lit(doc_id, afp) AS (", 1
+)[1].split("\n    )", 1)[0]
+assert _AFP_LIT_VALUES.count("(") >= 200, "pinned afp literal table moved"
+
+ORACLE["audio_energy_runs"] = f"""
+    WITH lit(doc_id, afp) AS ({_AFP_LIT_VALUES}
+    ), h AS (
+        SELECT l.doc_id, l.afp FROM lit l
+        JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
+          ON l.doc_id = d.doc_id
+    ), bits AS (
+        SELECT doc_id, i, CAST((afp >> i) & 1 AS INT) AS b
+        FROM h, LATERAL (SELECT unnest(range(0, 64)) AS i) t
+    ), seq AS (
+        SELECT doc_id, i, b,
+               lag(b) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM bits
+    ), runs AS (
+        SELECT doc_id, i, b,
+               sum(CASE WHEN prev IS NULL OR prev <> b THEN 1 ELSE 0
+                   END) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run
+        FROM seq
+    ), per_run AS (
+        SELECT doc_id, run, min(b) AS b,
+               CAST(count(*) AS BIGINT) AS len
+        FROM runs GROUP BY doc_id, run
+    )
+    SELECT doc_id,
+           CAST(sum(b * len) AS BIGINT) AS n_high_segments,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(coalesce(max(CASE WHEN b = 1 THEN len END), 0)
+                AS BIGINT) AS longest_high_run,
+           CAST(coalesce(max(CASE WHEN b = 0 THEN len END), 0)
+                AS BIGINT) AS longest_low_run
+    FROM per_run GROUP BY doc_id
+"""
+
 # slice the pinned (doc_id, frame_ix, fhash) VALUES table out of the
 # near-dup oracle so BOTH video oracles share ONE literal inventory
 _VID_LIT_VALUES = VIDEO_DEDUP_FRAMEHASH_SQL.split(
@@ -14822,30 +14929,30 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# NINE round-10 additions — crossmodal_leakage, span_grain_sweep,
+# TEN round-10 additions — crossmodal_leakage, span_grain_sweep,
 # distinct_kmv, distinct_kmv_merge, graph_link_prediction,
 # keywords_rake, dp_quantile_release, scd_merge_incremental,
-# video_scene_cuts (each verified at sf0.001 + sf0.01 + sf0.1 + all
-# four structural gates) — they go FIRST, per the rounds-6-10
-# discipline. The remaining 41 slots re-confirm by staleness (max
-# green round per query, window-10 members counting as round 10;
-# regenerated from the ledger script in PERF.md §"Canonical coverage
-# ledger" at round-10 close): the r4-only-green tail (5), the whole
-# r5-only-green block (8), and the first 28 of the r6-only-green
-# block (alphabetical). The concrete 50,
+# video_scene_cuts, audio_energy_runs (each verified at sf0.001 +
+# sf0.01 + sf0.1 + all four structural gates) — they go FIRST, per
+# the rounds-6-10 discipline. The remaining 40 slots re-confirm by
+# staleness (max green round per query, window-10 members counting as
+# round 10; regenerated from the ledger script in PERF.md §"Canonical
+# coverage ledger" at round-10 close): the r4-only-green tail (5),
+# the whole r5-only-green block (8), and the first 27 of the
+# r6-only-green block (alphabetical). The concrete 50,
 # PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
 # paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
 # the mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
 #   distinct_kmv_merge, graph_link_prediction, keywords_rake,
-#   dp_quantile_release, scd_merge_incremental, video_scene_cuts
-#   (the 9 never-windowed, FIRST),
+#   dp_quantile_release, scd_merge_incremental, video_scene_cuts,
+#   audio_energy_runs (the 10 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 28 of the r6-only-green block (alphabetical):
+#   then the first 27 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14853,11 +14960,10 @@ _DRIVER_WINDOW_R10 = [
 #   cross_source_overlap, dedup_anti_join, dedup_clusters,
 #   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
-#   dedup_prune, dedup_semantic, dedup_similarity_join,
-#   dedup_threshold_sweep
-#   (dedup_winnow, domain_cap, events_ab_test, events_ewma,
-#   events_forecast_baseline and the r6 remainder slide to
-#   window 12).
+#   dedup_prune, dedup_semantic, dedup_similarity_join
+#   (dedup_threshold_sweep, dedup_winnow, domain_cap, events_ab_test,
+#   events_ewma, events_forecast_baseline and the r6 remainder slide
+#   to window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
