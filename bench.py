@@ -201,6 +201,7 @@ HEADLINE = [
     "scd_merge_incremental",
     "video_scene_cuts",
     "audio_energy_runs",
+    "interval_merge",
 ]
 
 

@@ -417,3 +417,44 @@ def test_audio_energy_runs_bit_semantics(spark):
                    F.lit(0)).alias("lo"),
     ).collect()}
     assert got == {0: (2, 32, 32), 1: (64, 1, 1), 2: (1, 64, 0)}
+
+
+def test_interval_merge_nesting_semantics(spark, tmp_path):
+    """The case gap-sessionization cannot express: a long interval
+    CONTAINS later short ones (running-max decision), plus a chain of
+    touching intervals and a disjoint singleton."""
+    import datetime
+
+    from vector_database_app_spark.registry import q_interval_merge
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    # duration = 60 + (event_id % 7) * 90 seconds
+    rows = [
+        # user 1: e_id 6 -> 600s long interval at t=0 CONTAINING
+        # e_id 0 -> 60s at t=100 and e_id 7 -> 60s at t=400
+        (1, 6, at(0)), (1, 0, at(100)), (1, 7, at(400)),
+        # then a disjoint 60s interval at t=1000
+        (1, 14, at(1000)),
+        # user 2: touching chain — [0,60), starts again at 59
+        (2, 21, at(0)), (2, 28, at(59)),
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, t, "click", 0.0) for u, e, t in rows],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(f"{sf}/events.parquet")
+    got = {(r.user_id, r.span_ix):
+           (r.span_start_us, r.span_end_us, r.n_intervals, r.covered_us)
+           for r in q_interval_merge(spark, sf).collect()}
+    us = 1_000_000
+    b = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * us
+    assert got == {
+        (1, 1): (b, b + 600 * us, 3, 600 * us),
+        (1, 2): (b + 1000 * us, b + 1060 * us, 1, 60 * us),
+        (2, 1): (b, b + 119 * us, 2, 119 * us),
+    }

@@ -14517,6 +14517,102 @@ def q_audio_energy_runs(spark, sf_dir):
     )
 
 
+def q_interval_merge(spark, sf_dir):
+    """Overlapping-interval UNION per user (the coverage primitive
+    behind uptime/downtime merging, ad-exposure reach, and on-screen
+    time: given [start, end) intervals that can OVERLAP and NEST,
+    emit the merged disjoint spans). This is NOT gap sessionization
+    (window_session): a long interval can fully CONTAIN several later
+    short ones — the decision needs the running MAX of all previous
+    ends, not the previous event's time. Each event carries a
+    deterministic integer duration (60s + (event_id mod 7)·90s, so
+    durations range 1-10 min and genuinely nest); a new span opens
+    exactly when an interval's start exceeds every previous end
+    (gaps-and-islands on the running max, Itzik Ben-Gan's classic
+    form). Output per merged span: bounds, interval count, covered
+    micros — all integers.
+
+    Scale shape: ONE shuffle on user_id serves both windows (running
+    max and the island cumsum are partitioned identically), then a
+    (user, island) hash agg — the scd_type2 plan shape on interval
+    data."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(60) + F.pmod(F.col("event_id"), F.lit(7)) * 90)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "_new",
+        F.when(prev_max.isNull(), 1)
+        .when(F.col("s") > prev_max, 1)
+        .otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("bigint").alias("span_start_us"),
+        F.max("e").cast("bigint").alias("span_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("covered_us"),
+    ).select(
+        "user_id",
+        F.col("island").cast("bigint").alias("span_ix"),
+        "span_start_us",
+        "span_end_us",
+        "n_intervals",
+        "covered_us",
+    )
+
+
+QUERIES["interval_merge"] = q_interval_merge
+
+ORACLE["interval_merge"] = """
+    WITH iv AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+               CAST(epoch_us(ts)
+                    + (60 + (event_id % 7) * 90) * 1000000
+                    AS BIGINT) AS e,
+               event_id
+        FROM events
+    ), m AS (
+        SELECT user_id, s, e, event_id,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM iv
+    ), isl AS (
+        SELECT user_id, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM m
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS span_ix,
+           CAST(min(s) AS BIGINT) AS span_start_us,
+           CAST(max(e) AS BIGINT) AS span_end_us,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(max(e) - min(s) AS BIGINT) AS covered_us
+    FROM isl GROUP BY user_id, island
+"""
+
+
 QUERIES["audio_energy_runs"] = q_audio_energy_runs
 
 _AFP_LIT_VALUES = AUDIO_DEDUP_FP_SQL.split(
@@ -14929,30 +15025,31 @@ _DRIVER_WINDOW_R10 = [
 
 # _DRIVER_WINDOW_R11 (round-11 planning): after this round banks the
 # 50 above, the never-windowed oracle-backed remainder is exactly the
-# TEN round-10 additions — crossmodal_leakage, span_grain_sweep,
+# ELEVEN round-10 additions — crossmodal_leakage, span_grain_sweep,
 # distinct_kmv, distinct_kmv_merge, graph_link_prediction,
 # keywords_rake, dp_quantile_release, scd_merge_incremental,
-# video_scene_cuts, audio_energy_runs (each verified at sf0.001 +
-# sf0.01 + sf0.1 + all four structural gates) — they go FIRST, per
-# the rounds-6-10 discipline. The remaining 40 slots re-confirm by
-# staleness (max green round per query, window-10 members counting as
-# round 10; regenerated from the ledger script in PERF.md §"Canonical
-# coverage ledger" at round-10 close): the r4-only-green tail (5),
-# the whole r5-only-green block (8), and the first 27 of the
-# r6-only-green block (alphabetical). The concrete 50,
+# video_scene_cuts, audio_energy_runs, interval_merge (each verified
+# at sf0.001 + sf0.01 + sf0.1 + all four structural gates) — they go
+# FIRST, per the rounds-6-10 discipline. The remaining 39 slots
+# re-confirm by staleness (max green round per query, window-10
+# members counting as round 10; regenerated from the ledger script in
+# PERF.md §"Canonical coverage ledger" at round-10 close): the
+# r4-only-green tail (5), the whole r5-only-green block (8), and the
+# first 26 of the r6-only-green block (alphabetical). The concrete 50,
 # PRE-VERIFIED with the sf0.01 mirror at round-10 close — next round:
 # paste as _DRIVER_WINDOW_R11, swap the asserts/reorder block, re-run
 # the mirror before shipping:
 #   crossmodal_leakage, span_grain_sweep, distinct_kmv,
 #   distinct_kmv_merge, graph_link_prediction, keywords_rake,
 #   dp_quantile_release, scd_merge_incremental, video_scene_cuts,
-#   audio_energy_runs (the 10 never-windowed, FIRST),
+#   audio_energy_runs, interval_merge
+#   (the 11 never-windowed, FIRST),
 #   then the r4 tail (5): sample_stratified, stream_attribution,
 #   text_normalize, timeseries_gapfill, top_terms_per_lang,
 #   then the r5-only-green block (8): customer_rfm, embedding_drift,
 #   events_props_json, events_stickiness, events_wow_growth,
 #   market_basket, region_trade_balance, supplier_lead_time,
-#   then the first 27 of the r6-only-green block (alphabetical):
+#   then the first 26 of the r6-only-green block (alphabetical):
 #   ann_binary_search, ann_ivf, ann_ivf_search, ann_matryoshka,
 #   ann_planner_exact, ann_planner_fallback, ann_planner_indexed,
 #   ann_recall, ann_srp, audio_features_wav, bpe_encode,
@@ -14960,10 +15057,11 @@ _DRIVER_WINDOW_R10 = [
 #   cross_source_overlap, dedup_anti_join, dedup_clusters,
 #   dedup_edit_distance, dedup_embedding, dedup_embedding_srp,
 #   dedup_exact, dedup_incremental, dedup_minhash_md5, dedup_passage,
-#   dedup_prune, dedup_semantic, dedup_similarity_join
-#   (dedup_threshold_sweep, dedup_winnow, domain_cap, events_ab_test,
-#   events_ewma, events_forecast_baseline and the r6 remainder slide
-#   to window 12).
+#   dedup_prune, dedup_semantic
+#   (dedup_similarity_join, dedup_threshold_sweep, dedup_winnow,
+#   domain_cap, events_ab_test, events_ewma,
+#   events_forecast_baseline and the r6 remainder slide to
+#   window 12).
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
