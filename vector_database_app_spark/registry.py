@@ -15062,6 +15062,73 @@ _DRIVER_WINDOW_R10 = [
 #   domain_cap, events_ab_test, events_ewma,
 #   events_forecast_baseline and the r6 remainder slide to
 #   window 12).
+
+# Round-11 EXECUTION of the plan above: the list below is the
+# pre-verified 50 pasted verbatim (11 never-windowed r10 ops first,
+# then the r4 tail, the r5-only-green block, and the first 26 of the
+# r6-only-green block). Re-verified with the sf0.01 mirror
+# (SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest tests/test_oracle.py)
+# before shipping round 11.
+_DRIVER_WINDOW_R11 = [
+    # the 11 never-windowed oracle-backed r10 additions — close the
+    # ledger again (each verified at sf0.001 + sf0.01 + sf0.1 + the
+    # four structural gates; pre-verified at round-10 close by the
+    # builder AND independently by the r10 judge, 11/11 at sf0.01)
+    "crossmodal_leakage",
+    "span_grain_sweep",
+    "distinct_kmv",
+    "distinct_kmv_merge",
+    "graph_link_prediction",
+    "keywords_rake",
+    "dp_quantile_release",
+    "scd_merge_incremental",
+    "video_scene_cuts",
+    "audio_energy_runs",
+    "interval_merge",
+    # backfill: displaced r4-only-green tail (5)
+    "sample_stratified",
+    "stream_attribution",
+    "text_normalize",
+    "timeseries_gapfill",
+    "top_terms_per_lang",
+    # backfill: the whole r5-only-green block (8)
+    "customer_rfm",
+    "embedding_drift",
+    "events_props_json",
+    "events_stickiness",
+    "events_wow_growth",
+    "market_basket",
+    "region_trade_balance",
+    "supplier_lead_time",
+    # backfill: first 26 of the r6-only-green block (alphabetical)
+    "ann_binary_search",
+    "ann_ivf",
+    "ann_ivf_search",
+    "ann_matryoshka",
+    "ann_planner_exact",
+    "ann_planner_fallback",
+    "ann_planner_indexed",
+    "ann_recall",
+    "ann_srp",
+    "audio_features_wav",
+    "bpe_encode",
+    "char_entropy",
+    "corpus_bootstrap_ci",
+    "corpus_pipeline",
+    "cross_source_overlap",
+    "dedup_anti_join",
+    "dedup_clusters",
+    "dedup_edit_distance",
+    "dedup_embedding",
+    "dedup_embedding_srp",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_md5",
+    "dedup_passage",
+    "dedup_prune",
+    "dedup_semantic",
+]
+
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
@@ -15199,21 +15266,21 @@ TWINS: dict[str, dict[str, str]] = {
 }
 
 _ROWS_ONLY_NEVER_WINDOW = {"dedup_minhash", "dedup_simhash", "ingest_chunks"}
-assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R10), (
+assert not _ROWS_ONLY_NEVER_WINDOW & set(_DRIVER_WINDOW_R11), (
     "rows-only queries with known driver-canonicalizer hazards must "
     "never enter the oracle window"
 )
 
-assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
-assert len(set(_DRIVER_WINDOW_R10)) == 50, "duplicate window entries"
-_missing = [n for n in _DRIVER_WINDOW_R10 if n not in QUERIES]
+assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
+assert len(set(_DRIVER_WINDOW_R11)) == 50, "duplicate window entries"
+_missing = [n for n in _DRIVER_WINDOW_R11 if n not in QUERIES]
 assert not _missing, f"window names absent from QUERIES: {_missing}"
-_no_oracle = [n for n in _DRIVER_WINDOW_R10 if n not in ORACLE]
+_no_oracle = [n for n in _DRIVER_WINDOW_R11 if n not in ORACLE]
 assert not _no_oracle, f"window names lack oracle SQL: {_no_oracle}"
 
 # Rebuild QUERIES in place (same dict object; __spark_entry__ snapshots
 # it per call, so insertion order here IS the driver's sweep order).
-_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R10}
+_front = {n: QUERIES[n] for n in _DRIVER_WINDOW_R11}
 _rest = {n: f for n, f in QUERIES.items() if n not in _front}
 QUERIES.clear()
 QUERIES.update(_front)
