@@ -202,6 +202,8 @@ HEADLINE = [
     "video_scene_cuts",
     "audio_energy_runs",
     "interval_merge",
+    # round-11 additions, priced from day one
+    "ann_graph_search_pinned",
 ]
 
 

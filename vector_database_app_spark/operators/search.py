@@ -1308,3 +1308,256 @@ def knn_classify(
             ).alias("share"),
         )
     )
+
+
+def nsw_build(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 6,
+    dim: int = 64,
+    degree: int = 16,
+    bridge: int = 8,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Deterministic navigable-small-world neighbor lists (the graph-ANN
+    index family of HNSW/NSW — Malkov & Yashunin 2016; the reference
+    has no index at all, brute-force scan at rag_search/vector_db.py:684-
+    696, so this is the beyond-reference scale path).
+
+    The graph is PINNED by construction, not by a fitted model object:
+    the SRP hyperplanes are plan-time md5 literals (search._srp_bucket)
+    and every edge choice is a deterministic (rounded-sim DESC, dst ASC)
+    rank, so the exact same adjacency materializes on every run, every
+    cluster, and in the DuckDB oracle replay.
+
+    Edges per node: `degree` nearest within the node's own SRP bucket
+    (short links — local navigability) UNION `bridge` nearest across the
+    Hamming-1 probe ring (long links — cross-bucket reach, the NSW
+    small-world ingredient). Both are bucket-keyed equi-joins, never a
+    crossJoin: within-bucket cost is sum(bucket_size²) and ring cost is
+    n_bits × that, so at 100 TB you raise `n_bits` with log₂(N) to hold
+    expected bucket occupancy (and therefore per-node join fan-in)
+    constant — |E| stays O(N·(degree+bridge)) and the build is one
+    shuffle on bucket id. Every window below is partitioned by src;
+    no SinglePartition anywhere.
+
+    If `corpus` already carries a `bucket` column it is used as-is —
+    the registry query persists ONE bucketed corpus and shares it
+    between build and search, so the (large, codegen-heavy) SRP
+    expression compiles and evaluates once instead of once per join
+    branch. Likewise a precomputed `_nvec` (unit-normalized vector)
+    column is reused: edge scoring is then ONE fold per candidate pair
+    (round(dot(â,b̂),6) — value-identical ranking to rounded cosine)
+    instead of the three folds cosine needs, because the two norms are
+    paid once per NODE on the persisted frame, not once per PAIR
+    (measured: the Hamming-ring candidate stage dominated the build at
+    3 folds/pair; pair volume is n·(bucket_size)·(1+n_bits)).
+    """
+    from ..functions.vector import dot_unrolled_sql, l2_normalize
+
+    indexed = (
+        corpus
+        if "bucket" in corpus.columns
+        else corpus.withColumn("bucket", _srp_bucket(vec_col, n_bits, dim))
+    )
+    if "_nvec" not in indexed.columns:
+        indexed = indexed.withColumn("_nvec", l2_normalize(F.col(vec_col)))
+    src = indexed.select(
+        F.col(id_col).alias("src"),
+        F.col("_nvec").alias("_svec"),
+        "bucket",
+    )
+    dst = indexed.select(
+        F.col(id_col).alias("dst"),
+        F.col("_nvec").alias("_dvec"),
+        F.col("bucket").alias("_dbucket"),
+    )
+
+    def _top_edges(half: DataFrame, cap: int) -> DataFrame:
+        # the dot is symmetric, so `half` holds each unordered pair
+        # ONCE; score it once, then mirror the scored triple — half
+        # the fold work for the identical edge set. Projecting to
+        # (src, dst, esim) before the window keeps the rank shuffle
+        # free of the two 64-dim vectors riding along.
+        scored = half.select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(dot_unrolled_sql("_svec", "_dvec", dim)), sim_scale
+            ).alias("esim"),
+        )
+        both = scored.unionByName(
+            scored.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "esim",
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("esim"), F.asc("dst"))
+        return (
+            both.withColumn("_erk", F.row_number().over(w))
+            .filter(F.col("_erk") <= cap)
+            .select("src", "dst")
+        )
+
+    within = _top_edges(
+        src.join(dst, src.bucket == dst._dbucket).filter(
+            F.col("src") < F.col("dst")
+        ),
+        degree,
+    )
+    # long links: candidates from the n_bits Hamming-1-adjacent
+    # buckets. A ring pair (a,b) arises twice (a probes b's bucket AND
+    # b probes a's), so keeping only the lower-bucket side generates
+    # each unordered pair exactly once; _top_edges mirrors it back.
+    ring_src = src.withColumn(
+        "_pbucket",
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(n_bits)
+                ]
+            )
+        ),
+    )
+    ring = _top_edges(
+        ring_src.join(
+            dst,
+            (ring_src._pbucket == dst._dbucket)
+            & (ring_src.bucket < dst._dbucket),
+        ),
+        bridge,
+    )
+    # UNION (distinct): a ring bucket never equals the own bucket, so
+    # overlap is impossible in theory, but distinct keeps the contract
+    # explicit and the oracle replay trivially identical
+    return within.unionByName(ring).distinct()
+
+
+def nsw_search(
+    corpus: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    n_bits: int = 6,
+    dim: int = 64,
+    entry: int = 16,
+    beam: int = 32,
+    hops: int = 2,
+    entry_probe: int = 2,
+    sim_scale: int = 6,
+) -> DataFrame:
+    """`hops` unrolled greedy-beam-search rounds over the `nsw_build`
+    adjacency, exact-cosine re-rank of everything visited, top-k.
+
+    Round 0 seeds the beam with the `entry` best corpus vectors from the
+    query's SRP probe ring (bucket + Hamming-≤`entry_probe` — the
+    srp_search machinery standing in for HNSW's upper layers); each
+    round then expands the current beam through the edge list (one
+    equi-join on src), scores the new frontier with exact cosine, and
+    keeps the `beam` best of everything visited so far. The visited set
+    only ever holds entry + beam·(degree+bridge) rows per query per
+    round, so the whole search is broadcast-joins against a tiny query
+    side plus query_id-partitioned top-k windows — no SinglePartition,
+    no crossJoin, and the corpus is touched only via bucket pruning and
+    vec_id equi-joins (at 100 TB: bucket-pruned scan + `hops` edge-list
+    lookups instead of the reference's full O(N·d) scan per query,
+    rag_search/vector_db.py:684-696).
+
+    Defaults (n_bits=6, degree=16, bridge=8, entry=16, beam=32,
+    hops=2, entry_probe=2) were swept against brute-force top-5 on the
+    fixture corpora: recall 0.87 at BOTH 500 and 2000 vectors (the
+    naive n_bits=6/degree=6/beam=8 start read 0.33; a third hop adds
+    nothing at these scales — the sweep is recorded in PERF.md §r11).
+
+    Each round's visited set is persisted (and pinned onto the result
+    for caching.release): round h+1 references round h's frame twice
+    (beam rank + union), so an unpersisted chain re-evaluates the
+    whole upstream 2^hops times (measured: hops=3 unpersisted cost
+    3× hops=2 on identical data).
+    """
+    from itertools import combinations
+
+    q = queries.withColumn(
+        "qbucket", _srp_bucket(query_vec_col, n_bits, dim)
+    )
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, entry_probe + 1)
+        for combo in combinations(range(n_bits), r)
+    ]
+    probes = [F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
+    qp = q.withColumn("bucket", F.explode(F.array(*probes))).select(
+        query_id_col, query_vec_col, "bucket"
+    )
+    indexed = (
+        corpus
+        if "bucket" in corpus.columns
+        else corpus.withColumn("bucket", _srp_bucket(vec_col, n_bits, dim))
+    )
+    entry_cand = (
+        indexed.join(F.broadcast(qp), "bucket")
+        .withColumn(
+            "sim",
+            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+        )
+        .select(query_id_col, id_col, "sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    frontier = (
+        entry_cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= entry)
+        .select(query_id_col, id_col, "sim")
+    )
+
+    from .. import caching
+
+    qvecs = q.select(query_id_col, query_vec_col)
+    corp = corpus.select(id_col, vec_col)
+    visited = frontier
+    pinned: list[DataFrame] = []
+    for _ in range(hops):  # unrolled beam rounds
+        hop = (
+            visited.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= beam)
+            .select(query_id_col, F.col(id_col).alias("src"))
+            .join(edges, "src")
+            .select(query_id_col, F.col("dst").alias(id_col))
+            .distinct()
+        )
+        hop_scored = (
+            hop.join(corp, id_col)
+            .join(F.broadcast(qvecs), query_id_col)
+            .withColumn(
+                "sim",
+                cosine_rounded(
+                    F.col(vec_col), F.col(query_vec_col), sim_scale
+                ),
+            )
+            .select(query_id_col, id_col, "sim")
+        )
+        # ≤ |queries|·(entry + hops·beam·degree) rows — bounded by the
+        # search parameters, not the corpus; persisted because the next
+        # round reads it twice (beam rank + union)
+        visited = visited.unionByName(hop_scored).distinct().persist()
+        pinned.append(visited)
+
+    out = (
+        visited.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+    return caching.pin(out, *pinned)

@@ -14727,6 +14727,177 @@ ORACLE["dp_quantile_release"] = f"""
     ),{_QH_EST_SQL}"""
 
 
+def q_ann_graph_search_pinned(spark, sf_dir):
+    """Graph-based ANN (NSW/HNSW family — Malkov & Yashunin 2016) under
+    the full value gate — the navigable-graph paradigm the ANN family
+    was missing (reference search is brute-force O(N·d) per query,
+    rag_search/vector_db.py:684-696; flat/IVF/PQ/IVFPQ/residual/binary/
+    Matryoshka/PCA are already covered here).
+
+    PINNED by construction rather than by a fitted model object: the
+    SRP hyperplanes are plan-time md5 literals and every edge/beam
+    choice is a deterministic (round(sim,6) DESC, id ASC) rank, so the
+    identical graph and the identical search trajectory materialize on
+    every run AND in DuckDB — the oracle replays build (within-bucket
+    degree-16 + Hamming-1-ring bridge-8 edges), entry seeding
+    (Hamming-≤2 probe ring top-16), both unrolled beam-32 rounds,
+    and the final exact top-5, stage for stage. Recall vs brute force
+    (0.87 at both fixture scales, swept in PERF.md §r11) is pinned in
+    tests/test_graph_ann.py."""
+    from .functions.vector import l2_normalize  # noqa: PLC0415
+    from .operators import search as S  # noqa: PLC0415
+    from .operators.search import _srp_bucket  # noqa: PLC0415
+    from .plans import artifacts as ART  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _train():
+        # one-time index build (the graph-ANN "insert" phase): bucket +
+        # normalize once, bucket-keyed half-pair joins, top-(degree|
+        # bridge) ranks. The graph gets the same lifecycle as the IVF/
+        # PQ artifacts — built once, fingerprint-keyed, loaded lazily —
+        # so the query prices the SEARCH, not the index build, exactly
+        # like ann_planner_indexed / ann_ivfpq_trained_pinned
+        indexed = emb.withColumn(
+            "bucket", _srp_bucket("embedding", 6, 64)
+        ).withColumn("_nvec", l2_normalize(F.col("embedding")))
+        return S.nsw_build(indexed, n_bits=6, degree=16, bridge=8)
+
+    edges = ART.load_or_train(
+        spark,
+        sf_dir,
+        "nsw_edges",
+        {"n_bits": 6, "degree": 16, "bridge": 8},
+        _train,
+        "src BIGINT, dst BIGINT",
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return S.nsw_search(
+        emb, edges, queries, k=5, n_bits=6, entry=16, beam=32, hops=2
+    )
+
+
+QUERIES["ann_graph_search_pinned"] = q_ann_graph_search_pinned
+
+
+def _ann_graph_oracle_sql(
+    k: int = 5,
+    n_bits: int = 6,
+    degree: int = 16,
+    bridge: int = 8,
+    entry: int = 16,
+    beam: int = 32,
+    hops: int = 2,
+    entry_probe: int = 2,
+) -> str:
+    """Stage-for-stage DuckDB replay of q_ann_graph_search_pinned: the
+    same md5 hyperplane literals (_srp_bucket_sql), the same rounded
+    cosine (_SQL_COS), the same rank tiebreaks, the same `hops`
+    unrolled beam rounds (CTE chain generated to match nsw_search's
+    unrolled loop exactly)."""
+    from itertools import combinations
+
+    srp = _srp_bucket_sql("embedding", n_bits=n_bits)
+    ring_list = ", ".join(f"xor(bucket, {1 << b})" for b in range(n_bits))
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, entry_probe + 1)
+        for combo in combinations(range(n_bits), r)
+    ]
+    probe_list = ", ".join(f"xor(qbucket, {m})" for m in masks)
+    # edge scoring replays nsw_build's one-fold normalized dot: the
+    # per-node unit vector (zero-norm rows pass through, matching
+    # l2_normalize), then round(dot, 6)
+    norm = "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    nvec = (
+        f"CASE WHEN {norm} > 0 THEN "
+        f"list_transform(embedding::DOUBLE[], x -> x / {norm}) "
+        f"ELSE embedding::DOUBLE[] END"
+    )
+    edot = "round(list_dot_product(s.nvec, d.nvec), 6)"
+    qcos = _SQL_COS.format(a="c.embedding", b="p.qe")
+    hcos = _SQL_COS.format(a="c.embedding", b="q.qe")
+    sql = f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, {nvec} AS nvec, {srp} AS bucket
+      FROM embeddings
+    ), within_half AS (
+      SELECT s.vec_id AS src, d.vec_id AS dst, {edot} AS esim
+      FROM corpus s JOIN corpus d
+        ON s.bucket = d.bucket AND s.vec_id < d.vec_id
+    ), within AS (
+      SELECT src, dst, esim FROM within_half
+      UNION ALL SELECT dst, src, esim FROM within_half
+    ), ring_half AS (
+      SELECT s.vec_id AS src, d.vec_id AS dst, {edot} AS esim
+      FROM (SELECT vec_id, nvec, bucket,
+                   unnest([{ring_list}]) AS pbucket
+            FROM corpus) s
+      JOIN corpus d ON s.pbucket = d.bucket AND s.bucket < d.bucket
+    ), ring_pairs AS (
+      SELECT src, dst, esim FROM ring_half
+      UNION ALL SELECT dst, src, esim FROM ring_half
+    ), edges AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY esim DESC, dst) AS rk
+        FROM within) WHERE rk <= {degree}
+      UNION
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY esim DESC, dst) AS rk
+        FROM ring_pairs) WHERE rk <= {bridge}
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+      FROM corpus WHERE vec_id < 3
+    ), probes AS (
+      SELECT query_id, qe, unnest([{probe_list}]) AS bucket FROM q
+    ), entry_cand AS (
+      SELECT p.query_id, c.vec_id, {qcos} AS sim
+      FROM corpus c JOIN probes p USING (bucket)
+    ), v0 AS (
+      SELECT query_id, vec_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rk
+        FROM entry_cand) WHERE rk <= {entry}
+    )"""
+    prev = "v0"
+    for h in range(1, hops + 1):
+        sql += f""", b{h} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rk
+        FROM {prev}) WHERE rk <= {beam}
+    ), h{h} AS (
+      SELECT DISTINCT b.query_id, e.dst AS vec_id
+      FROM b{h} b JOIN edges e ON e.src = b.vec_id
+    ), hs{h} AS (
+      SELECT h.query_id, h.vec_id, {hcos} AS sim
+      FROM h{h} h
+      JOIN corpus c ON c.vec_id = h.vec_id
+      JOIN q ON q.query_id = h.query_id
+    ), v{h} AS (
+      SELECT DISTINCT query_id, vec_id, sim FROM (
+        SELECT query_id, vec_id, sim FROM {prev}
+        UNION ALL SELECT query_id, vec_id, sim FROM hs{h})
+    )"""
+        prev = f"v{h}"
+    sql += f"""
+    SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rk
+      FROM {prev}) WHERE rk <= {k}
+"""
+    return sql
+
+
+ORACLE["ann_graph_search_pinned"] = _ann_graph_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
