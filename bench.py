@@ -204,6 +204,7 @@ HEADLINE = [
     "interval_merge",
     # round-11 additions, priced from day one
     "ann_graph_search_pinned",
+    "ann_opq_search_pinned",
 ]
 
 

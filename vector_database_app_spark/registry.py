@@ -14898,6 +14898,181 @@ def _ann_graph_oracle_sql(
 ORACLE["ann_graph_search_pinned"] = _ann_graph_oracle_sql()
 
 
+def _opq_rotate_expr(vec_col: str):
+    """Rotated vector as ONE generated-SQL array expression: element i =
+    dot(vec, PINNED_OPQ_ROTATION[i]) — the pca_project_expr literal-axis
+    fold, 64 axes wide. Sequential fold order matches DuckDB's
+    list_dot_product, so rotated values are bit-identical across
+    engines (the same parity the PCA-pinned and PQ-pinned oracles
+    already stand on)."""
+    from .pca_oracle_literals import PINNED_OPQ_ROTATION  # noqa: PLC0415
+
+    terms = []
+    for axis in PINNED_OPQ_ROTATION:
+        arr = (
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in axis)
+            + ")"
+        )
+        terms.append(
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {arr}, "
+            f"(x, y) -> x * y), CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
+def q_ann_opq_search_pinned(spark, sf_dir):
+    """OPQ — rotated product quantization (Ge et al. 2013) under the
+    full value gate: the pinned orthogonal rotation
+    (pca_oracle_literals.PINNED_OPQ_ROTATION, trained at sf0.001 by
+    tools/train_opq.py's alternating minimization) is applied as a
+    literal-axis fold before the UNCHANGED pq_encode → ADC → re-rank
+    path, with codebooks trained in the rotated space
+    (PINNED_OPQ_CODEBOOKS). Because R is orthogonal, rotated dots ==
+    original dots, so the ADC estimate targets the same similarity —
+    but the rotated coordinates distribute variance across subspaces,
+    cutting quantization error 0.5749 → 0.4583 on the training corpus
+    (the improvement and RᵀR == I are pinned in tests/test_opq.py).
+    Every stage replays in DuckDB: rotation (64 literal-axis
+    list_dot_products), per-subspace argmin with the same -|c|²/2
+    literals, DECIMAL-exact ADC sum, ranked-SQL shortlist + rotated-
+    space exact re-rank (rotation-invariant: equals the original-space
+    cosine up to the shared fp parity)."""
+    from .operators import pq as PQ  # noqa: PLC0415
+    from .pca_oracle_literals import PINNED_OPQ_CODEBOOKS  # noqa: PLC0415
+    from .plans import artifacts as ART  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # rotating the corpus is INDEX-build work (OPQ's deployment shape:
+    # rotate once at write time, store rotated vectors) — artifact
+    # lifecycle like the IVF/PQ/NSW indexes; parquet round-trips
+    # doubles exactly, so the oracle's from-scratch replay still
+    # value-matches. The ADC+re-rank SEARCH path stays live.
+    rotated = ART.load_or_train(
+        spark,
+        sf_dir,
+        "opq_rotated",
+        {"m": 8, "k": 16},
+        lambda: emb.select(
+            "vec_id", _opq_rotate_expr("embedding").alias("embedding")
+        ),
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    codes = PQ.pq_encode(rotated, PINNED_OPQ_CODEBOOKS)
+    codebooks = spark.createDataFrame(
+        [
+            (s, c, cent)
+            for s, rows in sorted(PINNED_OPQ_CODEBOOKS.items())
+            for c, cent in rows
+        ],
+        _PQ_SCHEMA,
+    )
+    queries = rotated.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return PQ.pq_search(
+        codes,
+        codebooks,
+        queries,
+        k=5,
+        m=8,
+        shortlist=50,
+        refine_with=rotated,
+    )
+
+
+QUERIES["ann_opq_search_pinned"] = q_ann_opq_search_pinned
+
+
+def _opq_pinned_oracle_sql() -> str:
+    from .pca_oracle_literals import (  # noqa: PLC0415
+        PINNED_OPQ_CODEBOOKS,
+        PINNED_OPQ_ROTATION,
+    )
+
+    sub = 8
+    axes = ",\n               ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in axis)
+        + "]::DOUBLE[])"
+        for axis in PINNED_OPQ_ROTATION
+    )
+    rows = []
+    for s, entries in sorted(PINNED_OPQ_CODEBOOKS.items()):
+        for code, cent in entries:
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            # the -|c|²/2 term must be the SAME double literal Spark's
+            # argmin embeds: computed by the identical Python expression
+            nh = repr(sum(v * v for v in cent) / 2.0)
+            rows.append(f"({s}, {code}, {lit}, {nh})")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH re AS (
+        SELECT vec_id,
+               [{axes}] AS embedding
+        FROM embeddings
+    ), cb(subspace, code, centroid, nh) AS (VALUES
+        {values}
+    ), enc_scored AS (
+        SELECT e.vec_id, b.subspace, b.code,
+               round(list_dot_product(
+                   (e.embedding)
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid) - b.nh, 6) AS score
+        FROM re e, cb b
+    ), codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY score DESC, code ASC
+            ) AS rk
+            FROM enc_scored
+        ) WHERE rk = 1
+    ), qp AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM re WHERE vec_id < 3
+    ), adc_table AS (
+        SELECT q.query_id, b.subspace, b.code,
+               CAST(round(list_dot_product(
+                   (q.qe)
+                       [b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}],
+                   b.centroid), 6) AS DECIMAL(18,6)) AS partial
+        FROM qp q, cb b
+    ), adc AS (
+        SELECT t.query_id, c.vec_id,
+               round(CAST(sum(t.partial) AS DOUBLE), 6) AS adc_score
+        FROM codes c
+        JOIN adc_table t USING (subspace, code)
+        GROUP BY t.query_id, c.vec_id
+    ), short AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_score DESC, vec_id ASC
+            ) AS crk
+            FROM adc
+        ) WHERE crk <= 50
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               {_SQL_COS.format(a="e.embedding", b="q.qe")} AS sim
+        FROM short s
+        JOIN re e ON e.vec_id = s.vec_id
+        JOIN qp q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, sim, adc_score, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+        ) AS rk
+        FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
+ORACLE["ann_opq_search_pinned"] = _opq_pinned_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
