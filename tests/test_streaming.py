@@ -1000,3 +1000,101 @@ def test_stream_distinct_kmv_equals_batch(spark, tmp_path):
     got = keyed(spark.read.parquet(out_dir))
     want = keyed(QUERIES["distinct_kmv_merge"](spark, SF))
     assert got == want
+
+
+def test_stream_scd_merge_equals_batch(spark, tmp_path):
+    """Streaming SCD2 maintenance (SW.run_stream_scd_merge): orders
+    replayed in three time-partitioned waves (the CDC precondition);
+    after the drain the materialized history equals the batch
+    scd_merge_incremental registry query row-for-row — which its own
+    DuckDB oracle proves equal to the full rebuild, so drain == merge
+    == rebuild closes end-to-end. Compaction forced every 2 batches."""
+    import os
+
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    schema = orders.schema
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_scd_merge(
+            stream, store_dir, out_dir, ckpt, compact_every=2
+        )
+
+    waves = [
+        orders.filter("o_orderdate < date'1996-01-01'"),
+        orders.filter(
+            "o_orderdate >= date'1996-01-01' AND o_orderdate < date'1997-06-01'"
+        ),
+        orders.filter("o_orderdate >= date'1997-06-01'"),
+    ]
+    for i, w in enumerate(waves):
+        w.coalesce(2).write.parquet(str(arrivals / f"w{i}"))
+        _drain()
+
+    def keyed(df):
+        return {
+            (
+                r.o_custkey,
+                r.o_orderpriority,
+                r.version,
+                r.valid_from_us,
+                r.valid_to_us,
+                r.n_rows,
+                bool(r.is_current),
+            )
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["scd_merge_incremental"](spark, SF))
+    assert got == want
+    kids = os.listdir(store_dir)
+    assert len([k for k in kids if k.startswith("compact=")]) <= 2, kids
+
+
+def test_stream_scd_merge_replay_idempotent(spark, tmp_path):
+    """Re-draining with the SAME checkpoint and no new files must leave
+    the materialized history unchanged (replay safety: delta overwrite
+    by batch id + merge idempotence over already-merged runs)."""
+    from vector_database_app_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    schema = orders.schema
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_scd_merge(
+            stream, store_dir, out_dir, ckpt, compact_every=2
+        )
+
+    orders.coalesce(2).write.parquet(str(arrivals / "w0"))
+    _drain()
+    first = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    _drain()  # no new arrivals
+    again = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert first == again

@@ -1489,3 +1489,136 @@ def run_stream_distinct_kmv(
         view_fn=_view,
         compact_every=compact_every,
     )
+
+
+def run_stream_scd_merge(
+    order_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    compact_every: int = 8,
+) -> None:
+    """Continuous SCD-Type-2 dimension maintenance — the streaming twin
+    of the batch `scd_merge_incremental` registry query (whose DuckDB
+    oracle proves merge == full rebuild): the nightly Kimball merge
+    becomes a foreachBatch delta-merge on the shared compacting
+    delta-store runner.
+
+    State is the RUN-compressed history: one row per (o_custkey,
+    o_orderpriority) run — (first_us, first_tb) is the run's first
+    observation in (o_orderdate, o_orderkey) sequence order and n_rows
+    its length. Each micro-batch run-detects over ITS OWN rows (the
+    scd_type2 window pair, one custkey shuffle); the merge re-runs
+    run-detection over accumulated runs ordered by (first_us,
+    first_tb), fusing adjacent runs with equal attribute (n_rows add,
+    first composes as min) — idempotent over already-merged state (a
+    merged history has no adjacent equal-attr runs to fuse).
+
+    PRECONDITION (the same one the batch query's base<cutoff<=delta
+    split encodes, and standard for CDC feeds): batches arrive
+    time-partitioned — no (o_orderdate, o_orderkey) tie or
+    out-of-order observation spans a batch boundary. Under it, per-
+    batch runs concatenate in sequence order and fusion reproduces the
+    full rebuild exactly; parity is pinned in tests/test_streaming.py
+    (drain == scd_merge_incremental == its full-rebuild oracle,
+    row-for-row).
+
+    Scale shape: per-batch cost is (batch rows + touched runs), state
+    is run-compressed (≤ |history versions|), every window is
+    custkey-partitioned, and the store listing stays bounded via the
+    shared compaction."""
+
+    def _runs(df: DataFrame, order_cols: list) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(*order_cols)
+        return (
+            df.withColumn("_prev", F.lag("o_orderpriority").over(w))
+            .withColumn(
+                "_chg",
+                F.when(F.row_number().over(w) == 1, 1)
+                .when(
+                    ~F.col("_prev").eqNullSafe(F.col("o_orderpriority")), 1
+                )
+                .otherwise(0),
+            )
+            .withColumn(
+                "_run",
+                F.sum("_chg").over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+        )
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        runs = _runs(
+            batch_df.select(
+                "o_custkey",
+                "o_orderpriority",
+                F.unix_micros(
+                    F.col("o_orderdate").cast("timestamp")
+                ).alias("_us"),
+                F.col("o_orderkey").cast("bigint").alias("_tb"),
+            ),
+            [F.col("_us"), F.col("_tb")],
+        )
+        return runs.groupBy("o_custkey", "_run", "o_orderpriority").agg(
+            F.min(
+                F.struct(F.col("_us").alias("us"), F.col("_tb").alias("tb"))
+            ).alias("f"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("f.us").alias("first_us"),
+            F.col("f.tb").alias("first_tb"),
+            "n_rows",
+        )
+
+    def _merge(df: DataFrame) -> DataFrame:
+        runs = _runs(df, [F.col("first_us"), F.col("first_tb")])
+        return runs.groupBy("o_custkey", "_run", "o_orderpriority").agg(
+            F.min(
+                F.struct(
+                    F.col("first_us").alias("us"),
+                    F.col("first_tb").alias("tb"),
+                )
+            ).alias("f"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        ).select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("f.us").alias("first_us"),
+            F.col("f.tb").alias("first_tb"),
+            "n_rows",
+        )
+
+    def _view(merged: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy("first_us", "first_tb")
+        return (
+            merged.withColumn(
+                "version", F.row_number().over(w).cast("bigint")
+            )
+            .withColumn("valid_to_us", F.lead("first_us").over(w))
+            .select(
+                "o_custkey",
+                "o_orderpriority",
+                "version",
+                F.col("first_us").alias("valid_from_us"),
+                "valid_to_us",
+                "n_rows",
+                F.col("valid_to_us").isNull().alias("is_current"),
+            )
+        )
+
+    _run_delta_merge_stream(
+        order_stream,
+        store_dir,
+        out_dir,
+        checkpoint_dir,
+        delta_fn=_delta,
+        merge_fn=_merge,
+        view_fn=_view,
+        compact_every=compact_every,
+    )
