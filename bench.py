@@ -205,6 +205,7 @@ HEADLINE = [
     # round-11 additions, priced from day one
     "ann_graph_search_pinned",
     "ann_opq_search_pinned",
+    "ann_sq8_search",
 ]
 
 

@@ -15073,6 +15073,79 @@ def _opq_pinned_oracle_sql() -> str:
 ORACLE["ann_opq_search_pinned"] = _opq_pinned_oracle_sql()
 
 
+def q_ann_sq8_search(spark, sf_dir):
+    """Scalar-quantized int8 ANN under the value gate — the SEARCH path
+    the `embed_quantize` audit query prices (4× smaller compressed
+    scan + float re-rank; the FAISS-SQ8 serving layout). The
+    compressed-domain score is an EXACT integer dot of the truncated
+    int8 codes, so the whole trajectory — per-vector symmetric scale,
+    truncation codes, integer dot, dequantized shortlist rank, exact
+    cosine re-rank — replays in DuckDB with zero float-tolerance
+    caveats on the ranking signal."""
+    from .operators import search as S  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return S.sq8_search(emb, queries, k=5, shortlist=50)
+
+
+QUERIES["ann_sq8_search"] = q_ann_sq8_search
+
+_SQ8_SCALE = "(list_max(list_transform({v}::DOUBLE[], x -> abs(x))) / 127.0)"
+_SQ8_CODES = (
+    "list_transform({v}::DOUBLE[], x -> CAST(trunc(x / nullif({s}, 0.0)) "
+    "AS BIGINT))"
+)
+
+ORACLE["ann_sq8_search"] = f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_SQ8_SCALE.format(v="embedding")} AS cscale,
+             {_SQ8_CODES.format(v="embedding",
+                                s=_SQ8_SCALE.format(v="embedding"))} AS ccodes
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_SQ8_SCALE.format(v="embedding")} AS qscale,
+             {_SQ8_CODES.format(v="embedding",
+                                s=_SQ8_SCALE.format(v="embedding"))} AS qcodes
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, c.vec_id, c.embedding, q.qe,
+             CAST(list_dot_product(
+                 list_transform(c.ccodes, x -> CAST(x AS DOUBLE)),
+                 list_transform(q.qcodes, x -> CAST(x AS DOUBLE)))
+               AS BIGINT) AS sq8_dot,
+             round(c.cscale * q.qscale *
+                   CAST(CAST(list_dot_product(
+                       list_transform(c.ccodes, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.qcodes, x -> CAST(x AS DOUBLE)))
+                     AS BIGINT) AS DOUBLE), 6) AS approx_dot
+      FROM c, q
+    ), short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS crk
+        FROM scored WHERE approx_dot IS NOT NULL
+      ) WHERE crk <= 50
+    ), rescored AS (
+      SELECT query_id, vec_id, sq8_dot, approx_dot,
+             {_SQL_COS.format(a="embedding", b="qe")} AS sim
+      FROM short
+    )
+    SELECT query_id, vec_id, sq8_dot, approx_dot, sim,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM rescored
+    ) WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
