@@ -206,6 +206,7 @@ HEADLINE = [
     "ann_graph_search_pinned",
     "ann_opq_search_pinned",
     "ann_sq8_search",
+    "coreset_kcenter",
 ]
 
 

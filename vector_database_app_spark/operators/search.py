@@ -1650,3 +1650,140 @@ def sq8_search(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation;
+    Sener & Savarese 2018 as the data-selection use) — pick `k` maximally
+    spread vectors: seed with the lowest-id vector, then `k`-1 unrolled
+    rounds each promote the point FARTHEST from every chosen center
+    (max-min squared L2, tie → lowest id). Output: one row per center
+    (sel_ix, vec_id, radius = its max-min distance² at selection — the
+    2-approx covering-radius certificate) plus n_assigned (corpus points
+    whose nearest center it is; ties → lowest sel_ix).
+
+    Cross-engine determinism: dist² is round(dot(x,x) − 2·dot(x,c) +
+    dot(c,c), 6) — three sequential-fold dots combined in fixed order,
+    the same parity class every cosine oracle stands on; every argmax/
+    argmin is (rounded value, id) ranked. Plan shape: the chosen-center
+    frames are 1-row (TakeOrderedAndProject) and broadcast; the running
+    min-distance frame updates by a broadcast crossJoin per round
+    (bounded: 1-row side), so per-round cost is one corpus scan — at
+    100 TB that is k scans total, never a pairwise matrix. Each round's
+    frame is persisted (lazy) and pinned: round r+1 reads round r twice
+    (top-1 + update)."""
+    centers = kcenter_select_centers(
+        corpus, k=k, vec_col=vec_col, id_col=id_col, sim_scale=sim_scale
+    )
+    return kcenter_assign(
+        corpus, centers, vec_col=vec_col, id_col=id_col, sim_scale=sim_scale
+    )
+
+
+def _kcenter_d2(a, b, sim_scale: int = 6):
+    from ..functions.vector import dot
+
+    return F.round(
+        dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b), sim_scale
+    )
+
+
+def kcenter_select_centers(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """The k sequential greedy max-min scans (TRAINING pass — the
+    registry query runs this under the load_or_train artifact
+    lifecycle). Returns (sel_ix, vec_id, radius, _cvec)."""
+    from .. import caching
+
+    def d2(a, b):
+        return _kcenter_d2(a, b, sim_scale)
+
+    seed = corpus.select(id_col, vec_col).orderBy(id_col).limit(1)
+    centers = seed.select(
+        F.lit(1).cast("int").alias("sel_ix"),
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        F.lit(0.0).alias("radius"),
+    )
+    md = corpus.select(id_col, vec_col).crossJoin(
+        F.broadcast(seed.select(F.col(vec_col).alias("_c")))  # 1 row
+    ).select(
+        id_col, vec_col, d2(F.col(vec_col), F.col("_c")).alias("_dist")
+    )
+    pinned = []
+    for r in range(2, k + 1):
+        md = md.persist()
+        pinned.append(md)
+        nxt = md.orderBy(F.desc("_dist"), F.asc(id_col)).limit(1)
+        centers = centers.unionByName(
+            nxt.select(
+                F.lit(r).cast("int").alias("sel_ix"),
+                F.col(id_col),
+                F.col(vec_col).alias("_cvec"),
+                F.col("_dist").alias("radius"),
+            )
+        )
+        md = md.crossJoin(
+            F.broadcast(nxt.select(F.col(vec_col).alias("_c")))  # 1 row
+        ).select(
+            id_col,
+            vec_col,
+            F.least(
+                F.col("_dist"), d2(F.col(vec_col), F.col("_c"))
+            ).alias("_dist"),
+        )
+    return caching.pin(centers, *pinned)
+
+
+def kcenter_assign(
+    corpus: DataFrame,
+    centers: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Serving side: nearest-center assignment counts joined onto the
+    selected centers — one corpus scan against the broadcast k-row
+    center table."""
+
+    def d2(a, b):
+        return _kcenter_d2(a, b, sim_scale)
+
+    # assignment: nearest center per point (dist², then sel_ix);
+    # project the broadcast side so the corpus id column stays unique
+    scored = corpus.select(id_col, vec_col).crossJoin(
+        F.broadcast(centers.select("sel_ix", "_cvec"))  # k rows: bounded
+    ).select(
+        F.col(id_col),
+        "sel_ix",
+        d2(F.col(vec_col), F.col("_cvec")).alias("_d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("sel_ix"))
+    counts = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .groupBy("sel_ix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+    )
+    return centers.join(counts, "sel_ix", "left").select(
+        "sel_ix",
+        id_col,
+        "radius",
+        F.coalesce("n_assigned", F.lit(0).cast("bigint")).alias(
+            "n_assigned"
+        ),
+    )

@@ -122,7 +122,14 @@ def load_or_train(
             # rename below can land
             shutil.rmtree(path, ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}"
-        train_fn().coalesce(1).write.mode("overwrite").parquet(tmp)
+        trained = train_fn()
+        trained.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # trainers that persist intermediates pin them onto the result
+        # (caching.pin); the artifact write IS their one action, so
+        # release here — a no-op for un-pinned frames
+        from .. import caching  # noqa: PLC0415
+
+        caching.release(trained)
         try:
             os.rename(tmp, path)
         except OSError:

@@ -15146,6 +15146,88 @@ ORACLE["ann_sq8_search"] = f"""
 """
 
 
+def q_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection under the value gate — the
+    diversity-based data-curation primitive (pick the k most mutually
+    spread examples; Gonzalez 1985's 2-approximation, Sener & Savarese
+    2018 for training-data selection) the sampling family was missing:
+    sample_* queries weight by QUALITY or source, this one maximizes
+    COVERAGE of embedding space. DuckDB replays all 7 unrolled max-min
+    rounds, the radius certificates, and the nearest-center assignment
+    counts, stage for stage (operators/search.kcenter_select)."""
+    from .operators import search as S  # noqa: PLC0415
+    from .plans import artifacts as ART  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # the greedy selection is a TRAINING pass (k sequential corpus
+    # scans); artifact lifecycle like every other trained selector —
+    # the query prices the serving side (assignment + counts)
+    centers = ART.load_or_train(
+        spark,
+        sf_dir,
+        "kcenter_centers",
+        {"k": 8},
+        lambda: S.kcenter_select_centers(emb, k=8),
+        "sel_ix INT, vec_id BIGINT, radius DOUBLE, _cvec ARRAY<DOUBLE>",
+    )
+    return S.kcenter_assign(emb, centers)
+
+
+QUERIES["coreset_kcenter"] = q_coreset_kcenter
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    def dd(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a}) - 2 * "
+            f"list_dot_product({a}, {b}) + list_dot_product({b}, {b}), 6)"
+        )
+
+    sql = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c1 AS (
+      SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 1
+    ), md1 AS (
+      SELECT b.vec_id, b.v, {d} AS dist FROM base b, c1 c
+    )""".format(d=dd("b.v", "c.v"))
+    prev = "md1"
+    for r in range(2, k + 1):
+        sql += f""", n{r} AS (
+      SELECT vec_id, v, dist FROM {prev}
+      ORDER BY dist DESC, vec_id LIMIT 1
+    ), md{r} AS (
+      SELECT m.vec_id, m.v, least(m.dist, {dd('m.v', 'c.v')}) AS dist
+      FROM {prev} m, n{r} c
+    )"""
+        prev = f"md{r}"
+    centers = ["SELECT 1 AS sel_ix, vec_id, 0.0 AS radius, v FROM c1"] + [
+        f"SELECT {r}, vec_id, dist, v FROM n{r}" for r in range(2, k + 1)
+    ]
+    sql += """, centers AS (
+      """ + "\n      UNION ALL ".join(centers) + """
+    ), assign AS (
+      SELECT b.vec_id, c.sel_ix, {d} AS d FROM base b, centers c
+    ), near AS (
+      SELECT vec_id, sel_ix FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d ASC, sel_ix ASC) AS rk
+        FROM assign
+      ) WHERE rk = 1
+    ), counts AS (
+      SELECT sel_ix, CAST(count(*) AS BIGINT) AS n_assigned
+      FROM near GROUP BY sel_ix
+    )
+    SELECT CAST(c.sel_ix AS INT) AS sel_ix, c.vec_id, c.radius,
+           CAST(coalesce(n.n_assigned, 0) AS BIGINT) AS n_assigned
+    FROM centers c LEFT JOIN counts n USING (sel_ix)
+""".format(d=dd("b.v", "c.v"))
+    return sql
+
+
+ORACLE["coreset_kcenter"] = _kcenter_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
