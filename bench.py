@@ -207,6 +207,7 @@ HEADLINE = [
     "ann_opq_search_pinned",
     "ann_sq8_search",
     "coreset_kcenter",
+    "graph_ppr",
 ]
 
 

@@ -15228,6 +15228,100 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 ORACLE["coreset_kcenter"] = _kcenter_oracle_sql()
 
 
+_PPR_SEEDS = ["s0", "s1", "s2"]
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank over the supplier↔customer trade graph
+    (random walk with restart to a 3-supplier seed set — Jeh & Widom
+    2003), 3 unrolled integer fixed-point rounds: the node-proximity
+    ranking behind "similar suppliers / likely customers" graph
+    recommendation, complementing global pagerank (importance) and
+    link prediction (pairwise scores). Top-100 by scaled rank, node
+    tiebreak; every round is BIGINT-exact and replays in DuckDB."""
+    from .operators import graph as G  # noqa: PLC0415
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = G.personalized_pagerank(
+        edges, _PPR_SEEDS, iters=3, damping_pct=85
+    )
+    return ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
+
+
+QUERIES["graph_ppr"] = q_graph_ppr
+
+
+def _ppr_oracle_sql(iters: int = 3, damping_pct: int = 85) -> str:
+    from .operators.graph import SCALE  # noqa: PLC0415
+
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    seed_mass = SCALE // len(_PPR_SEEDS)
+    base_seed = ((100 - damping_pct) * SCALE // 100) // len(_PPR_SEEDS)
+    sql = f"""
+    WITH fwd AS (
+        SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+    ), outdeg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node,
+               CAST(CASE WHEN node IN ({seeds}) THEN {seed_mass}
+                         ELSE 0 END AS BIGINT) AS rank_scaled
+        FROM nodes
+    )"""
+    prev = "r0"
+    for t in range(1, iters + 1):
+        sql += f""", m{t} AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_scaled // d.outdeg) AS BIGINT) AS msum
+        FROM {prev} r JOIN outdeg d ON r.node = d.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    ), r{t} AS (
+        SELECT n.node,
+               CAST(CASE WHEN n.node IN ({seeds}) THEN {base_seed}
+                         ELSE 0 END
+                    + ({damping_pct} * coalesce(m.msum, 0)) // 100
+                   AS BIGINT) AS rank_scaled
+        FROM nodes n LEFT JOIN m{t} m ON n.node = m.node
+    )"""
+        prev = f"r{t}"
+    sql += f"""
+    SELECT node, rank_scaled,
+           rank_scaled / {float(SCALE)!r} AS rank,
+           CAST(CASE WHEN node IN ({seeds}) THEN 1 ELSE 0 END AS INT)
+               AS is_seed
+    FROM {prev}
+    ORDER BY rank_scaled DESC, node
+    LIMIT 100
+"""
+    return sql
+
+
+ORACLE["graph_ppr"] = _ppr_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
