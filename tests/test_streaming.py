@@ -1098,3 +1098,58 @@ def test_stream_scd_merge_replay_idempotent(spark, tmp_path):
     _drain()  # no new arrivals
     again = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert first == again
+
+
+def test_stream_interval_merge_equals_batch_any_split(spark, tmp_path):
+    """Streaming interval-union (SW.run_stream_interval_merge): events
+    replayed in three waves split by EVENT-ID HASH — deliberately NOT
+    time-partitioned — because interval-set union is associative and
+    commutative, so the drain must equal the batch interval_merge
+    registry query for ANY batching. Compaction forced every 2."""
+    import os
+
+    from vector_database_app_spark.registry import QUERIES
+    from vector_database_app_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "store")
+    out_dir = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_interval_merge(
+            stream, store_dir, out_dir, ckpt, compact_every=2
+        )
+
+    for i in range(3):
+        ev.filter(f"pmod(event_id, 3) = {i}").coalesce(2).write.parquet(
+            str(arrivals / f"w{i}")
+        )
+        _drain()
+
+    def keyed(df):
+        return {
+            (
+                r.user_id,
+                r.span_ix,
+                r.span_start_us,
+                r.span_end_us,
+                r.n_intervals,
+                r.covered_us,
+            )
+            for r in df.collect()
+        }
+
+    got = keyed(spark.read.parquet(out_dir))
+    want = keyed(QUERIES["interval_merge"](spark, SF))
+    assert got == want
+    kids = os.listdir(store_dir)
+    assert len([k for k in kids if k.startswith("compact=")]) <= 2, kids

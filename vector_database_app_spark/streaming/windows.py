@@ -1622,3 +1622,105 @@ def run_stream_scd_merge(
         view_fn=_view,
         compact_every=compact_every,
     )
+
+
+def run_stream_interval_merge(
+    event_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    compact_every: int = 8,
+) -> None:
+    """Continuous interval-union maintenance — the streaming twin of the
+    batch `interval_merge` registry query. Unlike the SCD twin, this
+    state is ORDER-INDEPENDENT: interval union is associative and
+    commutative (the union of a set of intervals does not depend on how
+    the set is batched), so parity holds for ARBITRARY batch splits —
+    the test replays events split by event_id hash, not by time.
+
+    Each micro-batch merges ITS OWN intervals to disjoint per-user
+    spans (the running-max gaps-and-islands pass, one user_id shuffle);
+    the state merge re-runs gaps-and-islands over accumulated span rows
+    ordered by (s, e DESC) — a span that overlaps or touches the
+    running max end fuses, n_intervals adds. Idempotent on merged
+    state (disjoint spans never re-fuse), associative by interval-set
+    union. The view assigns span_ix by start order and emits the batch
+    query's exact columns."""
+
+    def _islands(df: DataFrame, tiebreak) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("s", *tiebreak)
+        prev_max = F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            "_new",
+            F.when(prev_max.isNull(), 1)
+            .when(F.col("s") > prev_max, 1)
+            .otherwise(0),
+        ).withColumn(
+            "_isl",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        iv = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + (F.lit(60) + F.pmod(F.col("event_id"), F.lit(7)) * 90)
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("e"),
+            "event_id",
+        )
+        return (
+            _islands(iv, [F.col("event_id")])
+            .groupBy("user_id", "_isl")
+            .agg(
+                F.min("s").cast("bigint").alias("s"),
+                F.max("e").cast("bigint").alias("e"),
+                F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            )
+            .select("user_id", "s", "e", "n_intervals")
+        )
+
+    def _merge(df: DataFrame) -> DataFrame:
+        # e DESC tiebreak: equal-start spans fuse regardless of order,
+        # but ranking the longer first keeps the running max tight
+        return (
+            _islands(df, [F.desc("e")])
+            .groupBy("user_id", "_isl")
+            .agg(
+                F.min("s").cast("bigint").alias("s"),
+                F.max("e").cast("bigint").alias("e"),
+                F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+            )
+            .select("user_id", "s", "e", "n_intervals")
+        )
+
+    def _view(merged: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("s")
+        return merged.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("span_ix"),
+            F.col("s").alias("span_start_us"),
+            F.col("e").alias("span_end_us"),
+            "n_intervals",
+            (F.col("e") - F.col("s")).cast("bigint").alias("covered_us"),
+        )
+
+    _run_delta_merge_stream(
+        event_stream,
+        store_dir,
+        out_dir,
+        checkpoint_dir,
+        delta_fn=_delta,
+        merge_fn=_merge,
+        view_fn=_view,
+        compact_every=compact_every,
+    )
