@@ -208,6 +208,7 @@ HEADLINE = [
     "ann_sq8_search",
     "coreset_kcenter",
     "graph_ppr",
+    "retrieval_metrics",
 ]
 
 

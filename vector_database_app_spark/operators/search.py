@@ -1787,3 +1787,119 @@ def kcenter_assign(
             "n_assigned"
         ),
     )
+
+
+def retrieval_metrics(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    sim_scale: int = 6,
+) -> DataFrame:
+    """Ranking-quality evaluation (recall@k, MRR@k, nDCG@k) of the
+    exact-cosine top-k against label-match relevance — the evaluation
+    harness a vector engine needs to grade its own ANN variants (the
+    reference has no evaluation at all). Relevance: corpus items with
+    the query's label, query itself excluded.
+
+    Cross-engine determinism: the 1/log2(i+1) discount gains and their
+    ideal prefix sums are PYTHON-COMPUTED double literals baked into
+    both plans (k of them), so nDCG never depends on engine libm log2;
+    recall and MRR divisions are single IEEE ops on identical inputs.
+    Plan shape: one knn_batch (corpus ⋈ broadcast bounded queries) +
+    one label-count broadcast join + per-query hash aggs."""
+    gains = [1.0 / __import__("math").log2(i + 1) for i in range(1, k + 1)]
+    ideal = []
+    acc = 0.0
+    for g in gains:
+        acc += g
+        ideal.append(acc)
+
+    qlab = queries.join(
+        corpus.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(label_col).alias("_qlabel"),
+        ),
+        query_id_col,
+    )
+    top = knn_batch(
+        corpus.select(id_col, vec_col, label_col),
+        F.broadcast(qlab.select(query_id_col, query_vec_col)),
+        k=k + 1,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        sim_scale=sim_scale,
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    # re-rank after self-removal so rank i is the i-th OTHER item
+    w = Window.partitionBy(query_id_col).orderBy("rk")
+    top = top.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    hits = top.join(
+        F.broadcast(qlab.select(query_id_col, "_qlabel")), query_id_col
+    ).withColumn("_hit", (F.col(label_col) == F.col("_qlabel")).cast("int"))
+    gain_expr = F.when(F.lit(False), F.lit(0.0))
+    for i, g in enumerate(gains, start=1):
+        gain_expr = gain_expr.when(F.col("_r") == i, F.lit(g))
+    per_q = hits.groupBy(query_id_col).agg(
+        F.sum("_hit").cast("bigint").alias("_nhits"),
+        F.round(F.sum(F.col("_hit") * gain_expr), sim_scale).alias("_dcg"),
+        F.min(F.when(F.col("_hit") == 1, F.col("_r"))).alias("_first"),
+    )
+    nrel = (
+        corpus.select(F.col(label_col).alias("_qlabel"), F.col(id_col))
+        .join(
+            F.broadcast(
+                qlab.select(
+                    query_id_col,
+                    "_qlabel",
+                    F.col(query_id_col).alias("_qid"),
+                )
+            ),
+            "_qlabel",
+        )
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    ideal_expr = F.when(F.lit(False), F.lit(0.0))
+    for i, c in enumerate(ideal, start=1):
+        ideal_expr = ideal_expr.when(
+            F.least(F.col("n_rel"), F.lit(k)) == i, F.lit(c)
+        )
+    return (
+        per_q.join(nrel, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.coalesce("n_rel", F.lit(0).cast("bigint")).alias("n_rel"),
+            F.col("_nhits").alias("n_hits"),
+            F.round(
+                F.when(
+                    F.coalesce("n_rel", F.lit(0)) > 0,
+                    F.col("_nhits") / F.col("n_rel").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                sim_scale,
+            ).alias("recall_at_k"),
+            F.round(
+                F.when(
+                    F.col("_first").isNotNull(),
+                    F.lit(1.0) / F.col("_first").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                sim_scale,
+            ).alias("mrr_at_k"),
+            F.round(
+                F.when(
+                    F.coalesce("n_rel", F.lit(0)) > 0,
+                    F.col("_dcg") / ideal_expr,
+                ).otherwise(F.lit(0.0)),
+                sim_scale,
+            ).alias("ndcg_at_k"),
+        )
+    )

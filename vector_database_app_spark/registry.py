@@ -15322,6 +15322,99 @@ def _ppr_oracle_sql(iters: int = 3, damping_pct: int = 85) -> str:
 ORACLE["graph_ppr"] = _ppr_oracle_sql()
 
 
+def q_retrieval_metrics(spark, sf_dir):
+    """Ranking-quality evaluation (recall@10, MRR@10, nDCG@10) of exact
+    top-10 cosine retrieval against label-match relevance — the
+    evaluation-harness op the similarity family was missing (the
+    reference has no retrieval evaluation; this is how the engine's own
+    ANN variants get graded). nDCG's 1/log2(i+1) discounts and ideal
+    prefix sums are Python-computed literals baked into BOTH plans, so
+    the metric never depends on engine libm log2 (operators/
+    search.retrieval_metrics)."""
+    from .operators import search as S  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return S.retrieval_metrics(emb, queries, k=10)
+
+
+QUERIES["retrieval_metrics"] = q_retrieval_metrics
+
+
+def _retrieval_metrics_oracle_sql(k: int = 10) -> str:
+    import math
+
+    gains = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    ideal, acc = [], 0.0
+    for g in gains:
+        acc += g
+        ideal.append(acc)
+    gain_case = (
+        "CASE r "
+        + " ".join(f"WHEN {i} THEN {g!r}" for i, g in enumerate(gains, 1))
+        + " END"
+    )
+    ideal_case = (
+        f"CASE least(n.n_rel, {k}) "
+        + " ".join(f"WHEN {i} THEN {c!r}" for i, c in enumerate(ideal, 1))
+        + " END"
+    )
+    cos = _SQL_COS.format(a="c.embedding", b="q.qe")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, c.vec_id, c.label, {cos} AS sim
+      FROM embeddings c, q
+    ), topk1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= {k + 1}
+    ), top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rk) AS r
+        FROM topk1 WHERE vec_id <> query_id) WHERE r <= {k}
+    ), hits AS (
+      SELECT t.query_id, t.r,
+             CASE WHEN t.label = q.qlabel THEN 1 ELSE 0 END AS hit
+      FROM top t JOIN q ON q.query_id = t.query_id
+    ), perq AS (
+      SELECT query_id,
+             CAST(sum(hit) AS BIGINT) AS n_hits,
+             round(sum(hit * {gain_case}), 6) AS dcg,
+             min(CASE WHEN hit = 1 THEN r END) AS first
+      FROM hits GROUP BY query_id
+    ), nrel AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM embeddings c
+      JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT p.query_id,
+           CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+           p.n_hits,
+           round(CASE WHEN coalesce(n.n_rel, 0) > 0
+                      THEN p.n_hits / CAST(n.n_rel AS DOUBLE)
+                      ELSE 0.0 END, 6) AS recall_at_k,
+           round(CASE WHEN p.first IS NOT NULL
+                      THEN 1.0 / CAST(p.first AS DOUBLE)
+                      ELSE 0.0 END, 6) AS mrr_at_k,
+           round(CASE WHEN coalesce(n.n_rel, 0) > 0
+                      THEN p.dcg / {ideal_case}
+                      ELSE 0.0 END, 6) AS ndcg_at_k
+    FROM perq p LEFT JOIN nrel n ON n.query_id = p.query_id
+"""
+
+
+ORACLE["retrieval_metrics"] = _retrieval_metrics_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
