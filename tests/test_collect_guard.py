@@ -28,6 +28,9 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / (
 ALLOWED: dict[tuple[str, str], str] = {
     ("api.py", "run_search"): "k result rows + k source rows (reference "
     "response envelope is a driver-side dict by definition)",
+    ("streaming/windows.py", "run_stream_nsw_update._step"): "distinct "
+    "batch buckets, bounded by 2^n_bits (index geometry, never corpus "
+    "size)",
     ("functions/backends.py", "train_word2vec_vectors"): "|vocab| word "
     "vectors of the trained model (broadcast artifact)",
     ("operators/dedup.py", "connected_components_star._checksum"):

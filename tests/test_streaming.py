@@ -1153,3 +1153,58 @@ def test_stream_interval_merge_equals_batch_any_split(spark, tmp_path):
     assert got == want
     kids = os.listdir(store_dir)
     assert len([k for k in kids if k.startswith("compact=")]) <= 2, kids
+
+
+def test_stream_nsw_update_equals_full_rebuild(spark, tmp_path):
+    """Streaming NSW graph-index maintenance (SW.run_stream_nsw_update):
+    vectors arrive in three hash-split waves; after each drain only the
+    Hamming-1 envelope of the batch's buckets is recomputed, yet the
+    edge store must equal a full nsw_build over everything ingested so
+    far — incremental == rebuild for the graph paradigm (edge lists
+    for src s depend only on vectors within Hamming-1 of bucket(s))."""
+    from vector_database_app_spark.functions.vector import l2_normalize
+    from vector_database_app_spark.operators import search as S
+    from vector_database_app_spark.operators.search import _srp_bucket
+    from vector_database_app_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    store_dir = str(tmp_path / "vecs")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = emb.schema
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(arrivals))
+        )
+        SW.run_stream_nsw_update(stream, store_dir, edges_dir, ckpt)
+
+    ingested = None
+    for i in range(3):
+        wave = emb.filter(f"pmod(vec_id, 3) = {i}")
+        wave.coalesce(2).write.parquet(str(arrivals / f"w{i}"))
+        _drain()
+        ingested = wave if ingested is None else ingested.unionByName(wave)
+        got = {
+            (r.src, r.dst)
+            for r in spark.read.parquet(edges_dir)
+            .select("src", "dst")
+            .collect()
+        }
+        prepared = ingested.withColumn(
+            "bucket", _srp_bucket("embedding", 6, 64)
+        ).withColumn("_nvec", l2_normalize(F.col("embedding")))
+        want = {
+            (r.src, r.dst)
+            for r in S.nsw_build(prepared, n_bits=6, degree=16, bridge=8)
+            .collect()
+        }
+        assert got == want, (
+            f"wave {i}: {len(got - want)} extra, {len(want - got)} missing"
+        )
+    # vector store holds exactly the ingested corpus
+    assert spark.read.parquet(store_dir).count() == emb.count()

@@ -1724,3 +1724,95 @@ def run_stream_interval_merge(
         view_fn=_view,
         compact_every=compact_every,
     )
+
+
+def run_stream_nsw_update(
+    vector_stream: DataFrame,
+    store_dir: str,
+    edges_dir: str,
+    checkpoint_dir: str,
+    *,
+    n_bits: int = 6,
+    degree: int = 16,
+    bridge: int = 8,
+    dim: int = 64,
+) -> None:
+    """Continuous NSW graph-index maintenance — the streaming twin of
+    the `ann_graph_search_pinned` edge build (the graph analogue of
+    run_stream_index_update's IVF cells): arriving vectors upsert into
+    a bucket-partitioned vector store, and edge lists are recomputed
+    ONLY for src buckets within Hamming-1 of the batch's buckets —
+    exactly the set whose edges a new vector can change (it adds
+    within-bucket candidates to its own bucket and bridge candidates
+    to the ring). The recompute reads vectors within Hamming-2 (the
+    candidate set of the recomputed srcs) via partition pruning, and
+    both writes are dynamic partition overwrites — untouched buckets
+    are neither read nor written.
+
+    INVARIANT (pinned in tests/test_streaming.py): because edge
+    selection for src s depends only on vectors in bucket(s) ∪
+    ring(bucket(s)), recomputing the Hamming-1 envelope after each
+    batch leaves the edge store IDENTICAL to a full nsw_build rebuild
+    over all vectors — incremental == rebuild, the
+    ann_index_incremental discipline for the graph paradigm.
+
+    Replay safety: a replayed batch anti-joins itself against the
+    touched cells (batch wins on vec_id) and overwrites the same
+    partitions — idempotent."""
+    from ..functions.vector import l2_normalize
+    from ..operators.search import _srp_bucket, nsw_build
+    from ..sources.layout import upsert_partitions
+
+    spark = vector_stream.sparkSession
+
+    def _ring(b: int) -> set:
+        return {b} | {b ^ (1 << i) for i in range(n_bits)}
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        prepared = (
+            batch_df.select("vec_id", "embedding")
+            .withColumn("bucket", _srp_bucket("embedding", n_bits, dim))
+            .withColumn("_nvec", l2_normalize(F.col("embedding")))
+        )
+        # distinct batch buckets: bounded by 2^n_bits (index geometry,
+        # not corpus size) — collect-guard allowlisted
+        touched = sorted(
+            r.bucket for r in prepared.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        if _hadoop_exists(spark, store_dir):
+            old = (
+                spark.read.parquet(store_dir)
+                .withColumn("bucket", F.col("bucket").cast("bigint"))
+                .where(F.col("bucket").isin(touched))
+                .join(prepared.select("vec_id"), "vec_id", "anti")
+            )
+            cells = prepared.unionByName(old.select(*prepared.columns))
+        else:
+            cells = prepared
+        upsert_partitions(cells, store_dir, partition_cols=["bucket"])
+        srcs = sorted(set().union(*[_ring(b) for b in touched]))
+        reads = sorted(set().union(*[_ring(b) for b in srcs]))
+        vecs = (
+            spark.read.parquet(store_dir)
+            .withColumn("bucket", F.col("bucket").cast("bigint"))
+            .where(F.col("bucket").isin(reads))
+        )
+        edges = nsw_build(
+            vecs, n_bits=n_bits, degree=degree, bridge=bridge, dim=dim
+        )
+        bmap = vecs.select(
+            F.col("vec_id").alias("src"), F.col("bucket").alias("src_bucket")
+        )
+        upd = edges.join(bmap, "src").where(F.col("src_bucket").isin(srcs))
+        upsert_partitions(upd, edges_dir, partition_cols=["src_bucket"])
+
+    q = (
+        vector_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
