@@ -209,6 +209,7 @@ HEADLINE = [
     "coreset_kcenter",
     "graph_ppr",
     "retrieval_metrics",
+    "events_sprt",
 ]
 
 

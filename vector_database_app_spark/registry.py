@@ -15415,6 +15415,123 @@ def _retrieval_metrics_oracle_sql(k: int = 10) -> str:
 ORACLE["retrieval_metrics"] = _retrieval_metrics_oracle_sql()
 
 
+def _sprt_consts() -> dict:
+    """Wald SPRT literals (Python-computed, baked into BOTH plans so no
+    engine evaluates ln on data): H0 p=0.4 vs H1 p=0.6, α=β=0.05."""
+    import math
+
+    p0, p1, alpha, beta = 0.4, 0.6, 0.05, 0.05
+    return {
+        "l1": math.log(p1 / p0),
+        "l2": math.log((1 - p1) / (1 - p0)),
+        "ub": math.log((1 - beta) / alpha),
+        "lb": math.log(beta / (1 - alpha)),
+    }
+
+
+def q_events_sprt(spark, sf_dir):
+    """Sequential A/B testing — Wald's SPRT (1945) per event type on
+    the arm-B conversion stream, the always-valid early-stopping
+    counterpart to the fixed-horizon `events_ab_test`: day by day the
+    cumulative log-likelihood ratio s·ln(p1/p0) + f·ln(q1/q0) walks
+    until it crosses ln((1-β)/α) (accept H1) or ln(β/(1-α)) (accept
+    H0). All ln factors and both boundaries are Python literals, so
+    the LLR is literal-weighted integer arithmetic — exact
+    cross-engine. Trials: arm-B events (the events_ab_test md5 hash
+    split), success = value ≥ 50. One event_type-keyed shuffle serves
+    the cumulative window."""
+    c = _sprt_consts()
+    ev = _t(spark, sf_dir, "events")
+    arm_b = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) >= "8"
+    )
+    daily = (
+        ev.filter(arm_b)
+        .select(
+            "event_type",
+            F.expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000")
+            .cast("bigint")
+            .alias("day"),
+            (F.col("value") >= F.lit(50.0)).cast("int").alias("succ"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("succ").cast("bigint").alias("s"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("s").over(w).cast("bigint").alias("s_cum"),
+    )
+    llr = F.round(
+        F.col("s_cum") * F.lit(c["l1"])
+        + (F.col("n_cum") - F.col("s_cum")) * F.lit(c["l2"]),
+        6,
+    )
+    return cum.select(
+        "event_type",
+        "day",
+        "n_cum",
+        "s_cum",
+        llr.alias("llr"),
+        F.when(llr >= F.lit(round(c["ub"], 6)), F.lit("accept_h1"))
+        .when(llr <= F.lit(round(c["lb"], 6)), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+QUERIES["events_sprt"] = q_events_sprt
+
+
+def _sprt_oracle_sql() -> str:
+    c = _sprt_consts()
+    llr = (
+        f"round(s_cum * {c['l1']!r} + (n_cum - s_cum) * {c['l2']!r}, 6)"
+    )
+    return f"""
+    WITH armb AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day,
+             CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS succ
+      FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+    ), daily AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(succ) AS BIGINT) AS s
+      FROM armb GROUP BY event_type, day
+    ), cum AS (
+      SELECT event_type, day,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_cum,
+             CAST(sum(s) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS s_cum
+      FROM daily
+    )
+    SELECT event_type, day, n_cum, s_cum,
+           {llr} AS llr,
+           CASE WHEN {llr} >= {round(c['ub'], 6)!r} THEN 'accept_h1'
+                WHEN {llr} <= {round(c['lb'], 6)!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+"""
+
+
+ORACLE["events_sprt"] = _sprt_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
