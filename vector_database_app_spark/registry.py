@@ -15934,6 +15934,36 @@ _DRIVER_WINDOW_R11 = [
     "dedup_semantic",
 ]
 
+# _DRIVER_WINDOW_R12 (round-12 planning): after round 11 banks the 50
+# above, the never-windowed oracle-backed remainder is exactly the
+# SEVEN round-11 additions — ann_graph_search_pinned,
+# ann_opq_search_pinned, ann_sq8_search, coreset_kcenter, graph_ppr,
+# retrieval_metrics, events_sprt (each verified at sf0.001 + sf0.01 +
+# the four structural gates; the ANN trio also at sf0.1 via bench) —
+# they go FIRST, per the rounds-6-11 discipline. The remaining 43
+# slots re-confirm by staleness: the r6-only-green remainder (24) —
+#   dedup_similarity_join, dedup_threshold_sweep, dedup_winnow,
+#   domain_cap, events_ab_test, events_ewma,
+#   events_forecast_baseline, events_funnel_latency, gram_novelty,
+#   hybrid_search, image_features_png, knn_brute_force, knn_classify,
+#   knn_filtered, knn_join, knn_range_search, lang_leakage,
+#   pack_sequences_bpe, pmi_collocations, rag_topk_summary,
+#   session_paths, source_hhi, source_mix_report, t_closeness
+# — then the first 19 of the r7-only-green block (alphabetical):
+#   ann_ivfpq_search_pinned, ann_pq_search_pinned,
+#   attribution_multitouch, bm25_rank, contrastive_triplets,
+#   dp_release_counts, embed_feature_hash, embedding_dim_variance,
+#   enrich_scd2, events_anomaly, events_cumulative_users,
+#   events_funnel, events_resample, events_retention,
+#   events_sessionize, graph_bfs_reach, heavy_hitters_cms,
+#   join_skew_report, knn_batch_scaled
+# (the r7 remainder — knn_pca_search_pinned, minhash_estimator_quality,
+# quality_classifier_pinned, query_expansion, the 22 sql_* TPC-H
+# re-confirmations, temperature_mixture, text_quality, text_tfidf,
+# tokenizer_fertility_compare, unigram_encode — slides to window 13).
+# Next round: paste as _DRIVER_WINDOW_R12, swap the asserts/reorder
+# block, re-run the sf0.01 mirror before shipping.
+
 # Machine-readable rows-only → value-oracled-twin map (r9 verdict
 # task 3). One entry per rows-only query (a QUERIES key with no ORACLE
 # SQL), naming the value-oracled query that covers the closest
