@@ -30,6 +30,15 @@ def pin(out: DataFrame, *deps: DataFrame) -> DataFrame:
     return out
 
 
+def deps(df: DataFrame) -> tuple[DataFrame, ...]:
+    """The dependencies `pin`ned onto `df` (empty tuple if none) — for
+    wrappers that derive a NEW frame from a pinned one (orderBy/limit/
+    select return fresh DataFrame objects, losing the pin attribute)
+    and must carry the release handles forward:
+    ``caching.pin(wrapped, *caching.deps(inner))``."""
+    return tuple(getattr(df, _ATTR, ()))
+
+
 def release(df: DataFrame) -> None:
     """Unpersist every dependency `pin`ned onto `df` (idempotent)."""
     for dep in getattr(df, _ATTR, ()):

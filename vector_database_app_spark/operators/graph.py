@@ -56,17 +56,41 @@ def pagerank(
 
     Returns (node, rank_scaled BIGINT, rank DOUBLE rounded 1e-9).
     """
+    from .. import caching
+
+    # r11 optimization (guide §2.4/§5, measured at sf0.1): pre-join
+    # outdeg onto the edge list ONCE — the per-edge contribution needs
+    # (src's rank div src's outdeg) and edges⋈outdeg never changes
+    # across rounds, so the old per-round ranks⋈outdeg⋈edges double
+    # join becomes one emsg⋈ranks join. emsg (the one |E|-sized
+    # round-invariant frame) is persisted — a LAZY mark, zero
+    # construction jobs, pinned for caching.release. nodes is NOT
+    # persisted: its per-round references are identical subtrees that
+    # AQE exchange reuse already dedups, and caching it measured SLOWER
+    # (cache fill serializes what reuse overlaps: full-persist variant
+    # 8.3 s vs this form 4.8 s vs old 6.5 s, same session A/B).
+    # Same rows, same integer arithmetic → bit-identical result
+    # (oracle-verified at sf0.001/0.01).
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    # |nodes| as a 1-row frame, broadcast into every round — keeps the
-    # plan lazy (no .count() action at build time).
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
+    emsg = (
+        edges.join(outdeg, edges[src_col] == outdeg["node"])
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            "outdeg",
+        )
+        .persist()
+    )
+    # |nodes| as a 1-row frame, broadcast into every round — keeps the
+    # plan lazy (no .count() action at build time).
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",
         F.expr(f"CAST({SCALE} AS BIGINT) div _n").alias("rank_scaled"),
@@ -74,10 +98,9 @@ def pagerank(
     base_mass = (100 - damping_pct) * SCALE // 100
     for _ in range(iters):
         contrib = (
-            ranks.join(outdeg, "node")
-            .join(edges, ranks["node"] == edges[src_col])
+            emsg.join(ranks, emsg["_src"] == ranks["node"])
             .select(
-                F.col(dst_col).alias("node"),
+                F.col("_dst").alias("node"),
                 F.expr("rank_scaled div outdeg").alias("c"),
             )
             .groupBy("node")
@@ -99,11 +122,12 @@ def pagerank(
     # bit-identical across engines, whereas round(x, 9) can land exactly
     # on a half (…5) where Spark rounds half-up and DuckDB half-even
     # (observed at sf0.1: 1.59255e-5 → 1.5926e-5 vs 1.5925e-5).
-    return ranks.select(
+    out = ranks.select(
         "node",
         "rank_scaled",
         (F.col("rank_scaled") / F.lit(float(SCALE))).alias("rank"),
     )
+    return caching.pin(out, emsg)
 
 
 def triangle_count(
@@ -380,14 +404,31 @@ def personalized_pagerank(
 
     Teleport mass returns ONLY to seeds, so rank concentrates in the
     seed neighborhood instead of spreading globally. Plan shape is
-    pagerank's: per round one equi-join + one dst-keyed hash agg."""
+    pagerank's: per round one equi-join + one dst-keyed hash agg.
+
+    r11 optimization — the pagerank restructure (see there): outdeg is
+    pre-joined onto the edge list once and that one round-invariant
+    |E|-sized frame is persisted (lazy mark, pinned for
+    caching.release); arithmetic is unchanged, so the result is
+    bit-identical (oracle-verified)."""
+    from .. import caching
+
+    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    emsg = (
+        edges.join(outdeg, edges[src_col] == outdeg["node"])
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            "outdeg",
+        )
+        .persist()
+    )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-    )
-    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
     seed_mass = SCALE // len(seeds)
     base_seed = ((100 - damping_pct) * SCALE // 100) // len(seeds)
@@ -401,10 +442,9 @@ def personalized_pagerank(
     )
     for _ in range(iters):
         contrib = (
-            ranks.join(outdeg, "node")
-            .join(edges, ranks["node"] == edges[src_col])
+            emsg.join(ranks, emsg["_src"] == ranks["node"])
             .select(
-                F.col(dst_col).alias("node"),
+                F.col("_dst").alias("node"),
                 F.expr("rank_scaled div outdeg").alias("c"),
             )
             .groupBy("node")
@@ -422,9 +462,10 @@ def personalized_pagerank(
                 ).cast("bigint")
             ).alias("rank_scaled"),
         )
-    return ranks.select(
+    out = ranks.select(
         "node",
         "rank_scaled",
         (F.col("rank_scaled") / F.lit(float(SCALE))).alias("rank"),
         is_seed.cast("int").alias("is_seed"),
     )
+    return caching.pin(out, emsg)

@@ -15257,7 +15257,10 @@ def q_graph_ppr(spark, sf_dir):
     ranks = G.personalized_pagerank(
         edges, _PPR_SEEDS, iters=3, damping_pct=85
     )
-    return ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
+    out = ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
+    # orderBy/limit return a fresh DataFrame object — carry the
+    # operator's persist release handles forward (r11 optimization)
+    return caching.pin(out, *caching.deps(ranks))
 
 
 QUERIES["graph_ppr"] = q_graph_ppr
