@@ -167,10 +167,17 @@ def passage_dedup(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
     occ = df.select(F.col(id_col), F.explode(passages).alias("passage"))
-    owners = occ.groupBy("passage").agg(F.min(id_col).alias("_owner"))
+    # r11 optimization: min-over-window on the passage key instead of
+    # groupBy + join-back — one passage-keyed shuffle instead of two
+    # plus a sort-merge (the duplicate_spans restructure; same owner
+    # values, oracle-verified). Keyed window, never SinglePartition.
     return (
-        occ.join(owners, "passage")
+        occ.withColumn(
+            "_owner", F.min(id_col).over(Window.partitionBy("passage"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_passages"),
@@ -2526,9 +2533,17 @@ def duplicate_spans(
             F.col("pp.passage").alias("passage"),
         )
     )
-    owners = occ.groupBy("passage").agg(F.min(id_col).alias("_owner"))
+    # r11 optimization (guide §2.4): earliest-doc ownership as ONE
+    # min-over-window keyed on passage instead of groupBy(passage) +
+    # join-back — the join re-shuffled the full passage stream a second
+    # time and sort-merged it against the owner table (measured at
+    # sf0.1: dup stage 4.9 s agg+join vs 2.7 s window-min, with the
+    # bare explode floor at 2.4 s). min per passage partition is the
+    # same value the agg produced, so the surviving (doc, pos) rows are
+    # identical (oracle-verified). Keyed window — never SinglePartition.
+    w_own = Window.partitionBy("passage")
     dup = (
-        occ.join(owners, "passage")
+        occ.withColumn("_owner", F.min(id_col).over(w_own))
         .where(F.col("_owner") < F.col(id_col))
         .select(id_col, "pos")
     )
@@ -2901,18 +2916,27 @@ def remove_duplicate_spans(
             lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
         ),
     )
-    return joined.select(
+    # r11 optimization (guide §4.1-adjacent: HOFs run interpreted, not
+    # codegen): materialize `kept` in its OWN projection so the
+    # per-word exists-over-spans filter evaluates ONCE per row — the
+    # old single select referenced it three times (two sizes + the
+    # array_join) and CollapseProject keeps the split because the
+    # duplicated expression is non-cheap. Same expression, same values.
+    staged = joined.select(
+        id_col, F.size("_ws").cast("bigint").alias("n_words"), kept.alias("_kept")
+    )
+    return staged.select(
         id_col,
-        F.size("_ws").cast("bigint").alias("n_words"),
-        (F.size("_ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+        "n_words",
+        (F.col("n_words") - F.size("_kept")).cast("bigint").alias("n_removed"),
         F.when(
-            F.size("_ws") > 0,
-            (F.lit(1000) * (F.size("_ws") - F.size(kept))).cast("bigint"),
+            F.col("n_words") > 0,
+            (F.lit(1000) * (F.col("n_words") - F.size("_kept"))).cast("bigint"),
         )
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("_num"),
-        F.array_join(kept, " ").alias("cleaned"),
+        F.array_join("_kept", " ").alias("cleaned"),
     ).select(
         id_col,
         "n_words",
