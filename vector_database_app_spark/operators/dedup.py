@@ -1445,8 +1445,16 @@ def semantic_near_dups(
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
     )
+    # r11 optimization: read the final (id, centroid_id) projection off
+    # `base` rather than `assigned` — base's repartition exchange is
+    # already shared by the a/b pair sides (AQE exchange reuse), while a
+    # second reference to `assigned` re-evaluated the whole ivf_assign
+    # nearest-centroid scan (owners is small → broadcast → no exchange
+    # above the probe side to reuse). Same rows: base is a projection of
+    # assigned with the same id set. Oracle-verified.
+    ids = base.select(F.col(id_col), "centroid_id")
     return (
-        assigned.join(owners, assigned[id_col] == owners["b_id"], "left")
+        ids.join(owners, ids[id_col] == owners["b_id"], "left")
         .select(
             F.col(id_col),
             "centroid_id",

@@ -272,13 +272,25 @@ def label_propagation(
         counts = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        w = Window.partitionBy("node").orderBy(
-            F.desc("c"), F.asc("label")
-        )
+        # r11 optimization (guide §2.3 "aggregate before you shuffle"):
+        # the most-frequent-label pick is min over the struct
+        # (-c, label) — lexicographic struct order makes that exactly
+        # the row_number()=1 row under ORDER BY c DESC, label ASC, but
+        # a hash AGGREGATE does map-side partial aggregation (≤ one row
+        # per node per map partition crosses the wire) where the window
+        # shipped and SORTED every (node, label) row. Same pick, same
+        # labels (oracle-verified).
         picked = (
-            counts.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_nc"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m._l").alias("label"))
         )
         labels = (
             nodes.join(picked, "node", "left")

@@ -10925,7 +10925,7 @@ def q_minhash_estimator_quality(spark, sf_dir):
     n_hashes = 8
     sigs = dedup._md5_signatures(
         docs, "text", "doc_id", n_hashes=n_hashes, shingle_n=3
-    )
+    ).persist()
     pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
         "id_b", F.col("id_a") + F.lit(125)
     )
@@ -10954,7 +10954,7 @@ def q_minhash_estimator_quality(spark, sf_dir):
     # inner joins drop exactly the ids est's joins drop (every doc has
     # >= 1 shingle via the whole-text fallback).
     exact = dedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingle_n=3)
-    return (
+    out = (
         est.join(exact, ["id_a", "id_b"])
         .select(
             "id_a",
@@ -10967,6 +10967,7 @@ def q_minhash_estimator_quality(spark, sf_dir):
             ),
         )
     )
+    return caching.pin(out, sigs)
 
 
 QUERIES["minhash_estimator_quality"] = q_minhash_estimator_quality
