@@ -538,13 +538,17 @@ def pq_encode_residual(
     time."""
     from . import search as _search
 
+    # r11 optimization (guide §2.4): ivf_assign passes every corpus
+    # column through (it only drops its rank/score helpers), so the
+    # assignment already carries the vector — joining it back onto the
+    # corpus on id re-scanned and re-shuffled the corpus for rows it
+    # already had. One broadcast join attaches the winning centroid's
+    # vector; same rows, same residuals (oracle-verified).
     assign = _search.ivf_assign(
-        corpus, centroids, vec_col=vec_col, id_col=id_col
-    ).select(id_col, "centroid_id")
+        corpus.select(id_col, vec_col), centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, vec_col, "centroid_id")
     with_cent = (
-        corpus.select(id_col, vec_col)
-        .join(assign, id_col)
-        .join(
+        assign.join(
             F.broadcast(
                 centroids.select(
                     "centroid_id", F.col("centroid").alias("_cvec")

@@ -1418,7 +1418,7 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_text_tfidf(spark, sf_dir):
-    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return textops.tfidf_top_terms(_docs_parallel(spark, sf_dir), k=3)
 
 
 def q_lm_unigram_score(spark, sf_dir):
@@ -2699,7 +2699,7 @@ def q_bm25_rank(spark, sf_dir):
     (operators/textops.bm25_rank) — the sparse leg of a hybrid
     sparse+dense retrieval stack next to knn_brute_force."""
     return textops.bm25_rank(
-        _t(spark, sf_dir, "documents"),
+        _docs_parallel(spark, sf_dir),
         ["spark", "join", "merge", "window", "vector"],
         top_k=10,
     )
@@ -7131,7 +7131,7 @@ def q_pack_sequences_bpe(spark, sf_dir):
     replay chains the pinned merges, then lays out the token stream
     with one global window (fine at oracle scale — which is the point
     of the two-phase form on the engine side)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     counts = tokenize.bpe_encode_counts(
         docs, tokenize.PINNED_MERGES
     ).select("doc_id", "n_bpe_tokens")
@@ -8328,7 +8328,7 @@ def q_corpus_release_manifest(spark, sf_dir):
     table. Composes the oracle-checked corpus_pipeline output; its own
     oracle reuses that query's SQL as a derived table, so the manifest
     is value-verified end-to-end."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     # persist (lazy mark — zero jobs at build): three rollups consume the
     # decisions table, and without it the whole admission DAG (dedup
     # window + decontaminate gram join + quality signals) would execute
@@ -8387,7 +8387,7 @@ def q_quality_calibration(spark, sf_dir):
     in {0.25, 0.5, 0.75, 0.9}. Two-phase bucketed prefix sums, no
     SinglePartition window; the oracle replays the naive global-window
     form (result proven identical by the value match)."""
-    return textops.quality_calibration(_t(spark, sf_dir, "documents"))
+    return textops.quality_calibration(_docs_parallel(spark, sf_dir))
 
 
 QUERIES["quality_calibration"] = q_quality_calibration
@@ -8448,7 +8448,7 @@ def q_gram_novelty(spark, sf_dir):
     first-occurrence agg + join-back), map-side partials, never
     all-pairs — the boilerplate_ngrams/minhash scale discipline.
     Integer counts + one rounded division."""
-    return textops.gram_novelty(_t(spark, sf_dir, "documents"), n=3)
+    return textops.gram_novelty(_docs_parallel(spark, sf_dir), n=3)
 
 
 QUERIES["gram_novelty"] = q_gram_novelty
@@ -8478,7 +8478,7 @@ def q_lang_leakage(spark, sf_dir):
     language pair. Distinct (gram, lang) FIRST bounds the gram-keyed
     self-join fan-out at |langs|^2 per gram — document frequency never
     multiplies the join."""
-    return textops.lang_leakage(_t(spark, sf_dir, "documents"), n=3)
+    return textops.lang_leakage(_docs_parallel(spark, sf_dir), n=3)
 
 
 QUERIES["lang_leakage"] = q_lang_leakage
@@ -8741,7 +8741,7 @@ def q_cross_source_overlap(spark, sf_dir):
     domain_cap / source-dedup decisions. Oracle is the naive
     (source, gram) self-join replay."""
     return textops.cross_source_overlap(
-        _t(spark, sf_dir, "documents"), n=3, df_cap=16
+        _docs_parallel(spark, sf_dir), n=3, df_cap=16
     )
 
 
@@ -10822,7 +10822,7 @@ def q_heavy_hitters_cms(spark, sf_dir):
     only the broadcast 256-cell table joined to the top-20 frame. CMS
     guarantees estimate >= exact; the audit column shows the collision
     overestimate concretely."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     d, w = 4, 64
     toks = docs.select(
         F.explode(
@@ -11026,7 +11026,12 @@ def q_embed_feature_hash(spark, sf_dir):
     (correctly rounded IEEE), one rounded division per bucket. Scale:
     one explode + ONE 17-aggregate hash agg per doc — map-side
     combinable, no window, no join."""
-    docs = _t(spark, sf_dir, "documents")
+    # r11 optimization (guide §2.5 input skew / §6 small files): the
+    # staged documents parquet is ONE file → one scan partition, so the
+    # 1M-row gram explode + 2 md5/gram ran on a single core.
+    # _docs_parallel spreads it across the session's cores; signed
+    # counts are order-independent integers, so values are unchanged.
+    docs = _docs_parallel(spark, sf_dir)
     t = F.lower(F.substring("text", 1, 256))
     # when-guard: Spark's sequence(1, 0) counts DOWN (default step -1)
     # where DuckDB's range(1, 1) is empty — short docs must yield no
@@ -11439,7 +11444,7 @@ def q_tokenizer_fertility_compare(spark, sf_dir):
     word, one pass), join back on the word key, and aggregate per
     source — corpus rows touched exactly twice, same as bpe_encode.
     Value oracle: both pinned replay chains side by side in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "source",
         F.explode(
@@ -11711,7 +11716,7 @@ def q_duplicate_spans(spark, sf_dir):
     grain — dedup_passage's surgical twin (that op scores a doc; this
     one emits the exact word ranges a cleaning pass cuts). Integer-
     exact gaps-and-islands; the row_number window partitions by doc."""
-    return textops.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+    return textops.duplicate_spans(_docs_parallel(spark, sf_dir), n=8)
 
 
 QUERIES["duplicate_spans"] = q_duplicate_spans
@@ -11755,7 +11760,7 @@ def q_mlm_masking(spark, sf_dir):
     position-keyed md5 in place of an RNG (the minhash_md5 recipe), so
     the corrupted corpus replays bit-for-bit in DuckDB — including the
     corrupted text itself. Pure row-local projection, zero shuffle."""
-    return textops.mlm_masking(_t(spark, sf_dir, "documents"))
+    return textops.mlm_masking(_docs_parallel(spark, sf_dir))
 
 
 QUERIES["mlm_masking"] = q_mlm_masking
@@ -11954,7 +11959,7 @@ def q_dedup_span_clean(spark, sf_dir):
     (duplicate_spans finds the ranges; this op applies them). Owner
     docs pass through verbatim with n_removed = 0."""
     return textops.remove_duplicate_spans(
-        _t(spark, sf_dir, "documents"), n=8
+        _docs_parallel(spark, sf_dir), n=8
     )
 
 
