@@ -13665,7 +13665,7 @@ def q_crossmodal_leakage(spark, sf_dir):
         docs, pairs.select("id_a", "id_b").distinct(), shingle_n=3
     )
     caught = (F.col("jaccard") >= 0.5).cast("int")
-    return (
+    out = (
         pairs.join(jac, ["id_a", "id_b"])
         .groupBy("modality")
         .agg(
@@ -13691,6 +13691,7 @@ def q_crossmodal_leakage(spark, sf_dir):
             "escaped_max_jaccard",
         )
     )
+    return out
 
 
 QUERIES["crossmodal_leakage"] = q_crossmodal_leakage
@@ -14042,12 +14043,19 @@ def q_graph_link_prediction(spark, sf_dir):
     cdeg = edges.groupBy("cust").agg(
         F.count(F.lit(1)).cast("bigint").alias("cdeg")
     )
+    # r11 optimization (guide §5 caching-for-reuse): `kept` feeds three
+    # consumers (sdeg and both pair sides) whose exchanges differ
+    # (supp-keyed agg vs cust-keyed self-join), so exchange reuse could
+    # not dedup the edges⋈cdeg build — it executed three times. One
+    # lazy persist (pinned for caching.release) computes it once.
+    # Measured 3.75 → 1.42 s at sf0.1; values unchanged
+    # (oracle-verified at sf0.001/0.01).
     kept = edges.join(
         cdeg.where(
             (F.col("cdeg") >= 2) & (F.col("cdeg") <= _LP_MAX_CUST_DEG)
         ),
         "cust",
-    )
+    ).persist()
     sdeg = kept.groupBy("supp").agg(
         F.count(F.lit(1)).cast("bigint").alias("sdeg")
     )
@@ -14090,12 +14098,13 @@ def q_graph_link_prediction(spark, sf_dir):
             F.col("adamic_adar").cast("double").alias("adamic_adar"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.desc("adamic_adar"),
         F.desc("common_neighbors"),
         "s_a",
         "s_b",
     ).limit(_LP_TOP)
+    return caching.pin(out, kept)
 
 
 QUERIES["graph_link_prediction"] = q_graph_link_prediction
