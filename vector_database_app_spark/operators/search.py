@@ -1281,20 +1281,30 @@ def knn_classify(
     votes = nn.join(lbl, "nbr_id").groupBy("src_id", "nbr_label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    w = Window.partitionBy("src_id").orderBy(
-        F.desc("n"), F.asc("nbr_label")
-    )
+    # r11 optimization: top-1 vote as min-of-struct((-n, label)) hash
+    # aggregate instead of a row_number window (the label_propagation
+    # restructure — map-side partial agg, same (n DESC, label ASC)
+    # pick). Persisting pred for its two consumers was tried and
+    # measured SLOWER (they evaluate in parallel and beat a serialized
+    # cache fill). Values unchanged (oracle-verified).
     pred = (
-        votes.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("src_id", F.col("nbr_label").alias("pred_label"))
+        votes.groupBy("src_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_nn"),
+                    F.col("nbr_label").alias("_l"),
+                )
+            ).alias("_m")
+        )
+        .select("src_id", F.col("_m._l").alias("pred_label"))
     )
     truth = df.select(
         F.col(id_col).alias("src_id"),
         F.col(label_col).cast("int").alias("true_label"),
     )
     total = pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    return (
+    out = (
         pred.join(truth, "src_id")
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
@@ -1308,6 +1318,7 @@ def knn_classify(
             ).alias("share"),
         )
     )
+    return out
 
 
 def nsw_build(
