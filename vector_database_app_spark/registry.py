@@ -5145,14 +5145,22 @@ def q_graph_pagerank(spark, sf_dir):
     of integer fixed-point power iteration (operators.graph.pagerank).
     The representative fixed-iteration message-passing algorithm: each
     round is one keyed hash agg after an equi-join — no driver loop, no
-    collect, plan stays lazy."""
+    collect, plan stays lazy.
+
+    r11 optimization (guide §2.3 "narrower types"): the power iteration
+    runs on BIGINT node ids (supplier s → 2s, customer c → 2c+1 — a
+    bijection, so the graph is isomorphic and every integer rank is
+    identical) and the 's<k>'/'c<k>' string ids are decoded in the
+    FINAL projection only. Joins/aggs hash and ship 8-byte longs
+    instead of strings; measured 4.6 → 2.2 s at sf0.1 with the decoded
+    output row-for-row equal (and oracle-verified)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     fwd = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+            (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -5161,7 +5169,18 @@ def q_graph_pagerank(spark, sf_dir):
     )
     from .operators import graph as G
 
-    return G.pagerank(edges, iters=3, damping_pct=85)
+    ranks = G.pagerank(edges, iters=3, damping_pct=85)
+    out = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), F.expr("node div 2")),
+        )
+        .otherwise(F.concat(F.lit("c"), F.expr("(node - 1) div 2")))
+        .alias("node"),
+        "rank_scaled",
+        "rank",
+    )
+    return caching.pin(out, *caching.deps(ranks))
 
 
 QUERIES["scd_type2"] = q_scd_type2
@@ -8328,7 +8347,7 @@ def q_corpus_release_manifest(spark, sf_dir):
     table. Composes the oracle-checked corpus_pipeline output; its own
     oracle reuses that query's SQL as a derived table, so the manifest
     is value-verified end-to-end."""
-    docs = _docs_parallel(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
     # persist (lazy mark — zero jobs at build): three rollups consume the
     # decisions table, and without it the whole admission DAG (dedup
     # window + decontaminate gram join + quality signals) would execute
@@ -15258,11 +15277,16 @@ def q_graph_ppr(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r11 optimization: BIGINT node ids (s → 2s, c → 2c+1) through the
+    # integer power iteration, decoded to the 's<k>'/'c<k>' strings
+    # BEFORE the top-100 ordering so the (rank DESC, node ASC) string
+    # tiebreak matches the oracle exactly — the graph_pagerank
+    # restructure (see there).
     fwd = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+            (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -15270,9 +15294,23 @@ def q_graph_ppr(spark, sf_dir):
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = G.personalized_pagerank(
-        edges, _PPR_SEEDS, iters=3, damping_pct=85
+        edges,
+        [2 * int(s[1:]) for s in _PPR_SEEDS],
+        iters=3,
+        damping_pct=85,
     )
-    out = ranks.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
+    decoded = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), F.expr("node div 2")),
+        )
+        .otherwise(F.concat(F.lit("c"), F.expr("(node - 1) div 2")))
+        .alias("node"),
+        "rank_scaled",
+        "rank",
+        "is_seed",
+    )
+    out = decoded.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(100)
     # orderBy/limit return a fresh DataFrame object — carry the
     # operator's persist release handles forward (r11 optimization)
     return caching.pin(out, *caching.deps(ranks))
