@@ -10154,22 +10154,36 @@ def q_graph_bfs_reach(spark, sf_dir):
     replays exactly as unrolled SQL CTEs."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r11 optimization (guide §2.3 "narrower types"): BIGINT node ids
+    # (s → 2s, c → 2c+1; the graph_pagerank bijection) through every
+    # hop join and min-dist agg; strings appear only (a) in the seed
+    # pick, which orders by the DECODED id so the (deg DESC, id ASC)
+    # string tiebreak matches the oracle exactly, and (b) in the final
+    # projection. Row-for-row equal (oracle-verified).
     fwd = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+            (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+    def _decode(c):
+        # shiftright(c, 1) == c div 2 for the even (s) case and
+        # (c - 1) div 2 for the odd (c) case — one exact integer op
+        return F.when(
+            c % 2 == 0, F.concat(F.lit("s"), F.shiftright(c, 1))
+        ).otherwise(F.concat(F.lit("c"), F.shiftright(c, 1)))
+
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
     seeds = (
-        deg.orderBy(F.desc("deg"), F.asc("src"))
+        deg.orderBy(F.desc("deg"), F.asc(_decode(F.col("src"))))
         .limit(5)
         .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
     )
@@ -10186,7 +10200,8 @@ def q_graph_bfs_reach(spark, sf_dir):
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select(
-        "node", F.col("dist").cast("int").alias("hops")
+        _decode(F.col("node")).alias("node"),
+        F.col("dist").cast("int").alias("hops"),
     )
 
 
