@@ -501,8 +501,12 @@ def lsh_band_sweep(
         .distinct()
     )
 
+    # r11 optimization: the truth leg reads the SAME repartitioned base
+    # as the signature leg — the raw documents frame is a single-file,
+    # single-partition scan, so the exact-join's shingle explode ran on
+    # one core (guide §2.5 input skew). Same rows, same pairs.
     truth = similarity_join(
-        df,
+        base,
         threshold=threshold,
         text_col=text_col,
         id_col=id_col,
