@@ -5770,7 +5770,7 @@ def q_doc_winnow(spark, sf_dir):
     Interpreted-HOF note: per-doc output is a handful of scalars, so the
     fold cost is bounded; the exploded+codegen form (PERF lesson #4)
     only pays when fingerprints fan out to a join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = F.filter(
         F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
     )
@@ -9064,7 +9064,7 @@ def q_char_entropy(spark, sf_dir):
     char-sorted order with an identical IEEE op sequence in both
     engines — see the operator docstring for the -0.0 and
     trailing-empty-token hazards this construction removes."""
-    return textops.char_entropy(_t(spark, sf_dir, "documents"))
+    return textops.char_entropy(_docs_parallel(spark, sf_dir))
 
 
 QUERIES["char_entropy"] = q_char_entropy
