@@ -230,11 +230,12 @@ def label_propagation(
     Fixed-iteration unrolled relational rounds (the pagerank/BFS
     discipline — no driver loop, one lazy plan): per round one
     edge⋈labels join (shuffles on the node key; AQE covers hub skew),
-    one (node, label) hash agg with map-side partials, one
-    node-partitioned row_number pick — never a SinglePartition window.
-    Nodes with no in-edges keep their own label via the left-join
-    fallback. Replays exactly as unrolled SQL CTEs."""
-    from pyspark.sql import Window
+    one (node, label) hash agg with map-side partials, and one
+    node-keyed min-of-struct aggregate for the pick (r11: replaced the
+    row_number window — same (count DESC, label ASC) order, partial
+    aggregation instead of a shuffle-and-sort; never a SinglePartition
+    window). Nodes with no in-edges keep their own label via the
+    left-join fallback. Replays exactly as unrolled SQL CTEs."""
 
     # LAZY persist (no constructor jobs): every round references edges,
     # and every round's fallback references nodes — without the cache
