@@ -29,8 +29,10 @@ def test_lpa_agg_pick_matches_window_tiebreak(spark):
     old row_number pick under (count DESC, label ASC) — exercised on a
     graph engineered so node X's neighbor labels TIE on count and the
     smallest label must win."""
-    # X has two in-neighbors with label 'b' and two with label 'a':
-    # counts tie 2-2, the pick must be 'a' (smallest label).
+    # Round 1: every node still carries its OWN label, so x's four
+    # in-neighbors a1, a2, b1, b2 each contribute their own label once
+    # — a 4-way count tie (1,1,1,1) that the (count DESC, label ASC)
+    # order must break to the smallest label, a1.
     edges = spark.createDataFrame(
         [
             ("a1", "x"),
@@ -49,8 +51,7 @@ def test_lpa_agg_pick_matches_window_tiebreak(spark):
     out = G.label_propagation(edges, rounds=1)
     got = {r["node"]: r["label"] for r in out.collect()}
     caching.release(out)
-    assert got["x"] == "a1"  # 2×{a1,a2}? no — neighbors are a1,a2,b1,b2
-    # each contributes its own label once: 4-way tie → smallest label a1
+    assert got["x"] == "a1"  # 4-way count tie → smallest label wins
 
 
 def test_pagerank_int_bijection_equals_string_form(spark):

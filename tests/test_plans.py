@@ -419,11 +419,18 @@ def test_curriculum_order_avoids_single_partition_data_window(spark):
 
 
 def test_doc_winnow_is_shuffle_free(spark):
-    """Winnowing is row-local array math: scan + project only — no
-    Exchange, no Window, no Python anywhere in the plan."""
+    """Winnowing is row-local array math: scan + project only — the
+    sole permitted Exchange is _docs_parallel's round-robin input
+    spread (r11: the staged single-file scan is one task otherwise);
+    no keyed shuffle, no Window, no Python anywhere in the plan."""
     df = QUERIES["doc_winnow"](spark, SF)
     plan = explain_str(df)
-    assert "Exchange" not in plan, plan
+    # no keyed/global shuffle of any kind …
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # … every Exchange (if any) is the round-robin input spread
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
 

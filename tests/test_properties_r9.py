@@ -53,7 +53,10 @@ def test_kcore_bounded_peel_is_monotone_and_converges(edges, k):
     has degree >= k."""
     prev = None
     fixed = None
-    for rounds in range(1, 8):
+    # worst case peels ONE node per round (a chain), so 15 nodes need
+    # up to 15 rounds to converge plus one more to OBSERVE cur == prev
+    # (hypothesis falsified the old 7-round budget with a 7-node chain)
+    for rounds in range(1, 17):
         _, deg = _kcore_ref(edges, k, rounds)
         cur = set(deg)
         if prev is not None:
@@ -61,8 +64,8 @@ def test_kcore_bounded_peel_is_monotone_and_converges(edges, k):
             if cur == prev and fixed is None:
                 fixed = cur
         prev = cur
-    assert fixed is not None  # 15 nodes max -> converges within 7
-    _, deg = _kcore_ref(edges, k, 7)
+    assert fixed is not None  # <= 15 nodes -> converges within 15
+    _, deg = _kcore_ref(edges, k, 16)
     assert all(d >= k for d in deg.values())
 
 

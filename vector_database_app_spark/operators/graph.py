@@ -96,16 +96,34 @@ def pagerank(
         F.expr(f"CAST({SCALE} AS BIGINT) div _n").alias("rank_scaled"),
     )
     base_mass = (100 - damping_pct) * SCALE // 100
-    for _ in range(iters):
-        contrib = (
-            emsg.join(ranks, emsg["_src"] == ranks["node"])
-            .select(
-                F.col("_dst").alias("node"),
-                F.expr("rank_scaled div outdeg").alias("c"),
+    for it in range(iters):
+        if it == 0:
+            # r12 (guide §2.4): ranks_0 is the same constant
+            # (SCALE div |V|) for EVERY node and every _src is in the
+            # node set, so round 1's emsg⋈ranks join attaches a
+            # constant — compute it inline from the broadcast 1-row
+            # count frame and skip the join.
+            contrib = (
+                emsg.crossJoin(F.broadcast(n_nodes))
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.expr(
+                        f"(CAST({SCALE} AS BIGINT) div _n) div outdeg"
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("msum"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("msum"))
-        )
+        else:
+            contrib = (
+                emsg.join(ranks, emsg["_src"] == ranks["node"])
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.expr("rank_scaled div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("msum"))
+            )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
@@ -216,6 +234,7 @@ def label_propagation(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     DETERMINISTIC tie-break: every node starts labeled with itself;
@@ -254,6 +273,18 @@ def label_propagation(
     # the entity_resolution release-handle discipline).
     from .. import caching
 
+    # `broadcast_labels=True` (r12, guide §3.1): the label frame is
+    # NODE-domain sized while `edges` is EDGE-domain sized; when the
+    # caller knows the node set is dimension-like (the trade graph's
+    # node ids are bounded by the TPC-H supplier/customer key domains),
+    # broadcasting labels/picked turns every per-round SortMergeJoin
+    # into a BroadcastHashJoin and the edge list NEVER shuffles — the
+    # auto-threshold cannot see this because the pre-materialization
+    # size ESTIMATE of a distinct-over-union frame is edge-sized.
+    # Default False: a generic 100 TB graph's node set may not fit.
+    def _nb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
     edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -262,14 +293,27 @@ def label_propagation(
         .persist()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(rounds):
-        nbr = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col(f"e.{src}") == F.col("l.node"))
-            .select(
-                F.col(f"e.{dst}").alias("node"), F.col("l.label").alias("label")
+    for rnd in range(rounds):
+        if rnd == 0:
+            # r12 (guide §2.4): labels_0 is the IDENTITY map over a node
+            # set that contains every src (nodes = src ∪ dst), so round
+            # 1's edges⋈labels join is a pure rename — emit
+            # (dst, src-as-label) directly and skip the join.
+            nbr = edges.select(
+                F.col(dst).alias("node"), F.col(src).alias("label")
             )
-        )
+        else:
+            nbr = (
+                edges.alias("e")
+                .join(
+                    _nb(labels.alias("l")),
+                    F.col(f"e.{src}") == F.col("l.node"),
+                )
+                .select(
+                    F.col(f"e.{dst}").alias("node"),
+                    F.col("l.label").alias("label"),
+                )
+            )
         counts = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
@@ -294,7 +338,7 @@ def label_propagation(
             .select("node", F.col("_m._l").alias("label"))
         )
         labels = (
-            nodes.join(picked, "node", "left")
+            nodes.join(_nb(picked), "node", "left")
             .select(
                 "node",
                 F.coalesce(picked["label"], nodes["node"]).alias("label"),
@@ -351,29 +395,52 @@ def kcore(
     # two semi-joins. Edge survival iff both endpoints alive is
     # exactly edge peeling, by induction. Every persist is lazy (zero
     # construction jobs) and PINNED for caching.release.
+    # r12 restructure (guide §2.4 "remove shuffles outright"): round 1's
+    # two semi-joins are provably NO-OPS — alive_0 is the distinct `a`
+    # set of `sym`, and symmetrization guarantees every `b` also occurs
+    # as an `a` — so deg_1 is a plain groupBy over the cached edge
+    # list, and `nodes` itself is deg_1's key set. One node-domain
+    # frame (`deg0`, persisted) replaces the nodes-distinct aggregate,
+    # round 1's two SortMergeJoins, and round 1's degree aggregate
+    # (A/B at sf0.1: min 2.30 → 1.75 s, means 3.8 → 2.4; value-identity
+    # collect-verified). An explicit broadcast of the alive sets was
+    # also tried and REJECTED (4.8 → 5.6 s — per-round broadcast builds
+    # serialize where AQE overlaps the SMJ stages).
     sym = sym.persist()
-    cached = [sym]
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    alive = nodes
-    for _ in range(rounds):
-        deg = (
+    deg0 = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .persist()
+    )
+    cached = [sym, deg0]
+    nodes = deg0.select(F.col("a").alias("node"))
+    if rounds == 0:
+        final_deg = deg0.select(
+            "a", F.col("deg").alias("core_degree")
+        )
+    else:
+        alive = deg0.where(F.col("deg") >= k).select(
+            F.col("a").alias("node")
+        )
+        for _ in range(rounds - 1):
+            deg = (
+                sym.join(alive.select(F.col("node").alias("a")), "a", "semi")
+                .join(alive.select(F.col("node").alias("b")), "b", "semi")
+                .groupBy("a")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            )
+            alive = (
+                deg.where(F.col("deg") >= k)
+                .select(F.col("a").alias("node"))
+                .persist()
+            )
+            cached.append(alive)
+        final_deg = (
             sym.join(alive.select(F.col("node").alias("a")), "a", "semi")
             .join(alive.select(F.col("node").alias("b")), "b", "semi")
             .groupBy("a")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         )
-        alive = (
-            deg.where(F.col("deg") >= k)
-            .select(F.col("a").alias("node"))
-            .persist()
-        )
-        cached.append(alive)
-    final_deg = (
-        sym.join(alive.select(F.col("node").alias("a")), "a", "semi")
-        .join(alive.select(F.col("node").alias("b")), "b", "semi")
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-    )
     # in_core is computed on the PRE-coalesce frame: after the left
     # join, core_degree is null exactly for peeled-out nodes. Deriving
     # the flag before aliasing the coalesced (never-null) value avoids
@@ -453,16 +520,36 @@ def personalized_pagerank(
         .cast("bigint")
         .alias("rank_scaled"),
     )
-    for _ in range(iters):
-        contrib = (
-            emsg.join(ranks, emsg["_src"] == ranks["node"])
-            .select(
-                F.col("_dst").alias("node"),
-                F.expr("rank_scaled div outdeg").alias("c"),
+    for it in range(iters):
+        if it == 0:
+            # r12 (guide §2.4): ranks_0 is a pure function of the node
+            # id (seed_mass on seeds, 0 elsewhere), so round 1's
+            # emsg⋈ranks join is computable inline on emsg. Restricting
+            # to seed-src edges is exact: a non-seed src contributes
+            # c = 0 div outdeg = 0, and a node whose msum would be a
+            # sum of zeros now simply has no row — both read back as 0
+            # through the coalesce(msum, 0) below.
+            contrib = (
+                emsg.where(F.col("_src").isin(list(seeds)))
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.expr(
+                        f"CAST({seed_mass} AS BIGINT) div outdeg"
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("msum"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("msum"))
-        )
+        else:
+            contrib = (
+                emsg.join(ranks, emsg["_src"] == ranks["node"])
+                .select(
+                    F.col("_dst").alias("node"),
+                    F.expr("rank_scaled div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("msum"))
+            )
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
