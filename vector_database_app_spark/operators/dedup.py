@@ -225,6 +225,7 @@ def ngram_jaccard(
     *,
     shingle_n: int = 3,
     scale: int = 6,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) candidate pairs —
     the verify step after LSH (array_intersect/union are JVM-side).
@@ -236,7 +237,12 @@ def ngram_jaccard(
     second consumer, so no checkpoint/persist is needed to avoid
     recompute; (b) the join shuffles raw strings, not shingle arrays —
     a word-3-gram set is ~3× the text size. Inner joins also bound the
-    pair list for free: ids with no corpus row simply drop."""
+    pair list for free: ids with no corpus row simply drop.
+
+    `keep_cols` (r12): extra `pairs` columns carried through to the
+    output, so a caller whose pair table holds tags (crossmodal_leakage's
+    modality list) doesn't need a second consumer of the expensive pair
+    generator just to join the tags back on."""
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b"))
     sh_a = F.array_distinct(TX.shingles("_t_a", shingle_n))
@@ -254,6 +260,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
+            *[F.col(c) for c in (keep_cols or [])],
             F.round(
                 F.size(F.array_intersect(sh_a, sh_b))
                 / F.size(F.array_union(sh_a, sh_b)),

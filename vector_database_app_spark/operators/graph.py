@@ -42,6 +42,7 @@ def pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, `iters` unrolled rounds.
 
@@ -124,8 +125,18 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("msum"))
             )
+        # `broadcast_ranks=True` (r12, guide §3.1): contrib is
+        # NODE-domain sized; when the caller knows the node set is
+        # dimension-like, broadcasting it turns the per-round rank
+        # update from a SortMergeJoin (both sides sorted every round)
+        # into a broadcast left join — the auto-threshold cannot see
+        # this because contrib's pre-run size estimate is edge-sized.
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(
+                F.broadcast(contrib) if broadcast_ranks else contrib,
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
@@ -471,6 +482,7 @@ def personalized_pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to a SEED set —
     Jeh & Widom 2003): the node-proximity ranking behind "similar
@@ -550,7 +562,12 @@ def personalized_pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("msum"))
             )
-        ranks = nodes.join(contrib, "node", "left").select(
+        # broadcast_ranks: see pagerank — same node-domain rank update
+        ranks = nodes.join(
+            F.broadcast(contrib) if broadcast_ranks else contrib,
+            "node",
+            "left",
+        ).select(
             "node",
             (
                 F.when(is_seed, F.lit(base_seed))

@@ -495,13 +495,22 @@ def entity_resolution(
         .persist()
     )
     labels = names.select("name", F.col("name").alias("canonical"))
-    for _ in range(hops):
-        labels = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.name"))
-            .groupBy(F.col("e.dst").alias("name"))
-            .agg(F.min("l.canonical").alias("canonical"))
-        )
+    for hop in range(hops):
+        if hop == 0:
+            # r12 (guide §2.4): labels_0 is the IDENTITY map over the
+            # name universe and every edge src is in it (edges derive
+            # from names, self-loops included), so hop 1's edges⋈labels
+            # join is a pure rename — min(src) per dst directly.
+            labels = edges.groupBy(F.col("dst").alias("name")).agg(
+                F.min("src").alias("canonical")
+            )
+        else:
+            labels = (
+                edges.alias("e")
+                .join(labels.alias("l"), F.col("e.src") == F.col("l.name"))
+                .groupBy(F.col("e.dst").alias("name"))
+                .agg(F.min("l.canonical").alias("canonical"))
+            )
     sizes = labels.groupBy("canonical").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )

