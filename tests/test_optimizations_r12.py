@@ -131,3 +131,58 @@ def test_pagerank_matches_reference_after_first_round_shortcut(spark):
             msum[d] += ranks[s] // outdeg[s]
         ranks = {n: base // 3 + (85 * msum[n]) // 100 for n in nodes}
     assert got == ranks
+
+
+def test_cosine_sql_path_matches_column_path(spark):
+    """dot/cosine/cosine_rounded take a one-parse F.expr shortcut when
+    both args are plain identifiers (r12: kills the per-AST-node py4j
+    construction tax). The shortcut must be VALUE-identical to the
+    Column-API fallback on every edge the guard handles: ordinary
+    vectors, the all-zero vector (0.0, not NULL/NaN), and NULL vectors
+    (dot propagates NULL; the cosine guard's `NULL > 0` is falsy, so
+    cosine reads 0.0 — the pre-existing behaviour of both paths)."""
+    from vector_database_app_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]),
+            (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero-vector guard
+            (3, None, [1.0, 2.0, 3.0]),  # NULL vector
+            (4, [1e-8, 2e-8, 0.0], [1e8, -2e8, 3.5]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    # identifier args take the F.expr path; F.col args take the
+    # Column-API path — same tree, so bit-equal results
+    sql_form = df.select(
+        "id",
+        V.dot("a", "b").alias("d"),
+        V.cosine("a", "b").alias("c"),
+        V.cosine_rounded("a", "b").alias("cr"),
+    )
+    col_form = df.select(
+        "id",
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.cosine(F.col("a"), F.col("b")).alias("c"),
+        V.cosine_rounded(F.col("a"), F.col("b")).alias("cr"),
+    )
+    got_sql = {r.id: (r.d, r.c, r.cr) for r in sql_form.collect()}
+    got_col = {r.id: (r.d, r.c, r.cr) for r in col_form.collect()}
+    assert got_sql == got_col
+    assert got_sql[2] == (0.0, 0.0, 0.0)  # guard, not NaN
+    assert got_sql[3] == (None, 0.0, 0.0)
+
+
+def test_cosine_identifier_gate_rejects_non_identifiers(spark):
+    """Only plain identifiers may be spliced into the SQL text; any
+    Column or non-identifier string must use the Column-API path (no
+    injection, no parse surprises)."""
+    from vector_database_app_spark.functions.vector import _ident
+
+    assert _ident("embedding") == "embedding"
+    assert _ident("_qe") == "_qe"
+    assert _ident("a.b") is None
+    assert _ident("a b") is None
+    assert _ident("a-b") is None
+    assert _ident("1a") is None
+    assert _ident(F.col("a")) is None

@@ -1447,7 +1447,7 @@ def semantic_near_dups(
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
             F.round(
-                dot(F.col("a_v"), F.col("b_v"))
+                dot("a_v", "b_v")
                 / (F.col("a_nrm") * F.col("b_nrm")),
                 6,
             )

@@ -357,7 +357,7 @@ def pq_search(
             query_id_col,
         )
         .withColumn(
-            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col))
+            "sim", cosine_rounded(vec_col, query_vec_col)
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -415,7 +415,7 @@ def ivfpq_search(
         F.broadcast(centroids.select("centroid_id", "centroid"))
     ).withColumn(
         "qcsim",
-        cosine_rounded(F.col(query_vec_col), F.col("centroid"), sim_scale),
+        cosine_rounded(query_vec_col, "centroid", sim_scale),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.desc("qcsim"), F.asc("centroid_id")
@@ -501,7 +501,7 @@ def ivfpq_search(
             query_id_col,
         )
         .withColumn(
-            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+            "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -628,7 +628,7 @@ def ivfpq_residual_search(
         query_id_col,
         "centroid_id",
         cosine_rounded(
-            F.col(query_vec_col), F.col("centroid"), sim_scale
+            query_vec_col, "centroid", sim_scale
         ).alias("qcsim"),
         _dot6(
             F.col(query_vec_col).cast("array<double>"),
@@ -702,7 +702,7 @@ def ivfpq_residual_search(
         )
         .withColumn(
             "sim",
-            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+            cosine_rounded(vec_col, query_vec_col, sim_scale),
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(

@@ -411,7 +411,7 @@ def hybrid_search(
     )
     dense = emb.crossJoin(F.broadcast(qv)).select(
         F.col(vec_id_col).alias(id_col),
-        cosine_rounded(F.col(vec_col), F.col("_qe"), 6).alias("cos_sim"),
+        cosine_rounded(vec_col, "_qe", 6).alias("cos_sim"),
     )
     joined = (
         dense.join(lex, id_col, "full")

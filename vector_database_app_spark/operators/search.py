@@ -69,7 +69,7 @@ def knn(
     so they stay row-identical).
     """
     _check_spaces(corpus_space, query_space)
-    sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    sim = cosine_rounded(vec_col, query_vec_col, sim_scale)
     return (
         corpus.crossJoin(F.broadcast(query.select(query_vec_col)))
         .withColumn("sim", sim)
@@ -109,7 +109,7 @@ def knn_batch(
         )
         .withColumn(
             "sim",
-            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+            cosine_rounded(vec_col, query_vec_col, sim_scale),
         )
         # NULL sims (null/missing vectors) never rank — pinned across
         # all three knn forms (r7; the struct sort in the two-phase form
@@ -199,7 +199,7 @@ def knn_batch_twophase(
     _check_spaces(corpus_space, query_space)
     if persist_corpus:
         corpus = corpus.persist()
-    sim = cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+    sim = cosine_rounded(vec_col, query_vec_col, sim_scale)
     scored = (
         corpus.crossJoin(F.broadcast(queries.select(query_id_col, query_vec_col)))
         .select(
@@ -284,7 +284,7 @@ def range_search(
             F.broadcast(queries.select(query_id_col, query_vec_col))
         )
         .withColumn(
-            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+            "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
         )
         .filter(F.col("sim") >= threshold)
         .drop(query_vec_col)
@@ -411,7 +411,7 @@ def srp_search(
         F.broadcast(q.select(query_id_col, query_vec_col, "bucket")), "bucket"
     )
     scored = cand.withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -441,7 +441,7 @@ def ivf_assign(
     scored = corpus.crossJoin(
         F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
     ).withColumn(
-        "csim", cosine_rounded(F.col(vec_col), F.col(centroid_vec_col))
+        "csim", cosine_rounded(vec_col, centroid_vec_col)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc(centroid_id_col))
     return (
@@ -548,7 +548,7 @@ def ivf_search(
         F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
     ).withColumn(
         "qcsim",
-        cosine_rounded(F.col(query_vec_col), F.col(centroid_vec_col), sim_scale),
+        cosine_rounded(query_vec_col, centroid_vec_col, sim_scale),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.desc("qcsim"), F.asc(centroid_id_col)
@@ -560,7 +560,7 @@ def ivf_search(
     )
     cand = assigned_corpus.join(F.broadcast(probes), centroid_id_col)
     scored = cand.withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -612,7 +612,7 @@ def ivf_probe_sweep(
         F.broadcast(centroids.select(centroid_id_col, centroid_vec_col))
     ).withColumn(
         "qcsim",
-        cosine_rounded(F.col(query_vec_col), F.col(centroid_vec_col), sim_scale),
+        cosine_rounded(query_vec_col, centroid_vec_col, sim_scale),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.desc("qcsim"), F.asc(centroid_id_col)
@@ -636,7 +636,7 @@ def ivf_probe_sweep(
     )
     approx = (
         cand.withColumn(
-            "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+            "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
         )
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
@@ -647,7 +647,7 @@ def ivf_probe_sweep(
     scored = assigned_corpus.crossJoin(
         F.broadcast(queries.select(query_id_col, query_vec_col))
     ).withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     wt = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     truth = (
@@ -746,7 +746,7 @@ def matryoshka_search(
         F.col("crk") <= shortlist
     )
     fine = cands.withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -833,7 +833,7 @@ def binary_search(
         F.col("crk") <= shortlist
     )
     fine = cands.withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     w_k = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     drop = (
@@ -935,7 +935,7 @@ def mmr_rerank(
             query_id_col,
             "a_id",
             "b_id",
-            cosine_rounded(F.col("a_emb"), F.col("b_emb"), sim_scale).alias("psim"),
+            cosine_rounded("a_emb", "b_emb", sim_scale).alias("psim"),
         )
         .persist()
     )
@@ -1145,7 +1145,7 @@ def pca_search(
     )
     fine = cands.withColumn(
         "sim",
-        cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+        cosine_rounded(vec_col, query_vec_col, sim_scale),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc(id_col)
@@ -1229,7 +1229,7 @@ def knn_self_join(
             F.round(
                 F.when(
                     denom > F.lit(0.0),
-                    dot(F.col("_src_vec"), F.col("_nbr_vec")) / denom,
+                    dot("_src_vec", "_nbr_vec") / denom,
                 ).otherwise(F.lit(0.0)),
                 sim_scale,
             ),
@@ -1518,7 +1518,7 @@ def nsw_search(
         indexed.join(F.broadcast(qp), "bucket")
         .withColumn(
             "sim",
-            cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale),
+            cosine_rounded(vec_col, query_vec_col, sim_scale),
         )
         .select(query_id_col, id_col, "sim")
     )
@@ -1550,7 +1550,7 @@ def nsw_search(
             .withColumn(
                 "sim",
                 cosine_rounded(
-                    F.col(vec_col), F.col(query_vec_col), sim_scale
+                    vec_col, query_vec_col, sim_scale
                 ),
             )
             .select(query_id_col, id_col, "sim")
@@ -1644,7 +1644,7 @@ def sq8_search(
         F.col("_crk") <= shortlist
     )
     rescored = short.withColumn(
-        "sim", cosine_rounded(F.col(vec_col), F.col(query_vec_col), sim_scale)
+        "sim", cosine_rounded(vec_col, query_vec_col, sim_scale)
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.desc("sim"), F.asc(id_col)

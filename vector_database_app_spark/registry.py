@@ -6493,7 +6493,7 @@ def q_embedding_outliers(spark, sf_dir):
     back into the one corpus scan. No window, no self-join."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = _label_centroids(emb, F.lit(True)).select("label", "centroid")
-    sim = cosine_rounded(F.col("embedding"), F.col("centroid"))
+    sim = cosine_rounded("embedding", "centroid")
     return (
         emb.join(F.broadcast(cent), "label")
         .select(
@@ -7089,7 +7089,7 @@ def q_embedding_drift(spark, sf_dir):
         F.col("centroid").alias("centroid_b"),
         F.col("n_vecs").alias("n_b"),
     )
-    sim = cosine_rounded(F.col("centroid_a"), F.col("centroid_b"))
+    sim = cosine_rounded("centroid_a", "centroid_b")
     return a.join(b, "label").select(
         "label",
         "n_a",
