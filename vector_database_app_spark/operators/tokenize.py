@@ -27,6 +27,8 @@ vocab side when it fits.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,11 +115,48 @@ def merge_step_expr(sym_col: Column, left: str, right: str) -> Column:
     )
 
 
-def apply_merges_expr(sym_col: Column, merges: list[dict]) -> Column:
+#: symbols safe to splice into a SQL string literal (no quote/backslash
+#: escaping needed — anything else falls back to the Column builder)
+_SQL_SAFE_SYM = re.compile(r"^[^'\\]*$")
+
+
+def merge_step_sql(inner: str, left: str, right: str) -> str:
+    """The EXACT SQL text of ``merge_step_expr`` — same aggregate fold,
+    same try_element_at tail probe, same CASE arms — so the chained
+    encode expression parses in ONE py4j round trip instead of ~25 per
+    merge (the Column builder costs ~0.37 s of gateway chatter for the
+    12-merge PINNED table at every query construction; the SQL text is
+    one parse). Collect-verified identical to the Column form on the
+    corpus vocabulary (tests/test_bpe.py pins both paths)."""
+    merged = left + right
+    return (
+        f"aggregate({inner}, CAST(array() AS ARRAY<STRING>), "
+        f"(acc, x) -> CASE WHEN ((try_element_at(acc, -1) = '{left}') "
+        f"AND (x = '{right}')) THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{merged}')) ELSE concat(acc, array(x)) END)"
+    )
+
+
+def apply_merges_expr(sym_col: Column | str, merges: list[dict]) -> Column:
     """Chain the learned merge table (in rank order) over a symbol array
     — the ENCODE path. Expression depth is |merges|; encoding runs on
-    the distinct-word frame, so the cost is vocab-sized."""
-    out = sym_col
+    the distinct-word frame, so the cost is vocab-sized.
+
+    ``sym_col`` may be a Column (per-node Column builder) or a SQL
+    snippet string (e.g. ``"split(w, '')"``): the string form renders
+    the whole chain as one generated-SQL text parsed in a single round
+    trip — the same expression tree, built ~25× cheaper. Symbols that
+    would need escaping inside a SQL string literal fall back to the
+    Column builder."""
+    if isinstance(sym_col, str) and all(
+        _SQL_SAFE_SYM.match(m["left_sym"]) and _SQL_SAFE_SYM.match(m["right_sym"])
+        for m in merges
+    ):
+        out_sql = sym_col
+        for m in merges:
+            out_sql = merge_step_sql(out_sql, m["left_sym"], m["right_sym"])
+        return F.expr(out_sql)
+    out = F.expr(sym_col) if isinstance(sym_col, str) else sym_col
     for m in merges:
         out = merge_step_expr(out, m["left_sym"], m["right_sym"])
     return out
@@ -302,7 +341,7 @@ def bpe_encode_counts(
         .select(
             "w",
             F.size(
-                apply_merges_expr(F.split("w", ""), merges)
+                apply_merges_expr("split(w, '')", merges)
             ).cast("bigint").alias("w_tokens"),
             F.length("w").cast("bigint").alias("w_chars"),
         )

@@ -11541,7 +11541,7 @@ def q_tokenizer_fertility_compare(spark, sf_dir):
             F.length("w").cast("bigint").alias("w_chars"),
             F.size(
                 tokenize.apply_merges_expr(
-                    F.split("w", ""), tokenize.PINNED_MERGES
+                    "split(w, '')", tokenize.PINNED_MERGES
                 )
             )
             .cast("bigint")
